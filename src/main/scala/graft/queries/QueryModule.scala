@@ -1,0 +1,21 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named group of driver-checkable queries.
+  *
+  * Every entry in `queries` is a function `(spark, sfDir) => DataFrame`; every
+  * key that also appears in `oracle` gets hash-compared by the driver against
+  * DuckDB running that SQL over the same parquet tables (see Verify.scala).
+  * Keys without an oracle get a weaker rows-only check.
+  *
+  * Contract reminders (the hash compare is exact):
+  *   - alias every computed column identically in Spark and SQL;
+  *   - never emit raw float aggregates — aggregate in DECIMAL, cast to DOUBLE;
+  *   - no timestamps in output — format to strings;
+  *   - deterministic ordering for any LIMIT/top-k (unique tiebreak keys).
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}

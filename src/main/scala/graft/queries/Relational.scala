@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational battery: scan/filter/aggregate/join/top-k.
+  *
+  * These are the engine's "is the relational substrate sound" queries —
+  * predicate pushdown, partial aggregation, broadcast joins — exercising the
+  * same shapes the reference uses for its CDC/master-table work
+  * (reference: catalog search/stage1_extract_csv.py, stage4_update_csv.py).
+  *
+  * Numeric policy: aggregate in DECIMAL (exact, order-independent), cast the
+  * final value to DOUBLE so Spark and DuckDB hash identically.
+  */
+object Relational extends QueryModule {
+
+  private val D = "decimal(18,2)"
+
+  /** TPC-H Q1-shaped pricing summary: groupBy + exact decimal sums. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(D) *
+          (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast(D)).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Revenue by nation: 4-way join; nation/region are broadcast-size dims. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast(D) *
+          (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-10 customers by order spend — deterministic tiebreak on c_custkey. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(D)).cast("double").as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Parts by brand with size stats — scan+filter+agg on a dim table. */
+  def partStats(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.filter(col("p_size") >= 10)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"),
+        sum(col("p_retailprice").cast(D)).cast("double").as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_pricing_summary" -> pricingSummary,
+    "q_rel_revenue_by_nation" -> revenueByNation,
+    "q_rel_top_customers" -> topCustomers,
+    "q_rel_part_stats" -> partStats)
+
+  override def oracle: Map[String, String] = Map(
+    "q_rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rel_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_rel_top_customers" ->
+      """SELECT c_custkey, c_name, total_spend, n_orders
+        |FROM (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey) agg
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_spend DESC, c_custkey
+        |LIMIT 10""".stripMargin,
+    "q_rel_part_stats" ->
+      """SELECT p_brand,
+        |  COUNT(*) AS n_parts,
+        |  MIN(p_size) AS min_size,
+        |  MAX(p_size) AS max_size,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part
+        |WHERE p_size >= 10
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py <sfDir> <outDir>
+
+Reads each <outDir>/<name>/ parquet (Spark output from graft.Verify), runs the
+matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same
+parquet tables, sorts columns by name and rows by value, and compares exactly.
+This is NOT the driver's code — it is a best-effort reimplementation of the
+documented compare (column-name sort + value hash) so mismatches surface
+before the driver runs.
+"""
+import sys, json, glob, math
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    """Canonical value for compare: floats via repr (exact), others via str."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_rows(cur):
+    cols = [d[0] for d in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(canon(r[i]) for i in order) for r in cur.fetchall()]
+    return [cols[i] for i in order], sorted(rows)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    spark_dirs = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{outdir}/*/")}
+    for name in sorted(spark_dirs):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            results[name] = "NO_SPARK_OUTPUT"
+            continue
+        cur = con.execute(
+            "SELECT * FROM read_parquet([" +
+            ",".join(f"'{f}'" for f in files) + "])")
+        s_cols, s_rows = table_rows(cur)
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(s_rows)}" + (
+                "" if len(s_rows) > 0 else " EMPTY!")
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            o_cols, o_rows = table_rows(cur)
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        if s_cols != o_cols:
+            results[name] = f"SCHEMA_MISMATCH spark={s_cols} oracle={o_cols}"
+        elif s_rows != o_rows:
+            diff = next((i, a, b) for i, (a, b)
+                        in enumerate(zip(s_rows + [None] * len(o_rows),
+                                         o_rows + [None] * len(s_rows)))
+                        if a != b)
+            results[name] = (f"ROW_MISMATCH n_spark={len(s_rows)} "
+                             f"n_oracle={len(o_rows)} first_diff@{diff[0]}: "
+                             f"spark={diff[1]} oracle={diff[2]}")
+        else:
+            results[name] = f"MATCH rows={len(s_rows)}"
+    missing = set(oracle) - spark_dirs
+    for name in missing:
+        results[name] = "NO_SPARK_OUTPUT_FOR_ORACLE"
+    ok = True
+    for name in sorted(results):
+        status = results[name]
+        flag = "OK " if status.startswith(("MATCH", "ROWS_ONLY rows=")) \
+            and "EMPTY" not in status else "FAIL"
+        if flag == "FAIL":
+            ok = False
+        print(f"[{flag}] {name}: {status}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
