@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.PageWindows
+
+/** Ordered grouping (SURVEY §2.4) and window inference (§2.5) queries.
+  *
+  * The per-chapter engine: groups sorted within the group key, ordered
+  * concatenation, first-of-group metadata, per-chapter renumbering, and the
+  * neighbor-fill / continuity / proportional-distribution window passes —
+  * all on section/chunk-shaped projections derived deterministically from
+  * orders/lineitem so DuckDB rebuilds identical inputs.
+  */
+object GroupWindowQueries extends QueryModule {
+
+  /** G1+G5+G7: group by key, order by line number inside the group, concat
+    * content, count/min/max — one shuffle, all inside HashAggregate. */
+  def orderedConcat(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("l_linenumber"),
+              concat(lit("p"), col("l_partkey")).as("part")))),
+            x => x.getField("part")),
+          ",").as("content"),
+        count(lit(1)).as("n_items"),
+        min(col("l_linenumber")).as("min_line"),
+        max(col("l_linenumber")).as("max_line"))
+      .orderBy(col("l_orderkey"))
+
+  /** G10: first-row-of-group metadata extraction via row_number()==1. */
+  def firstOfGroup(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // tiebreak on every output column so the chosen row is deterministic.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_partkey").as("first_part"),
+        col("l_quantity").as("first_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** T16: per-chapter page renumbering with a stable composite sort. */
+  def renumber(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("page_number", row_number().over(w))
+      .select(col("l_suppkey").as("chapter_id"), col("l_orderkey"),
+        col("l_linenumber").as("source_page_number"), col("page_number"))
+      .orderBy(col("chapter_id"), col("page_number"))
+  }
+
+  /** Section-shaped projection of orders with deterministic null page
+    * bounds (every 3rd start, every 4th end missing). */
+  private def sections(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    def page(mod: Int, extra: Column): Column =
+      when(col("o_orderkey") % mod === 0, lit(null).cast("long"))
+        .otherwise(col("o_orderkey") % 40 + lit(1) + extra)
+    Tables.orders(spark, dir).select(
+      col("o_custkey").as("chapter_id"),
+      row_number().over(w).as("section_number"),
+      page(3, lit(0)).as("start_page"),
+      page(4, col("o_orderkey") % 5).as("end_page"))
+  }
+
+  /** W2: neighbor fill over nullable bounds. */
+  def neighborFill(spark: SparkSession, dir: String): DataFrame =
+    PageWindows.neighborFill(sections(spark, dir))
+      .select("chapter_id", "section_number", "start_page", "end_page",
+        "prev_end", "next_start", "start_filled", "end_filled")
+      .orderBy(col("chapter_id"), col("section_number"))
+
+  /** W6: gap/overlap detection + clamp. */
+  def continuity(spark: SparkSession, dir: String): DataFrame =
+    PageWindows.continuityFix(sections(spark, dir))
+      .select("chapter_id", "section_number", "start_page", "end_page",
+        "next_start", "has_gap", "has_overlap", "end_fixed")
+      .orderBy(col("chapter_id"), col("section_number"))
+
+  /** W9: proportional page distribution across a section's chunks. */
+  def proportional(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("section_id"),
+      col("l_linenumber").as("chunk_number"),
+      (col("l_orderkey") % 20 + lit(1)).as("a"),
+      (col("l_orderkey") % 20 + lit(1) + col("l_orderkey") % 7 + lit(2)).as("b"))
+    PageWindows.proportionalDistribute(chunks)
+      .select("section_id", "chunk_number", "a", "b", "chunk_start", "chunk_end")
+      .orderBy(col("section_id"), col("chunk_number"))
+  }
+
+  /** W2-as-streaming-analogue: forward fill nulls in an event stream. */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("v",
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("v"), col("filled"))
+      .orderBy(col("event_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_ordered_concat" -> orderedConcat,
+    "q_group_first_meta" -> firstOfGroup,
+    "q_group_renumber" -> renumber,
+    "q_window_neighbor_fill" -> neighborFill,
+    "q_window_continuity" -> continuity,
+    "q_window_proportional" -> proportional,
+    "q_events_gapfill" -> eventsGapfill)
+
+  private val sectionsCte: String =
+    """WITH sections AS (
+      |  SELECT o_custkey AS chapter_id,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS section_number,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |              ELSE (o_orderkey % 40) + 1 END AS start_page,
+      |         CASE WHEN o_orderkey % 4 = 0 THEN NULL
+      |              ELSE (o_orderkey % 40) + 1 + (o_orderkey % 5) END AS end_page
+      |  FROM orders
+      |)""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "q_group_ordered_concat" ->
+      """SELECT l_orderkey,
+        |  string_agg('p' || l_partkey, ',' ORDER BY l_linenumber, 'p' || l_partkey) AS content,
+        |  COUNT(*) AS n_items,
+        |  MIN(l_linenumber) AS min_line,
+        |  MAX(l_linenumber) AS max_line
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_group_first_meta" ->
+      """SELECT l_orderkey, first_part, first_qty FROM (
+        |  SELECT l_orderkey, l_partkey AS first_part, l_quantity AS first_qty,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+        |  FROM lineitem) t WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q_group_renumber" ->
+      """SELECT l_suppkey AS chapter_id, l_orderkey,
+        |  l_linenumber AS source_page_number,
+        |  ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS page_number
+        |FROM lineitem ORDER BY chapter_id, page_number""".stripMargin,
+    "q_window_neighbor_fill" -> (sectionsCte +
+      """, filled AS (
+        |  SELECT chapter_id, section_number, start_page, end_page,
+        |    LAST_VALUE(end_page IGNORE NULLS) OVER (PARTITION BY chapter_id
+        |      ORDER BY section_number
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end,
+        |    FIRST_VALUE(start_page IGNORE NULLS) OVER (PARTITION BY chapter_id
+        |      ORDER BY section_number
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_start
+        |  FROM sections)
+        |SELECT chapter_id, section_number, start_page, end_page, prev_end, next_start,
+        |  COALESCE(start_page, prev_end + 1, next_start) AS start_filled,
+        |  COALESCE(end_page, next_start - 1,
+        |    COALESCE(start_page, prev_end + 1, next_start)) AS end_filled
+        |FROM filled ORDER BY chapter_id, section_number""".stripMargin),
+    "q_window_continuity" -> (sectionsCte +
+      """, led AS (
+        |  SELECT chapter_id, section_number, start_page, end_page,
+        |    LEAD(start_page, 1) OVER (PARTITION BY chapter_id
+        |      ORDER BY section_number) AS next_start
+        |  FROM sections)
+        |SELECT chapter_id, section_number, start_page, end_page, next_start,
+        |  next_start IS NOT NULL AND next_start > end_page + 1 AS has_gap,
+        |  next_start IS NOT NULL AND next_start < end_page AS has_overlap,
+        |  CASE WHEN next_start IS NOT NULL AND next_start < end_page
+        |       THEN next_start - 1 ELSE end_page END AS end_fixed
+        |FROM led ORDER BY chapter_id, section_number""".stripMargin),
+    "q_window_proportional" ->
+      """WITH chunks AS (
+        |  SELECT l_orderkey AS section_id, l_linenumber AS chunk_number,
+        |         (l_orderkey % 20) + 1 AS a,
+        |         (l_orderkey % 20) + 1 + (l_orderkey % 7) + 2 AS b
+        |  FROM lineitem
+        |), numbered AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY section_id ORDER BY chunk_number) - 1 AS j,
+        |    COUNT(*) OVER (PARTITION BY section_id) AS n,
+        |    b - a + 1 AS span
+        |  FROM chunks)
+        |SELECT section_id, chunk_number, a, b,
+        |  a + (j * span) // n AS chunk_start,
+        |  CASE WHEN j = n - 1 THEN b
+        |       ELSE a + ((j + 1) * span) // n - 1 END AS chunk_end
+        |FROM numbered ORDER BY section_id, chunk_number""".stripMargin,
+    "q_events_gapfill" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v,
+        |  LAST_VALUE(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin)
+}
