@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextAnalysis._
+
+/** Text-analysis battery over the `documents` table: token counting, quality
+  * scoring, language ID, fingerprinting — the column-level half of a
+  * training-data pipeline (the reference's analogues are the token
+  * estimators and content validators, SURVEY §2.6 T1/T2, §2.8).
+  *
+  * Everything is pure Catalyst expressions in the projection of a parquet
+  * scan — no UDFs, no shuffle except the final aggregates — so at 100 TB
+  * these run at scan speed with full whole-stage codegen.
+  */
+object TextQueries extends QueryModule {
+
+  /** Per-document token/char stats + exact fingerprint. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCountWs(col("text")).as("n_tokens_ws"),
+      tokenCountRegex(col("text")).as("n_tokens_re"),
+      punctCount(col("text")).as("n_punct"),
+      digitCount(col("text")).as("n_digits"),
+      length(col("text")).as("n_chars_actual"),
+      fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic: stopword-marker hit ratios + argmax prediction. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("lang").as("lang_truth"),
+      round(langScore(col("text"), "en"), 6).as("score_en"),
+      round(langScore(col("text"), "es"), 6).as("score_es"),
+      round(langScore(col("text"), "fr"), 6).as("score_fr"),
+      langPredict(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** Composite quality score + keep/drop decision at 0.5. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      round(qualityScore(col("text")), 6).as("quality"),
+      (round(qualityScore(col("text")), 6) >= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-level source report: docs, mean length, quality histogram. */
+  def sourceReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        round(qualityScore(col("text")), 6).as("q"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("q")), 6).as("avg_quality"),
+        count(when(col("q") >= 0.5, 1)).as("n_keep"))
+      .orderBy(col("source"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> textStats,
+    "q_text_langid" -> langId,
+    "q_text_quality" -> quality,
+    "q_text_source_report" -> sourceReport)
+
+  // DuckDB mirrors. Shared fragments keep Spark and SQL in lockstep; every
+  // double computation is written in the same operation order on both sides
+  // and rounded to 6 digits before comparison.
+  private val enList = stopEn.map(s => s"'$s'").mkString(", ")
+  private val esList = stopEs.map(s => s"'$s'").mkString(", ")
+  private val frList = stopFr.map(s => s"'$s'").mkString(", ")
+
+  private def scoreSql(list: String): String =
+    s"""CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN ($list))) AS DOUBLE)
+       | / GREATEST(len(regexp_split_to_array(text, '\\s+')), 1)""".stripMargin.replace("\n", "")
+
+  private val qualitySql: String = {
+    val n = "CAST(length(text) AS DOUBLE)"
+    val punct = "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)"
+    val digit = "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)"
+    s"""0.4 * LEAST($n / 500.0, 1.0)
+       | + 0.3 * (${scoreSql(enList)})
+       | + 0.15 * (1.0 - LEAST($punct / GREATEST($n, 1.0) * 10.0, 1.0))
+       | + 0.15 * (1.0 - LEAST($digit / GREATEST($n, 1.0) * 10.0, 1.0))""".stripMargin.replace("\n", "")
+  }
+
+  override def oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_tokens_ws,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_re,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+        |  length(text) AS n_chars_actual,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""SELECT doc_id, lang AS lang_truth,
+         |  ROUND(${scoreSql(enList)}, 6) AS score_en,
+         |  ROUND(${scoreSql(esList)}, 6) AS score_es,
+         |  ROUND(${scoreSql(frList)}, 6) AS score_fr,
+         |  CASE WHEN (${scoreSql(enList)}) >= (${scoreSql(esList)})
+         |        AND (${scoreSql(enList)}) >= (${scoreSql(frList)}) THEN 'en'
+         |       WHEN (${scoreSql(esList)}) >= (${scoreSql(frList)}) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  ROUND($qualitySql, 6) AS quality,
+         |  ROUND($qualitySql, 6) >= 0.5 AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_source_report" ->
+      s"""WITH scored AS (
+         |  SELECT source, n_chars, ROUND($qualitySql, 6) AS q FROM documents)
+         |SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+         |  ROUND(AVG(q), 6) AS avg_quality,
+         |  COUNT(CASE WHEN q >= 0.5 THEN 1 END) AS n_keep
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin)
+}
