@@ -16,7 +16,9 @@ object SparkEntry {
     Relational,
     CdcQueries,
     GroupWindowQueries,
-    TextQueries)
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

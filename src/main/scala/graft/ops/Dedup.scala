@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for a training-data pipeline: exact
+  * (fingerprint groupBy), word-shingle Jaccard, MinHash+LSH, SimHash.
+  *
+  * Portability constraint: every hash is derived from md5 so the DuckDB
+  * oracle can reproduce it bit-for-bit (`h32` below is the first 8 hex
+  * digits of md5 as an integer — `conv(substr(md5(x),1,8),16,10)` here,
+  * `CAST('0x' || substr(md5(x),1,8) AS BIGINT)` in DuckDB).
+  *
+  * Scale posture: shingle explode + min-agg is one shuffle on doc_id with
+  * map-side partial min; LSH banding turns the quadratic all-pairs problem
+  * into an equi-join on (band, band-signature) — the bucket key IS the
+  * shuffle key, so at 100 TB candidate generation stays linear in corpus
+  * size + bucket sizes. Only candidate pairs (not all pairs) are verified.
+  */
+object Dedup {
+
+  /** Portable 32-bit hash: first 8 md5 hex digits as a long in [0, 2^32). */
+  def h32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles; whole text when shorter than n words. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = split(text, "\\s+")
+    val starts = sequence(lit(1), greatest(size(w) - lit(n - 1), lit(0)))
+    val grams = transform(starts, i =>
+      array_join(transform(sequence(i, i + lit(n - 1)), j => element_at(w, j)), " "))
+    when(size(w) < n, array(text)).otherwise(array_distinct(grams))
+  }
+
+  /** MinHash permutation constants: h_i(x) = (a_i*x + b_i) mod P.
+    * a_i stays small so a_i * h32 < 2^63 (no overflow in long math). */
+  val P: Long = 4294967311L // smallest prime > 2^32
+  def permA(i: Int): Long = 2L * i + 1
+  def permB(i: Int): Long = 1000003L * i + 12345
+
+  /** MinHash signature: one row per id with columns m0..m{k-1}.
+    * One explode + one groupBy(id) with k partial-min aggregates. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 8): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
+      .withColumn("h", h32(col("shingle")))
+    val aggs = (0 until numPerms).map(i =>
+      min((lit(permA(i)) * col("h") + lit(permB(i))) % lit(P)).as(s"m$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from a signature frame: bands of `rowsPerBand`
+    * consecutive signature columns; a pair is a candidate when ALL columns
+    * of at least one band agree. Output: (id_a, id_b, n_bands) with a<b. */
+  def lshPairs(sig: DataFrame, idCol: String, numPerms: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numPerms / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")
+      val a = sig.select(col(idCol).as("id_a") +: cols.map(c => col(c).as(s"a_$c")): _*)
+      val bb = sig.select(col(idCol).as("id_b") +: cols.map(c => col(c).as(s"b_$c")): _*)
+      val cond = cols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _) &&
+        col("id_a") < col("id_b")
+      a.join(bb, cond).select(col("id_a"), col("id_b"))
+    }
+    bands.reduce(_ unionAll _)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 32-bit SimHash over whitespace tokens (term-frequency weighted):
+    * bit j of the result is 1 iff sum over token occurrences of
+    * (±1 by bit j of h32(token)) is positive. One explode + one groupBy. */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("tok"))
+      .withColumn("h", h32(col("tok")))
+    val bitSums = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
+    val agg = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val value = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.withColumn("simhash", value).select(col(idCol), col("simhash"))
+  }
+
+  /** Hamming distance between two simhash values (POPCOUNT of XOR). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+}

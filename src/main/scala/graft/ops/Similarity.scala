@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search primitives: cosine math as codegen-friendly
+  * higher-order array expressions (no UDFs), brute-force top-k as the
+  * exact baseline, and random-hyperplane LSH bucketing as the scale path.
+  *
+  * Scale posture: brute force is O(Q·N) — fine when Q (queries) is small
+  * and N streams through a broadcast of Q; the LSH variant buckets BOTH
+  * sides on an 8-bit signature so candidate generation is an equi-join on
+  * the bucket key (shuffle key = bucket), turning all-pairs into
+  * per-bucket work. Hyperplanes are md5-derived constants, so any engine
+  * (or the DuckDB oracle) can rebuild them bit-for-bit.
+  */
+object Similarity {
+
+  /** Float array → double array (all cosine math in double). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** L2 norm of a double array (left-to-right fold — portable order). */
+  def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Dot product of two double arrays (left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Project (id, vec float array) → (id, v double array, norm). */
+  def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Deterministic hyperplane weights: plane p, dim d →
+    * (h32("p<p>_<d>") mod 2001 − 1000) / 1000 ∈ [−1, 1].
+    * Same md5 derivation as Dedup.h32, computed driver-side (constants). */
+  def planeWeights(numPlanes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dims) { (p, d) =>
+      val hex = md.digest(s"p${p}_$d".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+    }
+  }
+
+  /** Random-hyperplane signature: bit p of the result = 1 iff
+    * dot(v, plane_p) > 0. Buckets cosine-similar vectors together. */
+  def rhpBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      val planeCol = array(w.map(lit): _*)
+      when(dot(v, planeCol) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact top-k neighbors of each query vector by cosine (descending,
+    * vec_id tiebreak), self-matches excluded. `cosRound` decimal places
+    * are applied BEFORE ranking so results are rank-stable across engines. */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      cosRound: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(emb, "vec_id", "embedding")
+    val q = withNorm(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), cosRound))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** LSH-bucketed approximate top-k: identical ranking but candidates are
+    * restricted to vectors sharing the query's hyperplane bucket. */
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = planeWeights(numPlanes, dims)
+    val e = withNorm(emb, "vec_id", "embedding")
+      .withColumn("bucket", rhpBucket(col("v"), planes))
+    val q = withNorm(queries, "vec_id", "embedding")
+      .withColumn("bucket", rhpBucket(col("v"), planes))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold (exact, all-pairs). */
+  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = withNorm(emb, "vec_id", "embedding")
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm(emb, "vec_id", "embedding")
+      .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+}

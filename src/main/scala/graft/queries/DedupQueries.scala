@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Dedup
+
+/** Deduplication battery over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash — every variant a first-class, oracle-checked
+  * query. The corpus has planted near-duplicates (3-gram Jaccard ≈ 0.99
+  * pairs), which these queries must surface identically to DuckDB
+  * computing the same md5-derived hashes.
+  */
+object DedupQueries extends QueryModule {
+
+  /** Documents with injected exact duplicates (every 10th doc copied under
+    * doc_id+100000) so the exact-dedup path has something to collapse. */
+  private def augmented(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  /** Exact dedup: fingerprint groups with survivor id and copy count. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(augmented(spark, dir), "doc_id", "text")
+      .orderBy(col("keep_id"))
+
+  /** All-pairs 3-gram Jaccard ≥ 0.5 (the planted near-dup pairs).
+    * Shingle-join candidate generation — only docs sharing a shingle meet. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signatures (8 portable md5-derived permutations). */
+  def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignature(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** LSH candidate pairs: 4 bands × 2 rows over the 8-perm signature. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshPairs(
+      Dedup.minhashSignature(Tables.documents(spark, dir), "doc_id", "text"),
+      "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** 32-bit SimHash per document. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash32(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** SimHash near-dup pairs: byte-banded candidate generation (pairs
+    * agreeing on ≥1 of 4 signature bytes), verified at hamming ≤ 6. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = Dedup.simhash32(Tables.documents(spark, dir), "doc_id", "text")
+    val bands = (0 until 4).map { k =>
+      val a = s.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+        .withColumn("band", shiftright(col("sh_a"), 8 * k) % 256)
+      val b = s.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+        .withColumn("band", shiftright(col("sh_b"), 8 * k) % 256)
+      a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    }
+    bands.reduce(_ unionAll _).distinct()
+      .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")).cast("int"))
+      .filter(col("hamming") <= 6)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> exact,
+    "q_dedup_ngram_jaccard" -> ngramJaccard,
+    "q_dedup_minhash_sig" -> minhashSig,
+    "q_dedup_minhash_pairs" -> minhashPairs,
+    "q_dedup_simhash" -> simhash,
+    "q_dedup_simhash_pairs" -> simhashPairs)
+
+  // ---- DuckDB mirrors ------------------------------------------------
+
+  /** Shingle CTE: distinct word 3-grams per doc (whole text when <3 words). */
+  private val shingleCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [text]
+      |    ELSE list_distinct(list_transform(range(1, greatest(len(w)-2,0)+1),
+      |      i -> array_to_string(list_transform(range(i, i+3), j -> w[j]), ' '))) END) AS shingle
+      |  FROM t
+      |)""".stripMargin
+
+  private val h32Sql = "CAST('0x' || substr(md5(shingle),1,8) AS BIGINT)"
+
+  private def sigSelect: String =
+    (0 until 8).map(i =>
+      s"MIN((${Dedup.permA(i)} * $h32Sql + ${Dedup.permB(i)}) % ${Dedup.P}) AS m$i")
+      .mkString(",\n       ")
+
+  private val sigCte: String =
+    shingleCte + s""", sig AS (
+      |  SELECT doc_id,
+      |       $sigSelect
+      |  FROM sh GROUP BY doc_id
+      |)""".stripMargin
+
+  private val simhashCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+      |), h AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(tok),1,8) AS BIGINT) AS hv FROM tok
+      |), bits AS (
+      |  SELECT doc_id,
+      |""".stripMargin +
+      (0 until 32).map(j =>
+        s"    SUM(CASE WHEN (hv >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n") +
+      "\n  FROM h GROUP BY doc_id\n), sim AS (\n  SELECT doc_id,\n    " +
+      (0 until 32).map(j =>
+        s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ") +
+      " AS simhash\n  FROM bits\n)"
+
+  override def oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH aug AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM aug GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_dedup_ngram_jaccard" -> (shingleCte +
+      """, sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_inter,
+        |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_minhash_sig" -> (sigCte +
+      "\nSELECT * FROM sig ORDER BY doc_id"),
+    "q_dedup_minhash_pairs" -> (sigCte +
+      """, cand AS (
+        |""".stripMargin +
+      (0 until 4).map(b =>
+        s"  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b\n" +
+        s"    ON a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1} AND a.doc_id < b.doc_id")
+        .mkString("\n  UNION ALL\n") +
+      """
+        |)
+        |SELECT id_a, id_b, COUNT(*) AS n_bands FROM cand
+        |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin),
+    "q_dedup_simhash" -> (simhashCte +
+      "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),
+    "q_dedup_simhash_pairs" -> (simhashCte +
+      """, cand AS (
+        |""".stripMargin +
+      (0 until 4).map(k =>
+        s"  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b\n" +
+        s"  FROM sim a JOIN sim b ON (a.simhash >> ${8 * k}) % 256 = (b.simhash >> ${8 * k}) % 256\n" +
+        s"    AND a.doc_id < b.doc_id")
+        .mkString("\n  UNION ALL\n") +
+      """
+        |), dist AS (SELECT DISTINCT id_a, id_b, sh_a, sh_b FROM cand)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        |FROM dist WHERE bit_count(xor(sh_a, sh_b)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin))
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Similarity
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * exact brute-force cosine top-k (oracle-checked against DuckDB computing
+  * the identical double fold), cosine near-dup pairs, and the LSH-bucketed
+  * approximate variant (no SQL mirror — validated by recall spec instead;
+  * driver records rows-only).
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val K = 5
+
+  /** Every 100th vector is a query. */
+  private def queryVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+
+  /** Exact top-5 cosine neighbors per query vector. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
+      .orderBy(col("query_id"), col("rk"))
+
+  /** LSH-bucketed approximate top-5 (8 hyperplanes → 256 buckets). */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(
+      Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
+      .orderBy(col("query_id"), col("rk"))
+
+  /** Embedding near-dup pairs at cosine ≥ 0.35. */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(spark, dir), 0.35)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Label-centroid similarity: mean vector per label, then each label's
+    * nearest other centroid — a coarse IVF-style structure report. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    e.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), round(avg(col("x").cast("double")), 6).as("mean_x"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_dims"),
+        round(sum(col("mean_x") * col("mean_x")), 6).as("sq_norm"))
+      .orderBy(col("label"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_brute" -> knnBrute,
+    "q_knn_lsh" -> knnLsh,
+    "q_sim_cosine_pairs" -> cosinePairs,
+    "q_sim_label_centroids" -> labelCentroids)
+
+  /** Shared CTE: vectors as doubles with norms, identical fold order. */
+  private val normCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e
+      |)""".stripMargin
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, 65), i -> a.v[i] * q.v[i]))"
+
+  override def oracle: Map[String, String] = Map(
+    "q_knn_brute" -> (normCte +
+      s""", scored AS (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM n a, n q
+         |  WHERE q.vec_id % 100 = 0 AND a.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, rk, neighbor_id, cos FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin),
+    "q_sim_cosine_pairs" -> (normCte +
+      """SELECT a.vec_id AS vec_a, q.vec_id AS vec_b,
+        |  ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * q.v[i]))
+        |        / (a.nrm * q.nrm), 4) AS cos
+        |FROM n a, n q
+        |WHERE a.vec_id < q.vec_id
+        |  AND ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * q.v[i]))
+        |        / (a.nrm * q.nrm), 4) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin),
+    "q_sim_label_centroids" ->
+      """WITH dims AS (
+        |  SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings
+        |), centroid AS (
+        |  SELECT label, dim, COUNT(*) AS n,
+        |    ROUND(AVG(CAST(x AS DOUBLE)), 6) AS mean_x
+        |  FROM dims GROUP BY label, dim)
+        |SELECT label, COUNT(*) AS n_dims,
+        |  ROUND(SUM(mean_x * mean_x), 6) AS sq_norm
+        |FROM centroid GROUP BY label ORDER BY label""".stripMargin)
+}
