@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model.{ChunkRecord, PageRecord, SectionRecord}
+import graft.text.{Chunker, PageTags, Sections, Tokens}
+
+/** The semantic document pipeline as Dataset transforms (SURVEY §3.1).
+  *
+  * Parallelism contract: all order-sensitive text algebra (T5–T8, W12) is
+  * pure Scala over one chapter's rows, invoked from
+  * `groupByKey(chapter).flatMapGroups` — sequential within a chapter,
+  * embarrassingly parallel across chapters. Chapters are bounded (≤ a few
+  * hundred pages), so materializing one group in memory is safe at any
+  * corpus scale; the only shuffle is the groupBy on the chapter key.
+  * Chunking (T8) is per-section pure → a flatMap, zero extra shuffles.
+  */
+object DocPipeline {
+
+  /** Stage-02 core: pages → sections (tag embed, hierarchical split,
+    * small-section merge, breadcrumbs). Null-chapter pages are dropped
+    * (P2: routed to an unassigned path by callers that need them). */
+  def pagesToSections(pages: Dataset[PageRecord]): Dataset[SectionRecord] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .filter((p: PageRecord) => p.chapter_number.isDefined)
+      .groupByKey(p => (p.document_id, p.chapter_number.get))
+      .flatMapGroups { (key: (String, Int), it: Iterator[PageRecord]) =>
+        val (docId, chapterNum) = key
+        val chapterPages = it.toSeq.sortBy(_.page_number)
+        val first = chapterPages.head
+        val tagged = chapterPages.map(p =>
+          (Some(p.page_number): Option[Int], p.page_reference, p.content))
+        val sections = Sections.mergeSmall(
+          Sections.hierarchicalSplit(tagged, first.chapter_name))
+        sections.zipWithIndex.map { case (s, idx) =>
+          SectionRecord(
+            document_id = docId,
+            filename = first.filename,
+            filepath = first.filepath,
+            source_filename = first.source_filename,
+            chapter_number = chapterNum,
+            chapter_name = first.chapter_name,
+            chapter_summary = "",
+            chapter_page_count = chapterPages.length,
+            section_number = s.sectionNumber,
+            section_title = s.title,
+            section_level = s.level,
+            splitting_level = s.splittingLevel,
+            section_hierarchy = Sections.hierarchyString(sections, idx),
+            section_summary = "",
+            section_start_page = s.startPage,
+            section_end_page = s.endPage,
+            section_page_count = s.pageCount,
+            section_token_count = s.tokenCount,
+            section_content = s.content)
+        }
+      }
+  }
+
+  /** Stage-03 core: sections → chunks (T8). Pure per-row explode. */
+  def sectionsToChunks(sections: Dataset[SectionRecord],
+      cfg: Chunker.Config = Chunker.Config()): Dataset[ChunkRecord] = {
+    val spark = sections.sparkSession
+    import spark.implicits._
+    sections.flatMap { s =>
+      Chunker.chunk(s.section_content, cfg).zipWithIndex.map { case (c, i) =>
+        ChunkRecord(
+          document_id = s.document_id,
+          filename = s.filename,
+          filepath = s.filepath,
+          source_filename = s.source_filename,
+          chapter_number = s.chapter_number,
+          chapter_name = s.chapter_name,
+          chapter_summary = s.chapter_summary,
+          chapter_page_count = s.chapter_page_count,
+          section_number = s.section_number,
+          section_summary = s.section_summary,
+          section_start_page = s.section_start_page,
+          section_end_page = s.section_end_page,
+          section_page_count = s.section_page_count,
+          chunk_number = i + 1,
+          chunk_token_count = Tokens.estimateB(c),
+          chunk_content = c)
+      }
+    }
+  }
+
+  /** Stage-04 tag strip (T11): chunk content cleaned for embedding. */
+  def stripTags(chunks: Dataset[ChunkRecord]): Dataset[ChunkRecord] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.map(c => c.copy(chunk_content = PageTags.clean(c.chunk_content)))
+  }
+}

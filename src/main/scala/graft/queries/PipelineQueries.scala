@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.model.PageRecord
+import graft.ops.DocPipeline
+import graft.text.{FixtureCorpus, Tokens}
+
+/** Document-pipeline queries: the synthetic corpus (FixtureCorpus) run
+  * through pages→sections→chunks. The splitter/merger/chunker are not
+  * SQL-expressible, so those queries are rows-only checked by the driver;
+  * their correctness contract lives in the ScalaTest property specs AND in
+  * `q_pipe_chunk_audit`, whose violation counters must all be zero. The
+  * token-estimator query IS oracle-checked (Catalyst vs DuckDB).
+  */
+object PipelineQueries extends QueryModule {
+
+  private def pages(spark: SparkSession, dir: String): Dataset[PageRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => FixtureCorpus.pages(id, text) }
+  }
+
+  /** T5/T6/T7 output: section inventory with page bounds + hierarchy. */
+  def sections(spark: SparkSession, dir: String): DataFrame =
+    DocPipeline.pagesToSections(pages(spark, dir))
+      .select(col("document_id"), col("chapter_number"), col("section_number"),
+        col("section_title"), col("section_level"), col("splitting_level"),
+        col("section_hierarchy"), col("section_start_page"),
+        col("section_end_page"), col("section_page_count"),
+        col("section_token_count"), length(col("section_content")).as("n_chars"))
+      .orderBy(col("document_id"), col("chapter_number"), col("section_number"))
+
+  /** T8 output: chunk inventory. */
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    DocPipeline.sectionsToChunks(DocPipeline.pagesToSections(pages(spark, dir)))
+      .select(col("document_id"), col("chapter_number"), col("section_number"),
+        col("chunk_number"), col("chunk_token_count"),
+        length(col("chunk_content")).as("n_chars"))
+      .orderBy(col("document_id"), col("chapter_number"),
+        col("section_number"), col("chunk_number"))
+
+  /** Self-auditing invariants (V-style report): per chapter —
+    * chunks reassemble their sections exactly, numbering is dense from 1,
+    * no chunk blows past hardMax+margin. All violation counts MUST be 0. */
+  def chunkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val secs = DocPipeline.pagesToSections(pages(spark, dir))
+    val chs = DocPipeline.sectionsToChunks(secs)
+    val reassembled = chs
+      .groupBy(col("document_id"), col("chapter_number"), col("section_number"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        max(col("chunk_number")).as("max_chunk_number"),
+        min(col("chunk_number")).as("min_chunk_number"),
+        sum(length(col("chunk_content"))).as("chunk_chars"),
+        max(col("chunk_token_count")).as("max_chunk_tokens"))
+    val joined = secs
+      .select(col("document_id"), col("chapter_number"), col("section_number"),
+        length(col("section_content")).as("section_chars"),
+        col("section_token_count"))
+      .join(reassembled,
+        Seq("document_id", "chapter_number", "section_number"), "left")
+    joined
+      .groupBy(col("document_id"))
+      .agg(
+        count(lit(1)).as("n_sections"),
+        sum(col("n_chunks")).as("n_chunks"),
+        count(when(col("n_chunks").isNull && col("section_chars") > 0, 1))
+          .as("sections_without_chunks"),
+        count(when(col("chunk_chars") =!= col("section_chars"), 1))
+          .as("reassembly_violations"),
+        count(when(col("max_chunk_number") =!= col("n_chunks") ||
+          col("min_chunk_number") =!= 1, 1)).as("numbering_violations"),
+        // hard_max is advisory in the reference (warned, not enforced);
+        // 2x is the sanity bound for pathological inputs.
+        count(when(col("max_chunk_tokens") > 1600, 1)).as("oversize_violations"))
+      .orderBy(col("document_id"))
+  }
+
+  /** T1/T2 token estimators as Catalyst expressions — oracle-checked. */
+  def tokenEstimators(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Tokens.estimateACol(col("text")).as("est_a"),
+      Tokens.estimateBCol(col("text")).as("est_b"))
+      .orderBy(col("doc_id"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipe_sections" -> sections,
+    "q_pipe_chunks" -> chunks,
+    "q_pipe_chunk_audit" -> chunkAudit,
+    "q_text_token_estimators" -> tokenEstimators)
+
+  override def oracle: Map[String, String] = Map(
+    "q_text_token_estimators" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+        |    ELSE GREATEST(length(text) // 10,
+        |      LEAST(TRUNC(CAST(length(text) AS DOUBLE) / 3.5)::INTEGER,
+        |            length(text) // 2)) END AS est_a,
+        |  CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+        |    ELSE TRUNC(
+        |      list_sum(list_transform(regexp_extract_all(text, '\b\w+\b|[^\w\s]'),
+        |        w -> CASE WHEN length(w) <= 3 THEN 1.0
+        |                  WHEN length(w) <= 7 THEN 1.3
+        |                  ELSE length(w) / 4.5 END)) * 0.7
+        |      + length(text) / 4.0 * 0.3)::INTEGER END AS est_b
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
