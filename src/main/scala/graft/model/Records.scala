@@ -61,3 +61,27 @@ final case class ChunkRecord(
     chunk_number: Int,
     chunk_token_count: Int,
     chunk_content: String)
+
+/** B2: page + chapter-level enrichment (stage_01_chapter_processing.py:909-923). */
+final case class EnrichedPageRecord(
+    document_id: String,
+    filename: String,
+    filepath: String,
+    source_filename: String,
+    chapter_number: Int,
+    chapter_name: String,
+    chapter_summary: String,
+    chapter_page_count: Int,
+    page_number: Int,
+    page_reference: String,
+    source_page_number: Int,
+    content: String)
+
+/** B4 final: chunk + embedding (stage_04_embedding_generation.py:589-594). */
+final case class EmbeddedChunkRecord(
+    document_id: String,
+    chapter_number: Int,
+    section_number: Int,
+    chunk_number: Int,
+    chunk_content: String,
+    embedding: Option[Array[Float]])

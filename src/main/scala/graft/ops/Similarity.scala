@@ -71,20 +71,38 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
-  /** LSH-bucketed approximate top-k: identical ranking but candidates are
-    * restricted to vectors sharing the query's hyperplane bucket. */
+  /** LSH-bucketed approximate top-k: multi-table random-hyperplane hashing
+    * (`numTables` tables × `planesPerTable` bits — single-table signatures
+    * are far too selective when neighbors sit at wide angles). A vector is
+    * a candidate for a query iff they share a bucket in ANY table; the
+    * candidate union is deduped, then ranked exactly like brute force.
+    * Recall/selectivity trade-off is (1-(1-p^b)^T with p = 1-θ/π.
+    * The bucket join key is (table, bucket) — at scale this is one shuffle
+    * of T×N rows instead of the N×Q cross product. */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
-      numPlanes: Int = 8, dims: Int = 64): DataFrame = {
+      numTables: Int = 8, planesPerTable: Int = 4, dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val planes = planeWeights(numPlanes, dims)
-    val e = withNorm(emb, "vec_id", "embedding")
-      .withColumn("bucket", rhpBucket(col("v"), planes))
-    val q = withNorm(queries, "vec_id", "embedding")
-      .withColumn("bucket", rhpBucket(col("v"), planes))
+    val allPlanes = planeWeights(numTables * planesPerTable, dims)
+    def tableBuckets(df: DataFrame): DataFrame = {
+      val buckets = array((0 until numTables).map { t =>
+        val planes = allPlanes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+        struct(lit(t).as("table"), rhpBucket(col("v"), planes).as("bucket"))
+      }: _*)
+      df.withColumn("tb", explode(buckets))
+        .withColumn("table", col("tb.table"))
+        .withColumn("bucket", col("tb.bucket"))
+        .drop("tb")
+    }
+    val e = tableBuckets(withNorm(emb, "vec_id", "embedding"))
+    val q = tableBuckets(withNorm(queries, "vec_id", "embedding"))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
-    val scored = e.join(broadcast(q), Seq("bucket"))
+        col("nrm").as("qn"), col("table"), col("bucket"))
+    val candidates = e.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("nrm"),
+        col("qv"), col("qn"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = candidates
       .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))

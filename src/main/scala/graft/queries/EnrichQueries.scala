@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.enrich.DeterministicEnricher
+import graft.ops.{DocPipeline, EnrichStages}
+import graft.text.FixtureCorpus
+
+/** Enrichment-stage queries run with the DeterministicEnricher (no network;
+  * same bytes on every run). Not SQL-expressible → rows-only driver checks;
+  * the outputs are self-auditing (violation counters must be zero) and the
+  * determinism/batching contracts are pinned by EnrichSpec. */
+object EnrichQueries extends QueryModule {
+
+  private val enricher = new DeterministicEnricher(64)
+
+  private def pages(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => FixtureCorpus.pages(id, text) }
+  }
+
+  /** Stage-01: chapter summaries folded over segments, applied per page. */
+  def enrichedPages(spark: SparkSession, dir: String): DataFrame =
+    EnrichStages.enrichPages(pages(spark, dir), enricher)
+      .select(col("document_id"), col("chapter_number"), col("page_number"),
+        col("chapter_page_count"),
+        length(col("chapter_summary")).as("summary_len"),
+        md5(col("chapter_summary")).as("summary_fp"))
+      .orderBy(col("document_id"), col("chapter_number"), col("page_number"))
+
+  /** Stage-02 G9: sequential section summaries with sliding context. */
+  def sectionSummaries(spark: SparkSession, dir: String): DataFrame =
+    EnrichStages.summarizeSections(
+      DocPipeline.pagesToSections(pages(spark, dir)), enricher)
+      .select(col("document_id"), col("chapter_number"), col("section_number"),
+        length(col("section_summary")).as("summary_len"),
+        md5(col("section_summary")).as("summary_fp"),
+        // "(N prior)" marker proves the sliding window: min(N, 5)
+        regexp_extract(col("section_summary"), "\\((\\d+) prior\\)", 1)
+          .cast("int").as("n_context"))
+      .orderBy(col("document_id"), col("chapter_number"), col("section_number"))
+
+  /** Stage-04 L6: embedding audit — per document: all non-blank chunks
+    * embedded, unit norms, fixed dims. Violations must be zero. */
+  def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val embedded = EnrichStages.embedChunks(
+      DocPipeline.sectionsToChunks(DocPipeline.pagesToSections(pages(spark, dir))),
+      enricher)
+    val norm = sqrt(aggregate(col("embedding"),
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    embedded
+      .withColumn("dims", size(col("embedding")))
+      .withColumn("nrm", when(col("embedding").isNotNull, norm))
+      .groupBy(col("document_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(col("embedding")).as("n_embedded"),
+        count(when(col("dims") =!= 64 && col("embedding").isNotNull, 1))
+          .as("dim_violations"),
+        count(when(col("embedding").isNotNull &&
+          abs(col("nrm") - 1.0) > 1e-3, 1)).as("norm_violations"))
+      .orderBy(col("document_id"))
+  }
+
+  /** Catalog stage-3 analog: description/usage + dual embeddings. */
+  def catalogDescriptions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    EnrichStages.describeDocuments(docs, enricher)
+      .toDF("doc_id", "description", "usage", "desc_vec", "usage_vec")
+      .select(col("doc_id"), length(col("description")).as("desc_len"),
+        length(col("usage")).as("usage_len"),
+        size(col("desc_vec")).as("desc_dims"),
+        size(col("usage_vec")).as("usage_dims"),
+        md5(concat_ws("|", col("description"), col("usage"))).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_enrich_pages" -> enrichedPages,
+    "q_enrich_section_summaries" -> sectionSummaries,
+    "q_enrich_embedding_audit" -> embeddingAudit,
+    "q_enrich_catalog_descriptions" -> catalogDescriptions)
+
+  override def oracle: Map[String, String] = Map.empty
+}

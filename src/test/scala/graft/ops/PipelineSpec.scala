@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import graft.enrich.DeterministicEnricher
+import graft.model.PageRecord
+import graft.text.FixtureCorpus
+
+/** End-to-end pipeline invariants on a small slice of the fixture corpus,
+  * plus the enrichment determinism and null-restore contracts. */
+class PipelineSpec extends SparkSpecBase {
+
+  private val enricher = new DeterministicEnricher(16)
+
+  private def pageData: Seq[PageRecord] =
+    (0L until 12L).flatMap(id => FixtureCorpus.pages(id, s"sample text for doc $id " * 20))
+
+  test("pagesToSections → sectionsToChunks: chunks reassemble sections") {
+    import spark.implicits._
+    val pages = spark.createDataset(pageData)
+    val sections = DocPipeline.pagesToSections(pages)
+    val chunks = DocPipeline.sectionsToChunks(sections)
+    val secMap = sections.collect()
+      .map(s => ((s.document_id, s.chapter_number, s.section_number), s.section_content))
+      .toMap
+    val grouped = chunks.collect()
+      .groupBy(c => (c.document_id, c.chapter_number, c.section_number))
+    assert(grouped.nonEmpty)
+    grouped.foreach { case (key, cs) =>
+      val reassembled = cs.sortBy(_.chunk_number).map(_.chunk_content).mkString("")
+      assert(reassembled == secMap(key), s"section $key reassembly mismatch")
+      assert(cs.map(_.chunk_number).sorted.toSeq == (1 to cs.length))
+    }
+  }
+
+  test("section numbering is dense per chapter and hierarchy is non-empty") {
+    import spark.implicits._
+    val sections = DocPipeline.pagesToSections(spark.createDataset(pageData)).collect()
+    sections.groupBy(s => (s.document_id, s.chapter_number)).foreach { case (_, ss) =>
+      assert(ss.map(_.section_number).sorted.toSeq == (1 to ss.length))
+    }
+    assert(sections.forall(_.section_hierarchy.nonEmpty))
+  }
+
+  test("enrichPages: every page of a chapter carries the same chapter summary") {
+    import spark.implicits._
+    val enriched = EnrichStages.enrichPages(spark.createDataset(pageData), enricher).collect()
+    enriched.groupBy(e => (e.document_id, e.chapter_number)).foreach { case (_, es) =>
+      assert(es.map(_.chapter_summary).distinct.length == 1)
+      assert(es.head.chapter_summary.nonEmpty)
+      assert(es.map(_.chapter_page_count).distinct.toSeq == Seq(es.length))
+    }
+  }
+
+  test("enrichment is deterministic across runs") {
+    import spark.implicits._
+    def run(): Map[(String, Int), String] =
+      EnrichStages.enrichPages(spark.createDataset(pageData), enricher)
+        .collect().map(e => ((e.document_id, e.chapter_number), e.chapter_summary)).toMap
+    assert(run() == run())
+  }
+
+  test("summarizeSections: sliding context caps at five") {
+    import spark.implicits._
+    val sections = DocPipeline.pagesToSections(spark.createDataset(pageData))
+    val summarized = EnrichStages.summarizeSections(sections, enricher).collect()
+    summarized.foreach { s =>
+      val m = "\\((\\d+) prior\\)".r.findFirstMatchIn(s.section_summary)
+      assert(m.isDefined, s"no context marker in '${s.section_summary.take(60)}'")
+      val n = m.get.group(1).toInt
+      assert(n <= 5 && n == math.min(s.section_number - 1, 5))
+      assert(s.section_summary.startsWith(s.section_hierarchy))
+    }
+  }
+
+  test("embedChunks: unit-norm vectors, blank content embeds as null") {
+    import spark.implicits._
+    val sections = DocPipeline.pagesToSections(spark.createDataset(pageData))
+    val chunks = DocPipeline.sectionsToChunks(sections)
+    val withBlank = chunks.collect().toSeq :+
+      chunks.head().copy(chunk_number = 999,
+        chunk_content = "<!-- PageHeader PageNumber=\"1\" PageReference=\"r\" -->")
+    val embedded = EnrichStages.embedChunks(spark.createDataset(withBlank), enricher).collect()
+    val blank = embedded.find(_.chunk_number == 999).get
+    assert(blank.embedding.isEmpty, "tag-only chunk must embed as null (P9)")
+    embedded.filter(_.chunk_number != 999).foreach { e =>
+      assert(e.embedding.isDefined)
+      val v = e.embedding.get
+      assert(v.length == 16)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3)
+    }
+  }
+
+  test("LSH top-k recall against brute force is useful") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+    assert(lsh.nonEmpty)
+  }
+}
