@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{DbExport, Validation}
+
+/** Validation/QA battery (SURVEY §2.8) on deterministic projections of the
+  * driver tables, plus the stage-5 export surface. V2/V4 and the master
+  * replace-merge have exact DuckDB mirrors; the 28-column export is
+  * self-auditing (format regex + column count) with a rows-only check.
+  */
+object ValidationQueries extends QueryModule {
+
+  /** Master-ish table with planted defects: null id every 97th row,
+    * duplicated id every 101st. */
+  private def defective(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      when(col("o_orderkey") % 97 === 0, lit(null))
+        .otherwise(when(col("o_orderkey") % 101 === 0, lit(7L))
+          .otherwise(col("o_orderkey"))).as("id"),
+      col("o_orderpriority").as("document_source"))
+
+  /** V2: integrity report over the defective master. */
+  def csvReport(spark: SparkSession, dir: String): DataFrame =
+    Validation.csvReport(defective(spark, dir))
+
+  /** Section-shaped frame for V4 (same derivation as GroupWindowQueries). */
+  private def sections(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_custkey").as("chapter_id"),
+      row_number().over(w).as("section_number"),
+      when(col("o_orderkey") % 11 === 0, lit(null))
+        .otherwise(col("o_orderkey") % 7 + 1).as("start_page"),
+      when(col("o_orderkey") % 13 === 0, lit(null))
+        .otherwise(col("o_orderkey") % 7 + 1 + col("o_orderkey") % 3).as("end_page"))
+  }
+
+  /** Chapter pages 1..10 per chapter for V4. */
+  private def pages(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey").as("chapter_id")).distinct()
+      .select(col("chapter_id"), explode(sequence(lit(1), lit(10))).as("page_number"))
+
+  /** V4: page-coverage audit. */
+  def coverage(spark: SparkSession, dir: String): DataFrame =
+    Validation.coverageReport(pages(spark, dir), sections(spark, dir))
+      // n_-prefixed: `overlaps` is a reserved word in DuckDB's parser
+      .select(col("chapter_id"), col("sections_missing_pages"),
+        col("gaps").as("n_gaps"), col("overlaps").as("n_overlaps"),
+        col("missing_pages"), col("extra_pages"))
+      .orderBy(col("chapter_id"))
+
+  /** S8: master replace-by-key merge on a lineitem projection — rows of
+    * orderkeys ≡0 (mod 50) are replaced by fresh single-row summaries. */
+  def masterMerge(spark: SparkSession, dir: String): DataFrame = {
+    val master = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("document_id"), col("l_linenumber").as("row_no"),
+      col("l_quantity").cast("double").as("value"))
+    val fresh = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .groupBy(col("l_orderkey").as("document_id"))
+      .agg(lit(0).as("row_no"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("value"))
+    DbExport.replaceByKey(master, fresh, "document_id")
+      .orderBy(col("document_id"), col("row_no"), col("value"))
+  }
+
+  /** Stage-5 export audit: 28 columns in order, vector literal format,
+    * auto columns empty. Violation counters must be zero (rows-only). */
+  def exportAudit(spark: SparkSession, dir: String): DataFrame = {
+    val chunkish = Tables.embeddings(spark, dir).select(
+      concat(lit("DOC_"), col("vec_id") % 7).as("document_id"),
+      concat(lit("f"), col("vec_id"), lit(".pdf")).as("filename"),
+      (col("vec_id") % 40).cast("int").as("chapter_number"),
+      (col("vec_id") % 9 + 1).cast("int").as("section_number"),
+      (col("vec_id") % 4 + 1).cast("int").as("chunk_number"),
+      concat(lit("content "), col("vec_id")).as("chunk_content"),
+      when(col("vec_id") % 19 === 0, lit(null)).otherwise(col("embedding"))
+        .as("embedding"))
+    val db = DbExport.toDbRows(chunkish)
+    val vecRe = "^\\[(-?\\d+(\\.\\d+)?(E-?\\d+)?)(,-?\\d+(\\.\\d+)?(E-?\\d+)?)*\\]$"
+    db.agg(
+      count(lit(1)).as("n_rows"),
+      lit(db.columns.length).as("n_cols"),
+      lit(db.columns.mkString(",") == DbExport.databaseColumns.mkString(","))
+        .as("column_order_ok"),
+      count(when(col("embedding") =!= "" && !col("embedding").rlike(vecRe), 1))
+        .as("bad_vector_literals"),
+      count(when(col("embedding") === "", 1)).as("null_embeddings"),
+      count(when(col("id").isNotNull || col("created_at").isNotNull, 1))
+        .as("auto_col_violations"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_validate_csv" -> csvReport,
+    "q_validate_coverage" -> coverage,
+    "q_master_merge" -> masterMerge,
+    "q_export_audit" -> exportAudit)
+
+  private val sectionsCte =
+    """WITH sections AS (
+      |  SELECT o_custkey AS chapter_id,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS section_number,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |         ELSE o_orderkey % 7 + 1 END AS start_page,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+      |         ELSE o_orderkey % 7 + 1 + o_orderkey % 3 END AS end_page
+      |  FROM orders
+      |), pages AS (
+      |  SELECT DISTINCT o_custkey AS chapter_id, unnest(generate_series(1, 10)) AS page_number
+      |  FROM orders
+      |)""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "q_validate_csv" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |              WHEN o_orderkey % 101 = 0 THEN 7
+        |              ELSE o_orderkey END AS id,
+        |         o_orderpriority AS document_source
+        |  FROM orders),
+        |dups AS (
+        |  SELECT COALESCE(SUM(cnt - 1), 0) AS duplicate_ids
+        |  FROM (SELECT id, COUNT(*) AS cnt FROM d GROUP BY id))
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN id IS NULL THEN 1 END) AS null_ids,
+        |  COUNT(DISTINCT document_source) AS n_sources,
+        |  (SELECT duplicate_ids FROM dups) AS duplicate_ids,
+        |  COUNT(DISTINCT document_source) > 1 AS multi_source
+        |FROM d""".stripMargin,
+    "q_validate_coverage" -> (sectionsCte +
+      """, section_pages AS (
+        |  SELECT DISTINCT chapter_id,
+        |    unnest(generate_series(start_page, end_page)) AS page_number
+        |  FROM sections
+        |  WHERE start_page IS NOT NULL AND end_page IS NOT NULL
+        |    AND start_page <= end_page
+        |), missing AS (
+        |  SELECT chapter_id, COUNT(*) AS missing_pages FROM pages p
+        |  WHERE NOT EXISTS (SELECT 1 FROM section_pages s
+        |    WHERE s.chapter_id = p.chapter_id AND s.page_number = p.page_number)
+        |  GROUP BY chapter_id
+        |), extra AS (
+        |  SELECT chapter_id, COUNT(*) AS extra_pages FROM section_pages s
+        |  WHERE NOT EXISTS (SELECT 1 FROM pages p
+        |    WHERE p.chapter_id = s.chapter_id AND p.page_number = s.page_number)
+        |  GROUP BY chapter_id
+        |), continuity AS (
+        |  SELECT chapter_id,
+        |    COUNT(CASE WHEN start_page IS NULL OR end_page IS NULL THEN 1 END)
+        |      AS sections_missing_pages,
+        |    COUNT(CASE WHEN next_start IS NOT NULL AND end_page IS NOT NULL
+        |      AND next_start > end_page + 1 THEN 1 END) AS n_gaps,
+        |    COUNT(CASE WHEN next_start IS NOT NULL AND end_page IS NOT NULL
+        |      AND next_start < end_page THEN 1 END) AS n_overlaps
+        |  FROM (SELECT *, LEAD(start_page) OVER (PARTITION BY chapter_id
+        |      ORDER BY section_number) AS next_start FROM sections)
+        |  GROUP BY chapter_id)
+        |SELECT c.chapter_id, sections_missing_pages, n_gaps, n_overlaps,
+        |  COALESCE(missing_pages, 0) AS missing_pages,
+        |  COALESCE(extra_pages, 0) AS extra_pages
+        |FROM continuity c
+        |LEFT JOIN missing m ON m.chapter_id = c.chapter_id
+        |LEFT JOIN extra e ON e.chapter_id = c.chapter_id
+        |ORDER BY c.chapter_id""".stripMargin),
+    "q_master_merge" ->
+      """WITH master AS (
+        |  SELECT l_orderkey AS document_id, l_linenumber AS row_no,
+        |         CAST(l_quantity AS DOUBLE) AS value
+        |  FROM lineitem),
+        |fresh AS (
+        |  SELECT l_orderkey AS document_id, 0 AS row_no,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |  FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey)
+        |SELECT document_id, row_no, value FROM master
+        |WHERE document_id NOT IN (SELECT document_id FROM fresh)
+        |UNION ALL
+        |SELECT document_id, row_no, value FROM fresh
+        |ORDER BY document_id, row_no, value""".stripMargin)
+}
