@@ -21,7 +21,9 @@ object SparkEntry {
     SimilarityQueries,
     PipelineQueries,
     EnrichQueries,
-    ValidationQueries)
+    ValidationQueries,
+    EventsQueries,
+    MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time analytics over the `events` stream table — the batch face of
+  * the streaming surface (SURVEY §2.10). Every query here uses exactly the
+  * constructs Structured Streaming executes incrementally (tumbling
+  * `window()`, event-time sessionization), so the same code runs under
+  * `readStream` + watermark (see graft.streaming and StreamingSpec).
+  */
+object EventsQueries extends QueryModule {
+
+  /** Tumbling 1-hour windows per event type: the canonical streaming agg. */
+  def windowed(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Sessionization: a session breaks after a >30-minute gap per user.
+    * lag + running sum of break flags — the batch formulation of
+    * `sessionWindow`/flatMapGroupsWithState. */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_number",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_number"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 1000000L)
+          .cast("long").as("duration_s"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("user_id"), col("session_number"))
+  }
+
+  /** Per-type daily pivot: counts per event_type column, fixed type list so
+    * the schema is static (streaming-safe). */
+  def typePivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val aggs = types.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"n_$t"))
+    Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("day"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_windowed" -> windowed,
+    "q_events_sessions" -> sessions,
+    "q_events_type_pivot" -> typePivot)
+
+  override def oracle: Map[String, String] = Map(
+    "q_events_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_number
+        |  FROM flagged)
+        |SELECT user_id, session_number, COUNT(*) AS n_events,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS duration_s,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, session_number
+        |ORDER BY user_id, session_number""".stripMargin,
+    "q_events_type_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Multimodal
+
+/** Multimodal plumbing exercised over synthetic binary payloads derived
+  * from the documents table (text bytes as stand-in media — the decode is
+  * a marked stub; the schema/partition/batch path is real). Rows-only
+  * driver checks; the per-source report is self-auditing. */
+object MultimodalQueries extends QueryModule {
+
+  private def media(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, String, Array[Byte])]
+  }
+
+  /** Decode + feature-extract; per-item inventory. */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extract(media(spark, dir))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("duration_ms"), col("valid"), size(col("features")).as("dims"),
+        col("n_bytes"))
+      .orderBy(col("media_id"))
+
+  /** Per-kind audit: all valid, fixed dims, unit norms. Zero violations. */
+  def mediaAudit(spark: SparkSession, dir: String): DataFrame = {
+    val f = Multimodal.extract(media(spark, dir))
+    val norm = sqrt(aggregate(col("features"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    f.withColumn("nrm", when(col("features").isNotNull, norm))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_items"),
+        count(when(!col("valid"), 1)).as("invalid_items"),
+        count(when(col("valid") && size(col("features")) =!= 32, 1))
+          .as("dim_violations"),
+        count(when(col("valid") && abs(col("nrm") - 1.0) > 1e-3, 1))
+          .as("norm_violations"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("kind"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_features" -> features,
+    "q_media_audit" -> mediaAudit)
+
+  override def oracle: Map[String, String] = Map.empty
+}

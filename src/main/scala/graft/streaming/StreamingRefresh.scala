@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.10).
+  *
+  * The reference is pure batch; its incremental-refresh loop (CDC → process
+  * → upsert, with skip flags and checkpoints) maps onto Structured
+  * Streaming as: file source + `Trigger.AvailableNow` (process everything
+  * new, then stop — the batch-job contract, checkpointed), event-time
+  * windows + watermark for the aggregations, and `foreachBatch` doing the
+  * master-table upsert per micro-batch. Nothing in the operator layer
+  * changes — the same DataFrame expressions run incrementally.
+  */
+object StreamingRefresh {
+
+  /** File-source stream over a parquet directory (schema must be known up
+    * front — streaming contract). */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark — the
+    * streaming form of EventsQueries.windowed. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Run a streaming DataFrame to completion with AvailableNow into an
+    * in-memory table; returns after all available data is processed. */
+  def runAvailableNowToMemory(df: DataFrame, queryName: String,
+      checkpoint: String, outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** CDC-style micro-batch upsert: each batch's rows replace same-key rows
+    * in the parquet master (overwrite-by-key, the streaming analogue of
+    * the reference's master-CSV merge). `AvailableNow` makes this the
+    * incremental-refresh job: run, drain, stop. */
+  def upsertStream(updates: DataFrame, keyCol: String, masterPath: String,
+      checkpoint: String): StreamingQuery = {
+    val spark = updates.sparkSession
+    val q = updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val master =
+          try spark.read.parquet(masterPath)
+          catch { case _: Exception => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        val merged = graft.ops.DbExport.replaceByKey(master, batch, keyCol)
+        // overwrite via temp dir: the read above is fully materialized per
+        // micro-batch (small master contract, matching the reference's
+        // whole-CSV rewrite semantics S7/S8)
+        val rows = merged.collect()
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), merged.schema)
+          .write.mode("overwrite").parquet(masterPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

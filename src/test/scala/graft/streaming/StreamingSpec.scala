@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming ≡ batch: the same windowed aggregation computed incrementally
+  * (AvailableNow + watermark) must equal the batch result, and the
+  * foreachBatch upsert must apply increments to the parquet master. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("AvailableNow windowed counts equal the batch computation") {
+    val events = graft.Tables.events(spark, sfDir)
+    // stage to µs-timestamp parquet: the streaming reader needs a plain
+    // schema (no legacy ns rebasing in the file-source path)
+    val staged = tmp("events-staged")
+    events.write.mode("overwrite").parquet(staged)
+
+    val stream = StreamingRefresh.parquetStream(spark, staged,
+      spark.read.parquet(staged).schema)
+    // complete mode: append would hold back windows above the final
+    // watermark; complete emits the full aggregation state at drain
+    StreamingRefresh.runAvailableNowToMemory(
+      StreamingRefresh.windowedCounts(stream), "win_counts", tmp("ckpt"),
+      outputMode = "complete")
+
+    val streamed = spark.sql("SELECT * FROM win_counts")
+      .orderBy(col("hour_start"), col("event_type")).collect().toSeq
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type")).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("foreachBatch upsert replaces master rows by key") {
+    import spark.implicits._
+    val masterPath = tmp("master") + "/m"
+    Seq((1L, "old-1"), (2L, "old-2"), (3L, "old-3")).toDF("id", "payload")
+      .write.parquet(masterPath)
+
+    val updatesDir = tmp("updates")
+    Seq((2L, "new-2"), (4L, "new-4")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(updatesDir)
+
+    val stream = StreamingRefresh.parquetStream(spark, updatesDir,
+      spark.read.parquet(updatesDir).schema)
+    StreamingRefresh.upsertStream(stream, "id", masterPath, tmp("ckpt2"))
+
+    val after = spark.read.parquet(masterPath)
+      .as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "old-1", 2L -> "new-2", 3L -> "old-3", 4L -> "new-4"))
+  }
+}
