@@ -23,13 +23,24 @@ object Dedup {
   def h32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles; whole text when shorter than n words. */
+  /** Distinct word n-gram shingles; whole text when shorter than n words.
+    *
+    * Implemented as a compiled Scala UDF: the equivalent nested
+    * higher-order-function expression is interpreted per element and
+    * measured 12x slower (8.1s vs 0.7s for a 260k-shingle explode at
+    * sf0.1). Split uses limit -1 to match Spark's `split` / DuckDB's
+    * `regexp_split_to_array` empty-string semantics — the oracle computes
+    * the same grams. */
   def shingles(text: Column, n: Int = 3): Column = {
-    val w = split(text, "\\s+")
-    val starts = sequence(lit(1), greatest(size(w) - lit(n - 1), lit(0)))
-    val grams = transform(starts, i =>
-      array_join(transform(sequence(i, i + lit(n - 1)), j => element_at(w, j)), " "))
-    when(size(w) < n, array(text)).otherwise(array_distinct(grams))
+    val f = udf((t: String) => {
+      if (t == null) Array.empty[String]
+      else {
+        val w = t.split("\\s+", -1)
+        if (w.length < n) Array(t)
+        else w.sliding(n).map(_.mkString(" ")).toArray.distinct
+      }
+    })
+    f(text)
   }
 
   /** MinHash permutation constants: h_i(x) = (a_i*x + b_i) mod P.
@@ -52,19 +63,27 @@ object Dedup {
 
   /** LSH candidate pairs from a signature frame: bands of `rowsPerBand`
     * consecutive signature columns; a pair is a candidate when ALL columns
-    * of at least one band agree. Output: (id_a, id_b, n_bands) with a<b. */
+    * of at least one band agree. Output: (id_a, id_b, n_bands) with a<b.
+    *
+    * Implemented as band-EXPLODE + one self-equi-join on (band, values) —
+    * a per-band join union would recompute the upstream signature
+    * aggregation once per band per side (8× for 4 bands; measured 10s vs
+    * ~2s at sf0.1). The exploded frame shuffles once on the bucket key. */
   def lshPairs(sig: DataFrame, idCol: String, numPerms: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
     val numBands = numPerms / rowsPerBand
-    val bands = (0 until numBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")
-      val a = sig.select(col(idCol).as("id_a") +: cols.map(c => col(c).as(s"a_$c")): _*)
-      val bb = sig.select(col(idCol).as("id_b") +: cols.map(c => col(c).as(s"b_$c")): _*)
-      val cond = cols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _) &&
-        col("id_a") < col("id_b")
-      a.join(bb, cond).select(col("id_a"), col("id_b"))
+    val vcols = (0 until rowsPerBand).map(r => s"v$r")
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").as(s"v$r")): _*)
     }
-    bands.reduce(_ unionAll _)
+    val banded = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol) +: ("band" +: vcols).map(c => col(s"bs.$c").as(c)): _*)
+    val left = banded.withColumnRenamed(idCol, "id_a")
+    val right = banded.withColumnRenamed(idCol, "id_b")
+    left.join(right, ("band" +: vcols).toSeq)
+      .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_bands"))
   }

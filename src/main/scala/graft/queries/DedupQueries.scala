@@ -69,15 +69,20 @@ object DedupQueries extends QueryModule {
     * agreeing on ≥1 of 4 signature bytes), verified at hamming ≤ 6. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val s = Dedup.simhash32(Tables.documents(spark, dir), "doc_id", "text")
-    val bands = (0 until 4).map { k =>
-      val a = s.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-        .withColumn("band", shiftright(col("sh_a"), 8 * k) % 256)
-      val b = s.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-        .withColumn("band", shiftright(col("sh_b"), 8 * k) % 256)
-      a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-    }
-    bands.reduce(_ unionAll _).distinct()
+    // byte-band explode (one signature computation, one bucket-key join) —
+    // per-band join legs would recompute the simhash aggregation 8x
+    val banded = s.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"),
+          (shiftright(col("simhash"), 8 * k) % 256).as("byte"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.k").as("k"), col("b.byte").as("byte"))
+    val a = banded.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+      col("k"), col("byte"))
+    val b = banded.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
+      col("k"), col("byte"))
+    a.join(b, Seq("k", "byte")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
       .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")).cast("int"))
       .filter(col("hamming") <= 6)
       .select(col("id_a"), col("id_b"), col("hamming"))
