@@ -40,6 +40,8 @@ final case class SectionRecord(
     section_start_page: Option[Int],
     section_end_page: Option[Int],
     section_page_count: Int,
+    section_start_reference: String,
+    section_end_reference: String,
     section_token_count: Int,
     section_content: String)
 

@@ -52,8 +52,39 @@ object DocPipeline {
             section_start_page = s.startPage,
             section_end_page = s.endPage,
             section_page_count = s.pageCount,
+            section_start_reference = "",
+            section_end_reference = "",
             section_token_count = s.tokenCount,
             section_content = s.content)
+        }
+      }
+  }
+
+  /** Stage-02b (W5/W6+J13): chapter-wide page-boundary correction via the
+    * position-map/tag-scan algorithm (text.PageCorrection). One
+    * flatMapGroups on the chapter key; sequential within a chapter by
+    * construction of the position map. */
+  def correctSectionPages(sections: Dataset[SectionRecord]): Dataset[SectionRecord] = {
+    val spark = sections.sparkSession
+    import spark.implicits._
+    import graft.text.PageCorrection
+    sections
+      .groupByKey(s => (s.document_id, s.chapter_number))
+      .flatMapGroups { (_: (String, Int), it: Iterator[SectionRecord]) =>
+        val ordered = it.toSeq.sortBy(_.section_number)
+        val corrected = PageCorrection.correctChapter(ordered.map(s =>
+          PageCorrection.Sec(s.section_number, s.section_content,
+            s.section_start_page, s.section_end_page,
+            s.section_start_reference, s.section_end_reference)))
+        val byNum = corrected.map(c => c.sectionNumber -> c).toMap
+        ordered.map { s =>
+          val c = byNum(s.section_number)
+          s.copy(
+            section_start_page = c.startPage,
+            section_end_page = c.endPage,
+            section_page_count = PageTags.pageCount(c.startPage, c.endPage),
+            section_start_reference = c.startRef,
+            section_end_reference = c.endRef)
         }
       }
   }

@@ -34,6 +34,25 @@ object PipelineQueries extends QueryModule {
         col("section_token_count"), length(col("section_content")).as("n_chars"))
       .orderBy(col("document_id"), col("chapter_number"), col("section_number"))
 
+  /** W5/W6 output: stage-2b corrected sections — bounds from the tag scan,
+    * refs populated, overlaps clamped. Self-auditing continuity columns. */
+  def sectionsCorrected(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corrected = DocPipeline.correctSectionPages(
+      DocPipeline.pagesToSections(pages(spark, dir)))
+    val w = Window.partitionBy(col("document_id"), col("chapter_number"))
+      .orderBy(col("section_number"))
+    corrected
+      .withColumn("next_start", lead(col("section_start_page"), 1).over(w))
+      .select(col("document_id"), col("chapter_number"), col("section_number"),
+        col("section_start_page"), col("section_end_page"),
+        col("section_page_count"), col("section_start_reference"),
+        col("section_end_reference"),
+        (col("next_start").isNotNull && col("section_end_page").isNotNull &&
+          col("next_start") < col("section_end_page")).as("overlap_violation"))
+      .orderBy(col("document_id"), col("chapter_number"), col("section_number"))
+  }
+
   /** T8 output: chunk inventory. */
   def chunks(spark: SparkSession, dir: String): DataFrame =
     DocPipeline.sectionsToChunks(DocPipeline.pagesToSections(pages(spark, dir)))
@@ -90,6 +109,7 @@ object PipelineQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipe_sections" -> sections,
+    "q_pipe_sections_corrected" -> sectionsCorrected,
     "q_pipe_chunks" -> chunks,
     "q_pipe_chunk_audit" -> chunkAudit,
     "q_text_token_estimators" -> tokenEstimators)

