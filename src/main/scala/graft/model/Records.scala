@@ -61,6 +61,10 @@ final case class ChunkRecord(
     section_end_page: Option[Int],
     section_page_count: Int,
     chunk_number: Int,
+    chunk_start_page: Option[Int],
+    chunk_end_page: Option[Int],
+    chunk_start_reference: String,
+    chunk_end_reference: String,
     chunk_token_count: Int,
     chunk_content: String)
 

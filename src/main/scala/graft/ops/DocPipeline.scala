@@ -111,10 +111,41 @@ object DocPipeline {
           section_end_page = s.section_end_page,
           section_page_count = s.section_page_count,
           chunk_number = i + 1,
+          chunk_start_page = None,
+          chunk_end_page = None,
+          chunk_start_reference = "",
+          chunk_end_reference = "",
           chunk_token_count = Tokens.estimateB(c),
           chunk_content = c)
       }
     }
+  }
+
+  /** Stage-03b (W7–W11): chapter-wide chunk page-boundary correction.
+    * One flatMapGroups on the chapter key, same shape as stage-02b. */
+  def correctChunkPages(chunks: Dataset[ChunkRecord]): Dataset[ChunkRecord] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    import graft.text.ChunkCorrection
+    chunks
+      .groupByKey(c => (c.document_id, c.chapter_number))
+      .flatMapGroups { (_: (String, Int), it: Iterator[ChunkRecord]) =>
+        val ordered = it.toSeq.sortBy(c => (c.section_number, c.chunk_number))
+        val corrected = ChunkCorrection.correctChapter(ordered.map(c =>
+          ChunkCorrection.Chk(c.section_number, c.chunk_number, c.chunk_content,
+            c.section_start_page, c.section_end_page,
+            c.chunk_start_page, c.chunk_end_page,
+            c.chunk_start_reference, c.chunk_end_reference)))
+        val byKey = corrected.map(k => (k.sectionNumber, k.chunkNumber) -> k).toMap
+        ordered.map { c =>
+          val k = byKey((c.section_number, c.chunk_number))
+          c.copy(
+            chunk_start_page = k.startPage,
+            chunk_end_page = k.endPage,
+            chunk_start_reference = k.startRef,
+            chunk_end_reference = k.endRef)
+        }
+      }
   }
 
   /** Stage-04 tag strip (T11): chunk content cleaned for embedding. */

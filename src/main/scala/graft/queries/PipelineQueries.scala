@@ -62,6 +62,27 @@ object PipelineQueries extends QueryModule {
       .orderBy(col("document_id"), col("chapter_number"),
         col("section_number"), col("chunk_number"))
 
+  /** W7–W11 output: stage-3b corrected chunks with continuity audit. */
+  def chunksCorrected(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corrected = DocPipeline.correctChunkPages(
+      DocPipeline.sectionsToChunks(
+        DocPipeline.correctSectionPages(
+          DocPipeline.pagesToSections(pages(spark, dir)))))
+    val w = Window.partitionBy(col("document_id"), col("chapter_number"),
+      col("section_number")).orderBy(col("chunk_number"))
+    corrected
+      .withColumn("next_start", lead(col("chunk_start_page"), 1).over(w))
+      .select(col("document_id"), col("chapter_number"), col("section_number"),
+        col("chunk_number"), col("chunk_start_page"), col("chunk_end_page"),
+        col("chunk_start_reference"), col("chunk_end_reference"),
+        (col("next_start").isNotNull && col("chunk_end_page").isNotNull &&
+          col("next_start") < col("chunk_end_page")).as("overlap_violation"),
+        col("chunk_start_page").isNull.as("unassigned"))
+      .orderBy(col("document_id"), col("chapter_number"),
+        col("section_number"), col("chunk_number"))
+  }
+
   /** Self-auditing invariants (V-style report): per chapter —
     * chunks reassemble their sections exactly, numbering is dense from 1,
     * no chunk blows past hardMax+margin. All violation counts MUST be 0. */
@@ -111,6 +132,7 @@ object PipelineQueries extends QueryModule {
     "q_pipe_sections" -> sections,
     "q_pipe_sections_corrected" -> sectionsCorrected,
     "q_pipe_chunks" -> chunks,
+    "q_pipe_chunks_corrected" -> chunksCorrected,
     "q_pipe_chunk_audit" -> chunkAudit,
     "q_text_token_estimators" -> tokenEstimators)
 

@@ -123,6 +123,29 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("correctChunkPages: all chunks assigned, in-section monotone, refs set") {
+    import spark.implicits._
+    val corrected = DocPipeline.correctChunkPages(
+      DocPipeline.sectionsToChunks(
+        DocPipeline.correctSectionPages(
+          DocPipeline.pagesToSections(spark.createDataset(pageData))))).collect()
+    assert(corrected.nonEmpty)
+    // tagged fixture corpus → every chunk resolves to pages
+    assert(corrected.forall(_.chunk_start_page.isDefined))
+    corrected.groupBy(c => (c.document_id, c.chapter_number, c.section_number))
+      .foreach { case (_, cs) =>
+        val ordered = cs.sortBy(_.chunk_number)
+        ordered.sliding(2).foreach {
+          case Array(a, b) =>
+            // W11: consecutive chunks may share a page, never invert
+            assert(b.chunk_start_page.get >= a.chunk_end_page.get ||
+              a.chunk_end_page.get == b.chunk_start_page.get,
+              s"chunk inversion in section: $a -> $b")
+          case _ => ()
+        }
+      }
+  }
+
   test("LSH top-k recall against brute force is useful") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0)
