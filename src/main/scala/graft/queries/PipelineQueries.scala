@@ -120,6 +120,24 @@ object PipelineQueries extends QueryModule {
       .orderBy(col("document_id"))
   }
 
+  /** T9/T10: per-page natural-boundary sectioning with the min-2 force
+    * split (catalog stage-3 content entries). Rows-only; invariants in
+    * NaturalSectionsSpec. */
+  def catalogPageSections(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.text.NaturalSections.splitPage(text).map { case (sid, s) =>
+          (id, sid, s.length, s)
+        }
+      }
+      .toDF("doc_id", "section_id", "n_chars", "section_content")
+      .select(col("doc_id"), col("section_id"), col("n_chars"),
+        md5(col("section_content")).as("fp"))
+      .orderBy(col("doc_id"), col("section_id"))
+  }
+
   /** T1/T2 token estimators as Catalyst expressions — oracle-checked. */
   def tokenEstimators(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -134,6 +152,7 @@ object PipelineQueries extends QueryModule {
     "q_pipe_chunks" -> chunks,
     "q_pipe_chunks_corrected" -> chunksCorrected,
     "q_pipe_chunk_audit" -> chunkAudit,
+    "q_catalog_page_sections" -> catalogPageSections,
     "q_text_token_estimators" -> tokenEstimators)
 
   override def oracle: Map[String, String] = Map(
