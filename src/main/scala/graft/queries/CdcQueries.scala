@@ -76,6 +76,9 @@ object CdcQueries extends QueryModule {
   /** J6+G11+J7: full master upsert. Every 20th delete id is nulled to force
     * the composite-key delete pass (stage4_update_csv.py:426-483). */
   def upsertMaster(spark: SparkSession, dir: String): DataFrame = {
+    // NOTE: the CDC result feeds both the delete and fresh lists; caching
+    // it was measured SLOWER at this scale (cache write cost > recompute
+    // of the full-outer join), so the subplan is deliberately duplicated.
     val cls = classified(spark, dir)
     val master = masterCatalog(spark, dir)
     val deletes = Cdc.toDelete(cls)
