@@ -81,7 +81,73 @@ object EnrichQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The full semantic pipeline end to end (SURVEY §3.1, stages 01→05):
+    * enrich pages → sections → summaries → 2b correction → chunks → 3b
+    * correction → embed → 28-column DB projection. Deterministic enricher
+    * ⇒ the order-stable content hash is reproducible run to run (spec).
+    * Rows-only driver check; this is the engine's capstone query. */
+  def fullExport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{DbExport, DocPipeline}
+    val enrichedPgs = EnrichStages.enrichPages(pages(spark, dir), enricher)
+    // chapter summaries ride along via the page records
+    val summaries = enrichedPgs
+      .groupBy(col("document_id"), col("chapter_number"))
+      .agg(first(col("chapter_summary")).as("chapter_summary_agg"))
+    val sections = EnrichStages.summarizeSections(
+      DocPipeline.correctSectionPages(
+        DocPipeline.pagesToSections(pages(spark, dir))), enricher)
+      .drop("chapter_summary")
+      .join(summaries, Seq("document_id", "chapter_number"), "left")
+      .withColumnRenamed("chapter_summary_agg", "chapter_summary")
+      .as[graft.model.SectionRecord](
+        org.apache.spark.sql.Encoders.product[graft.model.SectionRecord])
+    val chunks = DocPipeline.correctChunkPages(
+      DocPipeline.sectionsToChunks(sections))
+    val embedded = EnrichStages.embedChunks(chunks, enricher)
+      .select(col("document_id"), col("chapter_number"),
+        col("section_number"), col("chunk_number"), col("embedding"))
+    val full = chunks.join(embedded,
+      Seq("document_id", "chapter_number", "section_number", "chunk_number"))
+    DbExport.toDbRows(full)
+      .orderBy(col("document_id"), col("chapter_number"),
+        col("section_number"), col("chunk_number"))
+  }
+
+  /** Catalog pipeline composition (SURVEY §3.2, stages 1→4): CDC process
+    * list → per-document description/usage + embeddings → catalog entries
+    * with sequential ids minted over the CDC survivors (G11/J10). */
+  def catalogMaster(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.MasterUpsert
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val described = EnrichStages.describeDocuments(docs, enricher)
+      .toDF("doc_id", "document_description", "document_usage", "desc_vec", "usage_vec")
+      .withColumn("document_source", concat(lit("src"), col("doc_id") % 20))
+      .withColumn("document_type", lit("synthetic"))
+      .withColumn("document_name", concat(lit("doc "), col("doc_id")))
+      .withColumn("file_name", concat(lit("doc_"), col("doc_id"), lit(".pdf")))
+      .withColumn("file_path", concat(lit("/corpus/doc_"), col("doc_id"), lit(".pdf")))
+    // existing master = docs ≡0 (mod 4); fresh = the rest, ids minted after max
+    val master = described.filter(col("doc_id") % 4 === 0)
+      .withColumn("id", col("doc_id") + 1000)
+    val fresh = described.filter(col("doc_id") % 4 =!= 0)
+    val assigned = MasterUpsert.assignIds(
+      master.select("id"), fresh, orderCols = Seq("file_name"))
+    master.select(col("id"), col("document_source"), col("document_type"),
+        col("document_name"), col("file_name"),
+        length(col("document_description")).as("desc_len"),
+        size(col("desc_vec")).as("desc_dims"))
+      .unionByName(assigned.select(col("id"), col("document_source"),
+        col("document_type"), col("document_name"), col("file_name"),
+        length(col("document_description")).as("desc_len"),
+        size(col("desc_vec")).as("desc_dims")))
+      .orderBy(col("id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipe_full_export" -> fullExport,
+    "q_catalog_master" -> catalogMaster,
     "q_enrich_pages" -> enrichedPages,
     "q_enrich_section_summaries" -> sectionSummaries,
     "q_enrich_embedding_audit" -> embeddingAudit,
