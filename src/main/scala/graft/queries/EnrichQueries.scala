@@ -66,6 +66,27 @@ object EnrichQueries extends QueryModule {
       .orderBy(col("document_id"))
   }
 
+  /** L9/S22: one-row cost report of a metered catalog enrichment pass —
+    * the query runs the enrichment eagerly, then reports the accumulator
+    * totals priced at the reference's constants. Deterministic enricher +
+    * estimator-A metering ⇒ identical numbers every run (spec-pinned). */
+  def costReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.enrich.{CostMeter, MeteredEnricher}
+    import spark.implicits._
+    val meter = new CostMeter(spark)
+    val metered = new MeteredEnricher(enricher, meter)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val nDocs = EnrichStages.describeDocuments(docs, metered).count()
+    Seq((nDocs, meter.chatCalls.value, meter.promptTokens.value,
+      meter.completionTokens.value, meter.embedCalls.value,
+      meter.embedTokens.value,
+      BigDecimal(meter.costUsd).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble))
+      .toDF("n_docs", "chat_calls", "prompt_tokens", "completion_tokens",
+        "embed_calls", "embed_tokens", "cost_usd")
+  }
+
   /** Catalog stage-3 analog: description/usage + dual embeddings. */
   def catalogDescriptions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -151,7 +172,8 @@ object EnrichQueries extends QueryModule {
     "q_enrich_pages" -> enrichedPages,
     "q_enrich_section_summaries" -> sectionSummaries,
     "q_enrich_embedding_audit" -> embeddingAudit,
-    "q_enrich_catalog_descriptions" -> catalogDescriptions)
+    "q_enrich_catalog_descriptions" -> catalogDescriptions,
+    "q_enrich_cost_report" -> costReport)
 
   override def oracle: Map[String, String] = Map.empty
 }
