@@ -111,6 +111,76 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer (deterministic
+    * one-iteration Lloyd refinement of the first `numCells` vectors as
+    * seeds) buckets vectors into inverted cells; a query scans only its
+    * `nProbe` nearest cells. Centroids are metadata-scale (C×dims doubles)
+    * and legitimately live on the driver; the scan side never shuffles —
+    * candidates come from an equi-join on the cell id.
+    * Scale: candidates/query ≈ N·nProbe/C, tunable independently of N. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+
+    def toDoubles(row: org.apache.spark.sql.Row): Array[Double] =
+      row.getSeq[Float](1).map(_.toDouble).toArray
+    def nearest(cs: Array[Array[Double]])(v: Seq[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // seeds: the first numCells vectors by id (deterministic)
+    val seeds = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(numCells)
+      .collect().map(toDoubles)
+    // one Lloyd iteration: mean of each seed-assigned cell
+    val assign0 = udf((v: Seq[Float]) => nearest(seeds)(v))
+    val refined = emb
+      .select(assign0(col("embedding")).as("cell"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim")).agg(avg(col("x").cast("double")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }
+    val centroids = (0 until numCells)
+      .map(c => refined.getOrElse(c, seeds(c))).toArray
+
+    val assign = udf((v: Seq[Float]) => nearest(centroids)(v))
+    val probes = udf((v: Seq[Float]) => {
+      val ds = centroids.zipWithIndex.map { case (cv, c) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        (c, d)
+      }
+      ds.sortBy(_._2).take(nProbe).map(_._1)
+    })
+
+    val e = withNorm(emb, "vec_id", "embedding")
+      .withColumn("cell", assign(col("v").cast("array<float>")))
+    val q = withNorm(queries, "vec_id", "embedding")
+      .withColumn("cell", explode(probes(col("v").cast("array<float>"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val scored = e.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold (exact, all-pairs). */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = withNorm(emb, "vec_id", "embedding")

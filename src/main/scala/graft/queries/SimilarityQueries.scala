@@ -31,6 +31,12 @@ object SimilarityQueries extends QueryModule {
       Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
       .orderBy(col("query_id"), col("rk"))
 
+  /** IVF-bucketed approximate top-5 (16 cells, probe 4). */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(
+      Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
+      .orderBy(col("query_id"), col("rk"))
+
   /** Embedding near-dup pairs at cosine ≥ 0.35. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(Tables.embeddings(spark, dir), 0.35)
@@ -52,6 +58,7 @@ object SimilarityQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
+    "q_knn_ivf" -> knnIvf,
     "q_sim_cosine_pairs" -> cosinePairs,
     "q_sim_label_centroids" -> labelCentroids)
 
