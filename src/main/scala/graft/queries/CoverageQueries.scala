@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.Skew
 
 /** Remaining SURVEY §2 relational operators, each oracle-checked:
   * P6 (first-N-chapters semi-join limit), J8 (checkpoint anti-join),
@@ -115,6 +116,34 @@ object CoverageQueries extends QueryModule {
       count(when(col("n_chunks") === 1, 1)).as("single_chunk_groups"))
   }
 
+  /** Skew battery: a synthetically skewed key (80% of rows collapse onto
+    * key 0) joined via Skew.saltedJoin and aggregated via Skew.saltedSum.
+    * The oracle is the PLAIN join/aggregation — salting must be
+    * semantically invisible. */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir).select(
+      when(col("l_suppkey") % 10 < 8, lit(0L)).otherwise(col("l_suppkey"))
+        .as("hot_key"),
+      col("l_quantity").cast("decimal(18,2)").as("qty"))
+    val dim = fact.select(col("hot_key")).distinct()
+      .withColumn("label", concat(lit("k"), col("hot_key")))
+    Skew.saltedJoin(fact, dim, "hot_key", salts = 8)
+      .groupBy(col("hot_key"), col("label"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("qty")).cast("double").as("sum_qty"))
+      .orderBy(col("hot_key"))
+  }
+
+  def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir).select(
+      when(col("l_suppkey") % 10 < 8, lit(0L)).otherwise(col("l_suppkey"))
+        .as("hot_key"),
+      col("l_quantity").cast("decimal(18,2)").as("qty"))
+    Skew.saltedSum(fact, "hot_key", "qty", salts = 8)
+      .withColumn("sum_qty", col("sum_qty").cast("double"))
+      .orderBy(col("hot_key"))
+  }
+
   /** G15: whole-table content hash — per-row md5 over a canonical string,
     * aggregated order-independently (sum of h32). The reference hashes a
     * JSON dump (order-sensitive); at scale the order-free sum is the
@@ -137,6 +166,8 @@ object CoverageQueries extends QueryModule {
     "q_priority_group" -> priorityGroup,
     "q_chapter_assign" -> chapterAssign,
     "q_group_stats" -> groupStats,
+    "q_skew_salted_join" -> skewSaltedJoin,
+    "q_skew_salted_agg" -> skewSaltedAgg,
     "q_table_hash" -> tableHash)
 
   private val filesCte =
@@ -208,6 +239,23 @@ object CoverageQueries extends QueryModule {
         |  MAX(n_chunks) AS max_chunks,
         |  COUNT(CASE WHEN n_chunks = 1 THEN 1 END) AS single_chunk_groups
         |FROM per_order""".stripMargin,
+    "q_skew_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_suppkey % 10 < 8 THEN 0 ELSE l_suppkey END AS hot_key,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem),
+        |dim AS (SELECT DISTINCT hot_key, 'k' || hot_key AS label FROM fact)
+        |SELECT f.hot_key, label, COUNT(*) AS n_rows,
+        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty
+        |FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+        |GROUP BY f.hot_key, label ORDER BY f.hot_key""".stripMargin,
+    "q_skew_salted_agg" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_suppkey % 10 < 8 THEN 0 ELSE l_suppkey END AS hot_key,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem)
+        |SELECT hot_key, CAST(SUM(qty) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
+        |FROM fact GROUP BY hot_key ORDER BY hot_key""".stripMargin,
     "q_table_hash" ->
       """SELECT COUNT(*) AS n_rows,
         |  SUM(CAST('0x' || substr(md5(
