@@ -59,6 +59,6 @@ object DbExport {
   def replaceByKey(master: DataFrame, fresh: DataFrame, key: String): DataFrame = {
     val keys = fresh.select(col(key)).distinct()
     master.join(broadcast(keys), Seq(key), "left_anti")
-      .unionByName(fresh.select(master.columns.map(col): _*))
+      .unionByName(fresh.select(master.columns.toIndexedSeq.map(col): _*))
   }
 }

@@ -56,6 +56,6 @@ object MasterUpsert {
       orderCols: Seq[String]): DataFrame = {
     val remaining = applyDeletes(master, deletes)
     val inserted = assignIds(remaining, fresh, orderCols)
-    remaining.unionByName(inserted.select(remaining.columns.map(col): _*))
+    remaining.unionByName(inserted.select(remaining.columns.toIndexedSeq.map(col): _*))
   }
 }

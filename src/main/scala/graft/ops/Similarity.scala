@@ -48,7 +48,7 @@ object Similarity {
     * dot(v, plane_p) > 0. Buckets cosine-similar vectors together. */
   def rhpBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (w, p) =>
-      val planeCol = array(w.map(lit): _*)
+      val planeCol = array(w.toIndexedSeq.map(lit): _*)
       when(dot(v, planeCol) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 

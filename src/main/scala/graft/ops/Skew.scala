@@ -24,7 +24,7 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("_salt",
-      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+      pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val saltedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
@@ -37,7 +37,7 @@ object Skew {
     * supplies additive (expr, resultName) pairs built on the value col. */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
       salts: Int): DataFrame =
-    df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+    df.withColumn("_salt", pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"), count(lit(1)).as("_n"))
       .groupBy(col(key))
