@@ -48,6 +48,10 @@ object PageCorrection {
     if (ranges.isEmpty) return sections.toSeq
 
     def ref(p: Int): String = refs.getOrElse(p, "")
+    // tracks whether a step explicitly keyed the start/end reference — the
+    // reference's step 7 backfills only refs never set (dict-key presence)
+    val hasStartRef = Array.fill(sections.length)(false)
+    val hasEndRef = Array.fill(sections.length)(false)
 
     // Step 4: overlap assignment
     var i = 0
@@ -61,6 +65,7 @@ object PageCorrection {
         sections(i) = sections(i).copy(
           startPage = Some(lo), endPage = Some(hi),
           startRef = ref(lo), endRef = ref(hi))
+        hasStartRef(i) = true; hasEndRef(i) = true
       }
       i += 1
     }
@@ -70,6 +75,7 @@ object PageCorrection {
       sections(0) = sections(0).copy(
         startPage = Some(1), endPage = Some(1),
         startRef = ref(1), endRef = ref(1))
+      hasStartRef(0) = true; hasEndRef(0) = true
     }
 
     // Step 5: neighbor inference
@@ -79,18 +85,23 @@ object PageCorrection {
         var inferred = false
         if (i > 0) {
           sections(i - 1).endPage.foreach { prevEnd =>
-            if (i + 1 < sections.length && sections(i + 1).startPage.isDefined) {
-              val nextStart = sections(i + 1).startPage.get
-              val (lo, hi) =
-                if (prevEnd == nextStart) (prevEnd, prevEnd)          // sandwiched
-                else if (nextStart > prevEnd) (prevEnd + 1, nextStart - 1) // gap span
-                else (prevEnd, prevEnd)                               // overlap
-              sections(i) = sections(i).copy(startPage = Some(lo), endPage = Some(hi))
-              inferred = true
-            } else {
-              sections(i) = sections(i).copy(
-                startPage = Some(prevEnd), endPage = Some(prevEnd))
-              inferred = true
+            // a NEXT section must exist for either inner branch; the last
+            // section falls through to the prev_end + 1 rule below
+            // (stage_02b:590-600 nesting)
+            if (i + 1 < sections.length) {
+              if (sections(i + 1).startPage.isDefined) {
+                val nextStart = sections(i + 1).startPage.get
+                val (lo, hi) =
+                  if (prevEnd == nextStart) (prevEnd, prevEnd)          // sandwiched
+                  else if (nextStart > prevEnd) (prevEnd + 1, nextStart - 1) // gap span
+                  else (prevEnd, prevEnd)                               // overlap
+                sections(i) = sections(i).copy(startPage = Some(lo), endPage = Some(hi))
+                inferred = true
+              } else {
+                sections(i) = sections(i).copy(
+                  startPage = Some(prevEnd), endPage = Some(prevEnd))
+                inferred = true
+              }
             }
           }
         }
@@ -100,15 +111,17 @@ object PageCorrection {
               startPage = Some(prevEnd + 1), endPage = Some(prevEnd + 1))
             inferred = true
           }
-        if (inferred)
+        if (inferred) {
           sections(i) = sections(i).copy(
             startRef = ref(sections(i).startPage.get),
             endRef = ref(sections(i).endPage.get))
+          hasStartRef(i) = true; hasEndRef(i) = true
+        }
       }
       i += 1
     }
 
-    // Step 6: continuity — clamp overlaps only
+    // Step 6: continuity — clamp overlaps only (sets ONLY the end ref)
     i = 0
     while (i < sections.length - 1) {
       (sections(i).endPage, sections(i + 1).startPage) match {
@@ -117,12 +130,24 @@ object PageCorrection {
               nextStart > sections(i).startPage.getOrElse(0) =>
           sections(i) = sections(i).copy(
             endPage = Some(nextStart - 1), endRef = ref(nextStart - 1))
+          hasEndRef(i) = true
         case _ => ()
       }
       i += 1
     }
 
-    // Step 7: refs already ensured above; page counts derived by callers
+    // Step 7: backfill refs never explicitly set for sections with pages
+    // (stage_02b:660-666); page counts derived by callers
+    i = 0
+    while (i < sections.length) {
+      if (sections(i).startPage.isDefined && sections(i).endPage.isDefined) {
+        if (!hasStartRef(i))
+          sections(i) = sections(i).copy(startRef = ref(sections(i).startPage.get))
+        if (!hasEndRef(i))
+          sections(i) = sections(i).copy(endRef = ref(sections(i).endPage.get))
+      }
+      i += 1
+    }
     sections.toSeq
   }
 }

@@ -1,0 +1,196 @@
+#!/usr/bin/env python3
+"""Generate golden outputs by RUNNING the reference's own pure functions
+(/root/reference, read-only) over a deterministic synthetic corpus, for the
+Scala ReferenceParitySpec to assert byte-level parity against.
+
+Covers: T1/T2 token estimators, T8 chunker, T5 heading split, T7 small-
+section merge, T11 tag strip, G6 tag embed, T12/W4 tag scan + page ranges,
+W5 section page correction, W7-W11 chunk page correction.
+
+Usage: python3 tools/gen_reference_golden.py  (writes
+src/test/resources/reference_golden.jsonl)
+"""
+import importlib.util, json, random, sys
+
+def load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+BASE = '/root/reference/semantic search/'
+s02 = load('s02', BASE + 'stage_02_section_processing.py')
+s02b = load('s02b', BASE + 'stage_02b_section_page_correction.py')
+s03 = load('s03', BASE + 'stage_03_content_chunking.py')
+s03b = load('s03b', BASE + 'stage_03b_chunk_page_correction.py')
+
+rng = random.Random(42)
+WORDS = ("the quick brown consolidation impairment lease revenue asset "
+         "liability measurement disclosure recognition fair value entity "
+         "contract performance obligation standard adjustment").split()
+
+def words(n):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+def sentencey(n_sent, wps=9):
+    return " ".join((words(wps).capitalize() + ".") for _ in range(n_sent))
+
+def page_tag(kind, num, ref):
+    return f'<!-- Page{kind} PageNumber="{num}" PageReference="{ref}" -->'
+
+def markdown_doc(n_blocks, with_tags=False, heading_levels=(1, 2, 3)):
+    parts = []
+    page = 1
+    for i in range(n_blocks):
+        r = rng.random()
+        if with_tags and r < 0.18:
+            parts.append(page_tag("Header", page, f"{page}-r"))
+            parts.append(sentencey(rng.randint(1, 4)))
+            parts.append(page_tag("Footer", page, f"{page}-r"))
+            page += 1
+        elif r < 0.35:
+            lvl = rng.choice(heading_levels)
+            parts.append("#" * lvl + " " + words(3).title())
+            parts.append(sentencey(rng.randint(1, 5)))
+        elif r < 0.45:
+            parts.append("- " + words(4) + "\n- " + words(4))
+        else:
+            parts.append(sentencey(rng.randint(2, 8)))
+    return "\n\n".join(parts)
+
+out = []
+
+# --- tokens (T1 via stage_02's count_tokens == estimator A; T2 via s03) ---
+tok = s03.SimpleTokenizer()
+for i in range(40):
+    t = (words(rng.randint(0, 300)) if i % 3 else sentencey(rng.randint(1, 40)))
+    out.append({"kind": "tokens", "text": t,
+                "tokensA": s02.count_tokens(t),
+                "tokensB": tok.count_tokens(t)})
+
+# --- T11 clean + G6 embed + metadata ---
+for i in range(15):
+    pages = [{"page_number": p + 1, "page_reference": f"{p+1}-r",
+              "content": markdown_doc(rng.randint(1, 5), with_tags=(p % 2 == 0))}
+             for p in range(rng.randint(1, 6))]
+    embedded = s02.embed_page_tags(pages)
+    meta = s02.extract_page_metadata(embedded)
+    out.append({"kind": "embed", "pages": pages, "embedded": embedded,
+                "cleaned": s02.clean_existing_page_tags(embedded),
+                "meta_start": meta["section_start_page"],
+                "meta_end": meta["section_end_page"],
+                "meta_count": meta["section_page_count"]})
+
+# --- T5 heading split ---
+for i in range(20):
+    content = markdown_doc(rng.randint(3, 14), with_tags=(i % 2 == 0))
+    level = rng.choice([1, 2])
+    secs = s02.split_by_heading_level(content, level, "Parent Title" if i % 3 else "")
+    out.append({"kind": "headingSplit", "content": content, "level": level,
+                "parent": "Parent Title" if i % 3 else "",
+                "sections": [{"title": s["title"], "level": s["level"],
+                              "content": s["content"],
+                              "token_count": s["token_count"],
+                              "start": s.get("section_start_page"),
+                              "end": s.get("section_end_page"),
+                              "count": s.get("section_page_count", 0)}
+                             for s in secs]})
+
+# --- T7 merge ---
+for i in range(20):
+    n = rng.randint(2, 8)
+    secs = []
+    for j in range(n):
+        tokens = rng.choice([60, 120, 240, 400, 700])
+        secs.append({"title": f"S{j}", "level": rng.choice([1, 2, 3]),
+                     "content": words(tokens), "token_count": tokens,
+                     "section_start_page": rng.choice([None, j + 1]),
+                     "section_end_page": rng.choice([None, j + 2])})
+    inp = [dict(s) for s in secs]
+    merged = s02.merge_small_sections([dict(s) for s in secs])
+    out.append({"kind": "merge", "input": inp,
+                "merged": [{"title": m["title"], "level": m["level"],
+                            "content": m["content"],
+                            "token_count": m["token_count"],
+                            "start": m.get("section_start_page"),
+                            "end": m.get("section_end_page"),
+                            "number": m.get("section_number")}
+                           for m in merged]})
+
+# --- T8 chunker ---
+chunker = s03.Stage3Chunker()
+for i in range(20):
+    sizeup = 1 + (i % 4) * 3
+    content = markdown_doc(rng.randint(4, 10) * sizeup, with_tags=(i % 2 == 0))
+    section = {"document_id": "D", "filename": "f", "filepath": "p",
+               "source_filename": "s", "chapter_number": 1,
+               "chapter_name": "c", "chapter_summary": "", "chapter_page_count": 1,
+               "section_number": 1, "section_summary": "",
+               "section_start_page": 1, "section_end_page": 2,
+               "section_page_count": 2, "section_start_reference": "",
+               "section_end_reference": "", "section_content": content}
+    chunks = chunker.chunk_section(section)
+    out.append({"kind": "chunk", "content": content,
+                "chunks": [c["chunk_content"] for c in chunks]})
+
+# --- T12/W4 tag scan + ranges ---
+for i in range(15):
+    content = markdown_doc(rng.randint(4, 16), with_tags=True)
+    tags = s02b.extract_page_tags_with_positions(content)
+    ranges, refs = s02b.build_page_ranges(tags, content)
+    out.append({"kind": "ranges", "content": content,
+                "tags": [{"pos": t[0], "type": t[1], "page": t[2], "ref": t[3]}
+                         for t in tags],
+                "ranges": [{"start": r[0], "end": r[1], "page": r[2]}
+                           for r in ranges],
+                "refs": [{"page": k, "ref": v} for k, v in sorted(refs.items())]})
+
+# --- W5 section page correction ---
+for i in range(12):
+    n = rng.randint(2, 6)
+    secs = []
+    for j in range(n):
+        secs.append({"section_number": j + 1,
+                     "section_content": markdown_doc(rng.randint(2, 6),
+                                                     with_tags=(rng.random() < 0.6)),
+                     "section_start_page": rng.choice([None, j + 1]),
+                     "section_end_page": rng.choice([None, j + 2])})
+    inp = [dict(s) for s in secs]
+    corrected, _stats = s02b.process_chapter([dict(s) for s in secs])
+    out.append({"kind": "sectionCorrection", "input": inp,
+                "corrected": [{"number": c["section_number"],
+                               "start": c.get("section_start_page"),
+                               "end": c.get("section_end_page"),
+                               "startRef": c.get("section_start_reference", ""),
+                               "endRef": c.get("section_end_reference", "")}
+                              for c in corrected]})
+
+# --- W7-W11 chunk page correction ---
+for i in range(12):
+    chunks = []
+    nsec = rng.randint(1, 4)
+    for sj in range(nsec):
+        for cj in range(rng.randint(1, 3)):
+            chunks.append({"section_number": sj + 1, "chunk_number": cj + 1,
+                           "chunk_content": markdown_doc(rng.randint(1, 5),
+                                                         with_tags=(rng.random() < 0.5)),
+                           "section_start_page": rng.choice([None, sj + 1]),
+                           "section_end_page": rng.choice([None, sj + 3])})
+    inp = [dict(c) for c in chunks]
+    corrected, _stats = s03b.process_chapter_chunks([dict(c) for c in chunks])
+    out.append({"kind": "chunkCorrection", "input": inp,
+                "corrected": [{"section": c["section_number"],
+                               "chunk": c["chunk_number"],
+                               "start": c.get("chunk_start_page"),
+                               "end": c.get("chunk_end_page"),
+                               "startRef": c.get("chunk_start_reference", ""),
+                               "endRef": c.get("chunk_end_reference", "")}
+                              for c in corrected]})
+
+path = "src/test/resources/reference_golden.jsonl"
+import os
+os.makedirs(os.path.dirname(path), exist_ok=True)
+with open(path, "w") as f:
+    for case in out:
+        f.write(json.dumps(case, ensure_ascii=False) + "\n")
+print(f"wrote {len(out)} cases to {path}")
