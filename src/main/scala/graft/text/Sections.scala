@@ -120,15 +120,16 @@ object Sections {
     }
   }
 
-  /** T5+T6 entry: embed tags, split at H1, deepen, number from 1.
-    * (stage_02_section_processing.py:1076-1107 minus the W-pass inference,
-    * which PageWindows/PageCorrection handle downstream.) */
+  /** T5+T6+W1–W3 entry: embed tags, split at H1, deepen, number from 1,
+    * infer missing page boundaries from the full content
+    * (stage_02_section_processing.py:1076-1107). */
   def hierarchicalSplit(pages: Seq[(Option[Int], String, String)],
       chapterName: String): Seq[Section] = {
     val full = PageTags.embed(pages)
     val initial = splitByHeadingLevel(full, level = 1, parentTitle = chapterName)
     val split = initial.flatMap(s => recursiveSplit(s, currentLevel = 1))
-    split.zipWithIndex.map { case (s, i) => s.copy(sectionNumber = i + 1) }
+    val numbered = split.zipWithIndex.map { case (s, i) => s.copy(sectionNumber = i + 1) }
+    PageInference.inferPageBoundaries(numbered, full)
   }
 
   /** T7: merge sections under MinSectionTokens into the previous section

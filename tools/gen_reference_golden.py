@@ -187,6 +187,36 @@ for i in range(12):
                                "endRef": c.get("chunk_end_reference", "")}
                               for c in corrected]})
 
+# --- W1-W3 page-boundary inference ---
+for i in range(15):
+    full = markdown_doc(rng.randint(6, 16), with_tags=True)
+    ncuts = min(rng.randint(1, 5), max(1, len(full) - 1))
+    cuts = sorted(rng.sample(range(1, len(full)), ncuts))
+    bounds = [0] + cuts + [len(full)]
+    secs = []
+    for j in range(len(bounds) - 1):
+        secs.append({"section_number": j + 1,
+                     "content": full[bounds[j]:bounds[j + 1]],
+                     "section_start_page": rng.choice([None, None, j + 1]),
+                     "section_end_page": rng.choice([None, None, j + 2])})
+    inp = [dict(x) for x in secs]
+    inferred = s02.infer_page_boundaries([dict(x) for x in secs], full)
+    out.append({"kind": "inference", "full": full, "input": inp,
+                "inferred": [{"number": x["section_number"],
+                              "start": x.get("section_start_page"),
+                              "end": x.get("section_end_page"),
+                              "count": x.get("section_page_count", 0)}
+                             for x in inferred]})
+
+# --- W12 hierarchy strings ---
+for i in range(10):
+    n = rng.randint(2, 9)
+    secs = [{"level": rng.choice([1, 2, 3, 4]), "title": words(2).title()}
+            for _ in range(n)]
+    out.append({"kind": "hierarchy", "sections": secs,
+                "strings": [s02.generate_hierarchy_string(secs[j], secs, j)
+                            for j in range(n)]})
+
 path = "src/test/resources/reference_golden.jsonl"
 import os
 os.makedirs(os.path.dirname(path), exist_ok=True)
