@@ -24,6 +24,17 @@ s02b = load('s02b', BASE + 'stage_02b_section_page_correction.py')
 s03 = load('s03', BASE + 'stage_03_content_chunking.py')
 s03b = load('s03b', BASE + 'stage_03b_chunk_page_correction.py')
 
+# catalog stage3 needs stubs for its unavailable external deps
+import types
+for _name in ['smb', 'smb.SMBConnection', 'smb.smb_structs', 'openai',
+              'requests', 'tqdm']:
+    sys.modules.setdefault(_name, types.ModuleType(_name))
+sys.modules['smb'].smb_structs = sys.modules['smb.smb_structs']
+sys.modules['smb.SMBConnection'].SMBConnection = object
+if not hasattr(sys.modules['openai'], 'OpenAI'):
+    sys.modules['openai'].OpenAI = object
+cs3 = load('cs3', '/root/reference/catalog search/stage3_generate_summaries.py')
+
 rng = random.Random(42)
 WORDS = ("the quick brown consolidation impairment lease revenue asset "
          "liability measurement disclosure recognition fair value entity "
@@ -216,6 +227,20 @@ for i in range(10):
     out.append({"kind": "hierarchy", "sections": secs,
                 "strings": [s02.generate_hierarchy_string(secs[j], secs, j)
                             for j in range(n)]})
+
+# --- T9/T10 natural sectioning + force split ---
+for i in range(20):
+    if i % 4 == 0:
+        page = sentencey(rng.randint(1, 12))        # prose only
+    elif i % 4 == 1:
+        page = markdown_doc(rng.randint(2, 8))      # mixed blocks
+    elif i % 4 == 2:
+        page = words(rng.randint(3, 40))            # no sentence ends
+    else:
+        page = sentencey(1)                          # single short sentence
+    secs = cs3.split_page_into_sections(page)
+    out.append({"kind": "naturalSplit", "page": page,
+                "sections": [{"sid": sid, "text": t} for sid, t in secs]})
 
 path = "src/test/resources/reference_golden.jsonl"
 import os
