@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Master-table upsert: anti-join deletes, sequential id assignment, union.
   *
@@ -17,13 +17,14 @@ import org.apache.spark.sql.functions._
   *   - final table is the union of survivors and fresh rows (`:527`).
   *
   * Scale posture: the delete lists are CDC-sized (small) — Catalyst
-  * broadcasts them in the anti-joins. The max(id) singleton is joined in
-  * via a broadcast nested loop (one row), keeping the whole plan lazy and
-  * distributed; only the id-rank window is a single-partition operation,
-  * matching the reference's global sequential-id contract. At true scale
-  * that contract itself is the bottleneck and would be replaced by
-  * deterministic key-derived ids; the operator keeps the reference
-  * semantics.
+  * broadcasts them in the anti-joins. The sequential-id contract is an
+  * ORDERING, not a physical plan: ids are minted by a range-partitioned
+  * sort on the order columns followed by `zipWithIndex` — Spark computes
+  * per-partition counts in a lightweight first pass, prefix-sums the K
+  * offsets on the driver, and stamps `max_id + offset + local_index` in
+  * the data pass. Identical output to the former single-partition
+  * `Window.orderBy` rank, but every stage stays parallel (no
+  * "WindowExec: No Partition Defined" collapse).
   */
 object MasterUpsert {
 
@@ -40,15 +41,28 @@ object MasterUpsert {
       .join(broadcast(byComposite), compositeKey, "left_anti")
   }
 
-  /** G11: assign ids max(existing)+1.. to `fresh` ordered by `orderCols`. */
+  /** G11: assign ids max(existing)+1.. to `fresh` ordered by `orderCols`.
+    *
+    * Two metadata-scale driver actions (the max(id) scalar and
+    * zipWithIndex's per-partition count array); the data itself is never
+    * collected and the sort runs range-partitioned across the cluster.
+    * `orderCols` must be a total order for run-to-run determinism (ties
+    * would make the rank among tied rows partition-dependent — true of
+    * any rank formulation).
+    */
   def assignIds(existing: DataFrame, fresh: DataFrame,
       orderCols: Seq[String]): DataFrame = {
-    val maxId = existing.agg(coalesce(max(col("id")), lit(0L)).as("max_id"))
-    val w = Window.orderBy(orderCols.map(col): _*)
-    fresh
-      .crossJoin(broadcast(maxId))
-      .withColumn("id", (col("max_id") + row_number().over(w)).cast("long"))
-      .drop("max_id")
+    val spark = fresh.sparkSession
+    val maxId = existing
+      .agg(coalesce(max(col("id")), lit(0L)).cast("long")).first().getLong(0)
+    val sorted = fresh.drop("id")
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = sorted.schema.add("id", LongType, nullable = false)
+    val withIds = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (maxId + i + 1L))
+    }
+    spark.createDataFrame(withIds, schema)
   }
 
   /** Full upsert: delete, mint ids, union (J6 + G11 + J7). */

@@ -256,11 +256,14 @@ object CoverageQueries extends QueryModule {
         |  FROM lineitem)
         |SELECT hot_key, CAST(SUM(qty) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
         |FROM fact GROUP BY hot_key ORDER BY hot_key""".stripMargin,
+    // CAST AS BIGINT: DuckDB SUM(BIGINT) returns HUGEINT (int128), which the
+    // driver serializes differently from Spark's int64 — pin the width.
     "q_table_hash" ->
       """SELECT COUNT(*) AS n_rows,
-        |  SUM(CAST('0x' || substr(md5(
+        |  CAST(SUM(CAST('0x' || substr(md5(
         |    l_orderkey || '|' || l_partkey || '|' || l_suppkey || '|' || l_linenumber
         |    || '|' || l_returnflag || '|' || l_linestatus
-        |    || '|' || strftime(l_shipdate, '%Y-%m-%d')), 1, 8) AS BIGINT)) AS content_hash
+        |    || '|' || strftime(l_shipdate, '%Y-%m-%d')), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS content_hash
         |FROM lineitem""".stripMargin)
 }

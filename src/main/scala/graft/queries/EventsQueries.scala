@@ -82,7 +82,8 @@ object EventsQueries extends QueryModule {
         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_number
         |  FROM flagged)
-        |SELECT user_id, session_number, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(session_number AS BIGINT) AS session_number,
+        |  COUNT(*) AS n_events,
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS duration_s,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -56,7 +56,10 @@ object TextQueries extends QueryModule {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(avg(col("q")), 6).as("avg_quality"),
+        // decimal sum → exact, order-independent; the plain avg(double) is
+        // summation-order-dependent and can flip the 6th digit between engines
+        round(sum(col("q").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+          .as("avg_quality"),
         count(when(col("q") >= 0.5, 1)).as("n_keep"))
       .orderBy(col("source"))
 
@@ -115,8 +118,10 @@ object TextQueries extends QueryModule {
     "q_text_source_report" ->
       s"""WITH scored AS (
          |  SELECT source, n_chars, ROUND($qualitySql, 6) AS q FROM documents)
-         |SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-         |  ROUND(AVG(q), 6) AS avg_quality,
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  ROUND(CAST(SUM(CAST(q AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_quality,
          |  COUNT(CASE WHEN q >= 0.5 THEN 1 END) AS n_keep
          |FROM scored GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -123,7 +123,8 @@ object ValidationQueries extends QueryModule {
         |         o_orderpriority AS document_source
         |  FROM orders),
         |dups AS (
-        |  SELECT COALESCE(SUM(cnt - 1), 0) AS duplicate_ids
+        |  -- CAST: DuckDB SUM(BIGINT)=HUGEINT serializes unlike Spark int64
+        |  SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS duplicate_ids
         |  FROM (SELECT id, COUNT(*) AS cnt FROM d GROUP BY id))
         |SELECT COUNT(*) AS n_rows,
         |  COUNT(CASE WHEN id IS NULL THEN 1 END) AS null_ids,

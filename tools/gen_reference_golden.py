@@ -242,6 +242,161 @@ for i in range(20):
     out.append({"kind": "naturalSplit", "page": page,
                 "sections": [{"sid": sid, "text": t} for sid, t in secs]})
 
+# --- L1/L2/L3/L4/L5/L8 prompt builders + retry machinery ---
+# (appended after all prior loops so the seeded rng keeps earlier cases
+# byte-stable)
+if not hasattr(sys.modules['openai'], 'APIError'):
+    sys.modules['openai'].APIError = type('APIError', (Exception,), {})
+for _name in ['fitz', 'PIL']:
+    sys.modules.setdefault(_name, types.ModuleType(_name))
+if not hasattr(sys.modules['PIL'], 'Image'):
+    sys.modules['PIL'].Image = types.ModuleType('PIL.Image')
+s01 = load('s01', BASE + 'stage_01_chapter_processing.py')
+sab3 = load('sab3', '/root/reference/catalog search - sab99/stage3_generate_summaries.py')
+vis = load('vis', '/root/reference/catalog search - vision/stage2_process_vision.py')
+
+# L2 chapter prompt: initial / continue / final variants
+for i in range(12):
+    seg = sentencey(rng.randint(2, 30))
+    prev = None if i % 3 == 0 else words(rng.randint(10, 40))
+    fin = (i % 2 == 0)
+    msgs = s01.build_chapter_analysis_prompt(seg, prev, fin)
+    out.append({"kind": "chapterPrompt", "segment": seg, "prev": prev,
+                "final": fin, "messages": msgs})
+
+# L3 section prompt: 0..8 previous summaries (checks the [-5:] window)
+for i in range(12):
+    prevs = [words(rng.randint(8, 20)) for _ in range(rng.randint(0, 8))]
+    content = sentencey(rng.randint(2, 20))
+    ch = words(rng.randint(10, 30))
+    hier = " > ".join(["Chapter " + words(2).title(), f"Section {i}"])
+    msgs = s02.build_section_analysis_prompt(
+        {"content": content, "title": f"T{i}"}, ch, hier, prevs)
+    out.append({"kind": "sectionPrompt", "content": content,
+                "chapter_summary": ch, "hierarchy": hier, "previous": prevs,
+                "messages": msgs})
+
+# L4/L5 catalog + sab99 formatted system prompts (incl. literal-brace text)
+for i in range(8):
+    md = markdown_doc(rng.randint(2, 8), with_tags=(i % 2 == 0))
+    dl = rng.choice(["concise", "standard", "detailed"])
+    src = rng.choice(["internal_cheatsheets", "financial_reports",
+                      "internal_sab_99"])
+    fn = f"doc {i} (v{i % 3}).pdf"
+    out.append({
+        "kind": "catalogPrompt", "md": md, "detail": dl, "source": src,
+        "filename": fn,
+        "catalog": cs3.SYSTEM_PROMPT_TEMPLATE.format(
+            markdown_content=md, detail_level=dl, document_source=src,
+            filename=fn),
+        "sab99": sab3.SYSTEM_PROMPT_TEMPLATE.format(
+            markdown_content=md, detail_level=dl, document_source=src,
+            filename=fn)})
+
+# Tool schemas (compared as parsed JSON, order-insensitive)
+out.append({"kind": "toolSchemas",
+            "chapter": s01.CHAPTER_TOOL_SCHEMA,
+            "section": s02.SECTION_TOOL_SCHEMA,
+            "catalog": cs3.GPT_TOOL_DEFINITION,
+            "sab99": sab3.GPT_TOOL_DEFINITION})
+
+# L8 vision: the six fixed passes + synthesis message assembly, captured by
+# RUNNING synthesize_vision_to_markdown with a scripted client
+out.append({"kind": "visionPasses",
+            "passes": [{"name": k, "prompt": v}
+                       for k, v in vis.VISION_PROMPTS.items()]})
+
+class _Create:
+    def __init__(self, rec, reply):
+        self.rec, self.reply = rec, reply
+    def create(self, **kw):
+        self.rec.append(kw)
+        r = self.reply
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+def _resp(content=None, tool_calls=None, pt=100, ct=20):
+    msg = types.SimpleNamespace(content=content, tool_calls=tool_calls)
+    usage = types.SimpleNamespace(prompt_tokens=pt, completion_tokens=ct,
+                                  total_tokens=pt + ct)
+    return types.SimpleNamespace(
+        choices=[types.SimpleNamespace(message=msg)], usage=usage)
+
+def _tc(name, args):
+    fn = types.SimpleNamespace(name=name, arguments=args)
+    return types.SimpleNamespace(function=fn)
+
+for i in range(4):
+    pvd = {k: words(rng.randint(5, 25)) for k in vis.VISION_PROMPTS}
+    page_no = rng.randint(1, 40)
+    calls = []
+    reply = _resp(content=words(12))
+    fake_client_cls = (lambda rec, rep: (lambda **kw:
+        types.SimpleNamespace(chat=types.SimpleNamespace(
+            completions=_Create(rec, rep)))))(calls, reply)
+    vis.OpenAI = fake_client_cls
+    vis._cached_oauth_token = "tok"
+    vis._token_expiry_time = 10 ** 12
+    got = vis.synthesize_vision_to_markdown(pvd, page_no)
+    assert calls, "vision synthesis made no call"
+    out.append({"kind": "visionSynth", "page": page_no,
+                "passes": [{"name": k, "result": v} for k, v in pvd.items()],
+                "messages": calls[0]["messages"]})
+
+# L1 retry machine: scripted outcome sequences against the reference's
+# call_gpt_with_tool_enforcement, recording per-attempt messages + sleeps
+_sleeps = []
+s01.time.sleep = lambda s: _sleeps.append(s)
+
+class _ScriptedCompletions:
+    def __init__(self, script, rec):
+        self.script, self.rec, self.i = script, rec, 0
+    def create(self, **kw):
+        self.rec.append(kw["messages"])
+        step = self.script[min(self.i, len(self.script) - 1)]
+        self.i += 1
+        if step == "api_error":
+            raise s01.APIError("boom")
+        if step == "no_tool":
+            return _resp(content="plain text")
+        if step == "wrong_tool":
+            return _resp(tool_calls=[_tc("other_tool", "{}")])
+        if step == "bad_json":
+            return _resp(tool_calls=[_tc("provide_chapter_analysis", "{not json")])
+        if step == "empty_summary":
+            return _resp(tool_calls=[_tc("provide_chapter_analysis",
+                                         json.dumps({"summary": ""}))])
+        if step == "good":
+            return _resp(tool_calls=[_tc("provide_chapter_analysis",
+                                         json.dumps({"summary": "A fine summary."}))])
+        raise AssertionError(step)
+
+SCRIPTS = [
+    ["good"],
+    ["no_tool", "good"],
+    ["wrong_tool", "bad_json", "good"],
+    ["empty_summary", "empty_summary", "good"],
+    ["api_error", "good"],
+    ["api_error", "api_error", "api_error", "good"],
+    ["no_tool", "api_error", "no_tool", "api_error", "good"],
+    ["no_tool", "no_tool", "no_tool", "no_tool", "no_tool"],
+    ["api_error", "api_error", "api_error", "api_error", "api_error"],
+]
+base_msgs = s01.build_chapter_analysis_prompt(sentencey(4), words(20), False)
+for script in SCRIPTS:
+    _sleeps.clear()
+    rec = []
+    client = types.SimpleNamespace(chat=types.SimpleNamespace(
+        completions=_ScriptedCompletions(script, rec)))
+    args, usage = s01.call_gpt_with_tool_enforcement(
+        client, "m", [dict(m) for m in base_msgs], 100, 0.2,
+        s01.CHAPTER_TOOL_SCHEMA)
+    out.append({"kind": "retryTrace", "script": script,
+                "base_messages": base_msgs,
+                "attempt_messages": rec, "sleeps": list(_sleeps),
+                "result": args})
+
 path = "src/test/resources/reference_golden.jsonl"
 import os
 os.makedirs(os.path.dirname(path), exist_ok=True)

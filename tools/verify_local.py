@@ -62,9 +62,17 @@ def main():
             continue
         try:
             cur = con.execute(oracle[name])
+            # Lint: HUGEINT/DECIMAL oracle outputs serialize differently from
+            # Spark's int64/double in the driver even when python ints match
+            # here (this is exactly how the 4 round-1 hash mismatches hid).
+            wide = [d[0] for d in cur.description
+                    if "HUGEINT" in str(d[1]) or "DECIMAL" in str(d[1])]
             o_cols, o_rows = table_rows(cur)
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        if wide:
+            results[name] = f"WIDE_TYPE_RISK cols={wide} (CAST to BIGINT/DOUBLE)"
             continue
         if s_cols != o_cols:
             results[name] = f"SCHEMA_MISMATCH spark={s_cols} oracle={o_cols}"
