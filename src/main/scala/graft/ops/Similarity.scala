@@ -71,6 +71,22 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Explode a normed frame into one row per (table, bucket): the
+    * multi-table RHP signature used by both `lshTopK` and
+    * `cosinePairsBucketed`. */
+  private def tableBuckets(df: DataFrame, numTables: Int,
+      planesPerTable: Int, dims: Int): DataFrame = {
+    val allPlanes = planeWeights(numTables * planesPerTable, dims)
+    val buckets = array((0 until numTables).map { t =>
+      val planes = allPlanes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+      struct(lit(t).as("table"), rhpBucket(col("v"), planes).as("bucket"))
+    }: _*)
+    df.withColumn("tb", explode(buckets))
+      .withColumn("table", col("tb.table"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+  }
+
   /** LSH-bucketed approximate top-k: multi-table random-hyperplane hashing
     * (`numTables` tables × `planesPerTable` bits — single-table signatures
     * are far too selective when neighbors sit at wide angles). A vector is
@@ -82,19 +98,10 @@ object Similarity {
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
       numTables: Int = 8, planesPerTable: Int = 4, dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val allPlanes = planeWeights(numTables * planesPerTable, dims)
-    def tableBuckets(df: DataFrame): DataFrame = {
-      val buckets = array((0 until numTables).map { t =>
-        val planes = allPlanes.slice(t * planesPerTable, (t + 1) * planesPerTable)
-        struct(lit(t).as("table"), rhpBucket(col("v"), planes).as("bucket"))
-      }: _*)
-      df.withColumn("tb", explode(buckets))
-        .withColumn("table", col("tb.table"))
-        .withColumn("bucket", col("tb.bucket"))
-        .drop("tb")
-    }
-    val e = tableBuckets(withNorm(emb, "vec_id", "embedding"))
-    val q = tableBuckets(withNorm(queries, "vec_id", "embedding"))
+    val e = tableBuckets(withNorm(emb, "vec_id", "embedding"),
+      numTables, planesPerTable, dims)
+    val q = tableBuckets(withNorm(queries, "vec_id", "embedding"),
+      numTables, planesPerTable, dims)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("table"), col("bucket"))
     val candidates = e.join(broadcast(q), Seq("table", "bucket"))
@@ -181,13 +188,46 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
-  /** All near-duplicate pairs by cosine ≥ threshold (exact, all-pairs). */
+  /** All near-duplicate pairs by cosine ≥ threshold — exact, all-pairs,
+    * O(N²). Small-N TEST ORACLE ONLY: the production operator is
+    * `cosinePairsBucketed`, which replaces the cross join with an LSH
+    * candidate join. */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = withNorm(emb, "vec_id", "embedding")
       .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = withNorm(emb, "vec_id", "embedding")
       .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Near-duplicate pairs at scale: multi-table RHP bucketing generates
+    * candidates (a pair is considered iff it shares a bucket in ANY
+    * table), then every candidate is exact-verified with the same rounded
+    * cosine as `cosinePairs`. The only shuffle is the equi-join on
+    * (table, bucket) over T×N rows — linear in the corpus, never N².
+    *
+    * Pair recall at similarity s is 1-(1-p^b)^T with p = 1-acos(s)/π; at
+    * true near-dup thresholds (s ≥ 0.85) the defaults give >99% recall,
+    * and at lower thresholds T can be raised. The bucketing is fully
+    * deterministic (md5-derived planes), so an oracle engine reproduces
+    * the candidate set — and therefore the result — bit-for-bit. */
+  def cosinePairsBucketed(emb: DataFrame, threshold: Double,
+      numTables: Int = 8, planesPerTable: Int = 4, dims: Int = 64): DataFrame = {
+    val base = withNorm(emb, "vec_id", "embedding")
+    val a = tableBuckets(base, numTables, planesPerTable, dims)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"),
+        col("table"), col("bucket"))
+    val b = tableBuckets(base, numTables, planesPerTable, dims)
+      .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"),
+        col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("va"), col("vb"),
+        col("na"), col("nb"))
+      .dropDuplicates("vec_a", "vec_b")
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))

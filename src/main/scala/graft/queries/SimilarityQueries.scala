@@ -37,10 +37,17 @@ object SimilarityQueries extends QueryModule {
       Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
       .orderBy(col("query_id"), col("rk"))
 
-  /** Embedding near-dup pairs at cosine ≥ 0.35. */
+  /** Embedding near-dup candidate pairs at cosine ≥ 0.35: LSH-bucketed
+    * candidates, exact-verified — the scale path (no all-pairs cross
+    * join). The DuckDB oracle rebuilds the identical md5-derived buckets,
+    * so the result is value-checked end to end. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairs(Tables.embeddings(spark, dir), 0.35)
+    Similarity.cosinePairsBucketed(Tables.embeddings(spark, dir), 0.35,
+      numTables = Tables_, planesPerTable = Planes_)
       .orderBy(col("vec_a"), col("vec_b"))
+
+  private val Tables_ = 8
+  private val Planes_ = 4
 
   /** Label-centroid similarity: mean vector per label, then each label's
     * nearest other centroid — a coarse IVF-style structure report. */
@@ -76,6 +83,40 @@ object SimilarityQueries extends QueryModule {
   private val dotSql =
     "list_sum(list_transform(range(1, 65), i -> a.v[i] * q.v[i]))"
 
+  /** Per-table RHP bucket expressions with the plane weights inlined as
+    * exact 3-decimal literals (they are integers/1000 by construction in
+    * Similarity.planeWeights, so the SQL text is lossless). */
+  private def bucketExprs(numTables: Int, planes: Int): Seq[String] = {
+    val w = Similarity.planeWeights(numTables * planes, 64)
+    (0 until numTables).map { t =>
+      (0 until planes).map { p =>
+        val lits = w(t * planes + p).map(x => f"$x%.3f").mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ($lits)[i])) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+  }
+
+  /** Mirror of cosinePairsBucketed: same buckets, same candidate join,
+    * same exact verification. */
+  private def cosinePairsSql(threshold: Double): String = {
+    val unions = bucketExprs(Tables_, Planes_).zipWithIndex.map {
+      case (expr, t) => s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM n"
+    }.mkString("\n  UNION ALL ")
+    normCte +
+      s""", b AS (
+         |  $unions
+         |), cand AS (
+         |  SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
+         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+         |    AND l.vec_id < r.vec_id
+         |)
+         |SELECT a.vec_id AS vec_a, q.vec_id AS vec_b,
+         |  ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |FROM cand c JOIN n a ON a.vec_id = c.va JOIN n q ON q.vec_id = c.vb
+         |WHERE ROUND($dotSql / (a.nrm * q.nrm), 4) >= $threshold
+         |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
     "q_knn_brute" -> (normCte +
       s""", scored AS (
@@ -90,15 +131,7 @@ object SimilarityQueries extends QueryModule {
          |  FROM scored)
          |SELECT query_id, rk, neighbor_id, cos FROM ranked
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin),
-    "q_sim_cosine_pairs" -> (normCte +
-      """SELECT a.vec_id AS vec_a, q.vec_id AS vec_b,
-        |  ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * q.v[i]))
-        |        / (a.nrm * q.nrm), 4) AS cos
-        |FROM n a, n q
-        |WHERE a.vec_id < q.vec_id
-        |  AND ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * q.v[i]))
-        |        / (a.nrm * q.nrm), 4) >= 0.35
-        |ORDER BY vec_a, vec_b""".stripMargin),
+    "q_sim_cosine_pairs" -> cosinePairsSql(0.35),
     "q_sim_label_centroids" ->
       """WITH dims AS (
         |  SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS dim,

@@ -51,26 +51,45 @@ object StreamingRefresh {
   /** CDC-style micro-batch upsert: each batch's rows replace same-key rows
     * in the parquet master (overwrite-by-key, the streaming analogue of
     * the reference's master-CSV merge). `AvailableNow` makes this the
-    * incremental-refresh job: run, drain, stop. */
+    * incremental-refresh job: run, drain, stop.
+    *
+    * The merged master is written DISTRIBUTED to a sibling temp directory
+    * (executing the read of the old master during the write — no
+    * read-while-overwrite), then swapped in with two directory renames.
+    * Nothing is collected to the driver, so the master can be
+    * arbitrarily large. A missing master path is detected explicitly via
+    * the FileSystem (first batch bootstrap); any other read failure
+    * propagates — silently substituting an empty master would replace the
+    * whole table with one batch's rows. */
   def upsertStream(updates: DataFrame, keyCol: String, masterPath: String,
       checkpoint: String): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
     val spark = updates.sparkSession
     val q = updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val masterDir = new Path(masterPath)
+        val fs = masterDir.getFileSystem(spark.sessionState.newHadoopConf())
+        val exists = fs.exists(masterDir)
         val master =
-          try spark.read.parquet(masterPath)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+          if (exists) spark.read.parquet(masterPath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val merged = graft.ops.DbExport.replaceByKey(master, batch, keyCol)
-        // overwrite via temp dir: the read above is fully materialized per
-        // micro-batch (small master contract, matching the reference's
-        // whole-CSV rewrite semantics S7/S8)
-        val rows = merged.collect()
-        spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), merged.schema)
-          .write.mode("overwrite").parquet(masterPath)
+        val parent = masterDir.getParent
+        val tmp = new Path(parent, s"${masterDir.getName}.tmp-$batchId")
+        val old = new Path(parent, s"${masterDir.getName}.old-$batchId")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (exists && !fs.rename(masterDir, old))
+          throw new java.io.IOException(s"cannot move aside $masterDir")
+        if (!fs.rename(tmp, masterDir)) {
+          // restore the previous master before failing
+          if (exists) fs.rename(old, masterDir)
+          throw new java.io.IOException(s"cannot publish $tmp to $masterDir")
+        }
+        if (exists) fs.delete(old, true)
         ()
       }
       .start()

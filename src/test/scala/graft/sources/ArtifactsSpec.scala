@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.{Files, Paths}
+
+/** S4/S7/V7/V10: single-file publishers, flag files, deployment metadata. */
+class ArtifactsSpec extends SparkSpecBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-artifacts").toString
+
+  private def df = {
+    import spark.implicits._
+    Seq((3L, "c", 30.5), (1L, "a", 10.0), (2L, "b", null.asInstanceOf[Double]))
+      .toDF("id", "name", "score")
+  }
+
+  test("publishMasterCsv: master + backup + deployment, identical bytes, single files") {
+    val dir = tmpDir()
+    val r = Artifacts.publishMasterCsv(df, Seq("id"), dir,
+      masterName = "master", deploymentPrefix = "deploy",
+      timestamp = "2026-08-12_00-00-00")
+    val master = Paths.get(new java.net.URI(r.master).getPath)
+    val backup = Paths.get(new java.net.URI(r.backup).getPath)
+    val deploy = Paths.get(new java.net.URI(r.deployment).getPath)
+    Seq(master, backup, deploy).foreach { p =>
+      assert(Files.isRegularFile(p), s"$p must be a single file")
+    }
+    val bytes = Files.readAllBytes(master)
+    assert(bytes.sameElements(Files.readAllBytes(backup)))
+    assert(bytes.sameElements(Files.readAllBytes(deploy)))
+    val lines = new String(bytes, "UTF-8").split("\n").toSeq
+    assert(lines.head == "id,name,score")
+    assert(lines(1).startsWith("1,a"))
+    assert(lines.length == 4)
+    // rewrite keeps old backup, replaces master atomically
+    val r2 = Artifacts.publishMasterCsv(df.limit(1), Seq("id"), dir,
+      "master", "deploy", "2026-08-12_01-00-00")
+    assert(Files.isRegularFile(backup), "old backup retained")
+    assert(Files.readAllLines(master).size() == 2)
+    assert(r2.backup != r.backup)
+  }
+
+  test("publishMasterCsv retries transient failures, gives up after max") {
+    var slept = List.empty[Int]
+    // target parent is a FILE → mkdirs/rename fails every attempt
+    val dir = tmpDir()
+    val blocker = Paths.get(dir, "blocked")
+    Files.write(blocker, "x".getBytes)
+    intercept[Exception] {
+      Artifacts.publishMasterCsv(df, Seq("id"), blocker.toString,
+        "master", "deploy", "t", maxRetries = 3, sleep = s => slept ::= s)
+    }
+    assert(slept.sorted == List(5, 10), "progressive waits between attempts")
+  }
+
+  test("writeJsonArray: one pretty-printed ordered array, atomic replace") {
+    val dir = tmpDir()
+    val target = s"$dir/pages.json"
+    Artifacts.writeJsonArray(df, Seq("id"), target)
+    val text = new String(Files.readAllBytes(Paths.get(target)), "UTF-8")
+    assert(text.startsWith("[\n  {"), "pretty array layout")
+    assert(text.endsWith("\n]"))
+    val node = new ObjectMapper().readTree(text)
+    assert(node.isArray && node.size == 3)
+    assert(node.get(0).get("id").asLong == 1L)
+    assert(node.get(2).get("id").asLong == 3L)
+    // republish overwrites in place
+    Artifacts.writeJsonArray(df.limit(1), Seq("id"), target)
+    assert(new ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(target))).size == 1)
+  }
+
+  test("flag files: skip iff no work, refresh per mode, consumers see them") {
+    val dir = tmpDir()
+    Artifacts.manageFlags(df, dir, nToProcess = 0, nToDelete = 0,
+      fullRefresh = false)
+    assert(Artifacts.shouldSkip(df, dir))
+    assert(!Artifacts.isFullRefresh(df, dir))
+    Artifacts.manageFlags(df, dir, nToProcess = 5, nToDelete = 0,
+      fullRefresh = true)
+    assert(!Artifacts.shouldSkip(df, dir), "skip flag removed when work found")
+    assert(Artifacts.isFullRefresh(df, dir))
+    Artifacts.manageFlags(df, dir, nToProcess = 0, nToDelete = 2,
+      fullRefresh = false)
+    assert(!Artifacts.shouldSkip(df, dir), "deletes alone are work")
+  }
+
+  test("deployment metadata: counts, hashes, delete query, status") {
+    val meta = Artifacts.deploymentMetadata(df, df.limit(2),
+      "2026-08-12_00-00-00", Seq("srcA", "srcB"))
+    val node = new ObjectMapper().readTree(meta)
+    assert(node.get("file_info").get("catalog_records").asLong == 3)
+    assert(node.get("file_info").get("content_records").asLong == 2)
+    assert(node.get("file_info").get("catalog_hash").asText.nonEmpty)
+    assert(node.get("instructions").get("delete_query").asText ==
+      "DELETE FROM apg_catalog WHERE document_source IN ('srcA', 'srcB'); " +
+        "DELETE FROM apg_content WHERE document_source IN ('srcA', 'srcB');")
+    assert(node.get("summary").get("status").asText == "SUCCESS")
+    assert(node.get("schema_info").get("catalog_columns").size == 3)
+    val warn = Artifacts.deploymentMetadata(df, df, "t", Seq("s"),
+      validationIssues = Seq("catalog: missing ids"))
+    assert(new ObjectMapper().readTree(warn)
+      .get("summary").get("status").asText == "WARNING")
+    // content hash is order-independent (distributed reformulation)
+    assert(Artifacts.contentHash(df.orderBy("name")) ==
+      Artifacts.contentHash(df.orderBy(org.apache.spark.sql.functions.col("name").desc)))
+  }
+}

@@ -24,4 +24,15 @@ class JdbcVectorSinkSpec extends AnyFunSuite {
     assert(JdbcVectorSink.clearSql(t) == "TRUNCATE TABLE iris_semantic_search")
     assert(JdbcVectorSink.verifySql(t).contains("FROM iris_semantic_search"))
   }
+
+  test("unsafe identifiers are rejected, schema-qualified allowed") {
+    assert(JdbcVectorSink.clearSql(t.copy(table = "public.t_1")) ==
+      "TRUNCATE TABLE public.t_1")
+    intercept[IllegalArgumentException] {
+      JdbcVectorSink.clearSql(t.copy(table = "x; DROP TABLE y"))
+    }
+    intercept[IllegalArgumentException] {
+      JdbcVectorSink.castInsertSql(t, Seq("good_col", "bad col"))
+    }
+  }
 }
