@@ -67,4 +67,23 @@ final class MeteredEnricher(inner: Enricher, meter: CostMeter) extends Enricher 
     meter.embedTokens.add(texts.map(Tokens.estimateA).sum)
     inner.embedBatch(texts)
   }
+
+  override def visionAnalyze(passName: String, prompt: String,
+      image: Array[Byte]): String = {
+    val out = inner.visionAnalyze(passName, prompt, image)
+    meter.chatCalls.add(1)
+    meter.promptTokens.add(Tokens.estimateA(prompt))
+    meter.completionTokens.add(Tokens.estimateA(out))
+    out
+  }
+
+  override def visionSynthesize(pageVisionData: Seq[(String, String)],
+      pageNumber: Int): String = {
+    val out = inner.visionSynthesize(pageVisionData, pageNumber)
+    meter.chatCalls.add(1)
+    meter.promptTokens.add(
+      pageVisionData.map(p => Tokens.estimateA(p._2)).sum)
+    meter.completionTokens.add(Tokens.estimateA(out))
+    out
+  }
 }

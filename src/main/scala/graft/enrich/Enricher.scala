@@ -33,6 +33,17 @@ trait Enricher extends Serializable {
     * substitutes " " and restores null afterwards (P9). */
   def embedBatch(texts: Seq[String]): Seq[Array[Float]]
 
+  /** L8/S20 (catalog search - vision/stage2_process_vision.py:363-446):
+    * one vision-model call for one analysis pass over one page image. */
+  def visionAnalyze(passName: String, prompt: String,
+      image: Array[Byte]): String
+
+  /** S21 (stage2_process_vision.py:485-543): synthesize the six pass
+    * outputs into a Markdown rendition of the page. The prompt shape is
+    * `Prompts.visionSynthesis` (parity-tested). */
+  def visionSynthesize(pageVisionData: Seq[(String, String)],
+      pageNumber: Int): String
+
   /** Embedding dimensionality (reference: 2000; tests may shrink). */
   def embeddingDims: Int
 }
@@ -88,4 +99,25 @@ final class DeterministicEnricher(val embeddingDims: Int = 64) extends Enricher 
       val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
       if (norm == 0f) v else v.map(_ / norm)
     }
+
+  private def h64b(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= b(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  override def visionAnalyze(passName: String, prompt: String,
+      image: Array[Byte]): String = {
+    val tag = java.lang.Long.toHexString(
+      h64b(image) ^ h64(passName) ^ h64(prompt)).take(8)
+    s"[$passName $tag] ${image.length} bytes analyzed"
+  }
+
+  override def visionSynthesize(pageVisionData: Seq[(String, String)],
+      pageNumber: Int): String =
+    (s"# Page $pageNumber" +:
+      pageVisionData.map { case (name, result) =>
+        s"## ${name.toUpperCase.replace('_', ' ')}\n$result"
+      }).mkString("\n\n")
 }

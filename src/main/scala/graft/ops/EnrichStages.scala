@@ -114,4 +114,25 @@ object EnrichStages {
       }
     }
   }
+
+  /** Vision stage-2 analog (S20+S21/L8,
+    * `catalog search - vision/stage2_process_vision.py:545-591`): run the
+    * six fixed analysis passes over each page image in declaration order,
+    * then synthesize the pass outputs into the page's Markdown. One row
+    * per page; the per-page fan-out parallelism the reference gets from
+    * its thread pool comes from Spark partitioning here. Output:
+    * (doc_id, page_number, markdown, n_passes). */
+  def visionPages(pages: Dataset[(Long, Int, Array[Byte])],
+      enricher: Enricher): Dataset[(Long, Int, String, Int)] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val passes = graft.enrich.Prompts.visionPasses
+    pages.map { case (docId, pageNo, image) =>
+      val results = passes.map { case (name, prompt) =>
+        name -> enricher.visionAnalyze(name, prompt, image)
+      }
+      (docId, pageNo, enricher.visionSynthesize(results, pageNo),
+        results.length)
+    }
+  }
 }

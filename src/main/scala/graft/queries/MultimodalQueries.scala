@@ -49,9 +49,44 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("kind"))
   }
 
+  /** S20/S21 (L8): six vision passes + Markdown synthesis per page, via
+    * the enrichment seam (deterministic stub analyzer; the pass set and
+    * message assembly are the parity-tested Prompts). Output shape is
+    * fully recomputable: the oracle reconstructs the synthesized
+    * markdown's layout (fixed-width pass tags, byte-count digits) in SQL
+    * and compares lengths, pass counts, and page numbers. */
+  def visionMarkdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = Tables.documents(spark, dir)
+      .select(col("doc_id"), lit(1).cast("int").as("page"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Int, Array[Byte])]
+    graft.ops.EnrichStages.visionPages(pages,
+      new graft.enrich.DeterministicEnricher(64))
+      .toDF("doc_id", "page_number", "markdown", "n_passes")
+      .select(col("doc_id"), col("page_number"), col("n_passes"),
+        length(col("markdown")).as("md_len"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> features,
-    "q_media_audit" -> mediaAudit)
+    "q_media_audit" -> mediaAudit,
+    "q_vision_markdown" -> visionMarkdown)
+
+  /** The synthesized markdown rebuilt in SQL with a fixed-width tag
+    * placeholder — structure (headers, separators, byte-count digits) is
+    * real recomputation; only the 8-hex content tag is shape-pinned. */
+  // single-line: the interpolation target goes through stripMargin, which
+  // would eat the leading '|' of a wrapped '||'
+  private def visionMdLenSql: String = {
+    val parts = graft.enrich.Prompts.visionPasses.map { case (name, _) =>
+      s"chr(10) || chr(10) || '## ${name.toUpperCase.replace('_', ' ')}' || chr(10)" +
+        s" || '[$name xxxxxxxx] ' || CAST(octet_length(encode(text)) AS VARCHAR)" +
+        " || ' bytes analyzed'"
+    }.mkString(" || ")
+    s"length('# Page 1' || $parts)"
+  }
 
   override def oracle: Map[String, String] = Map(
     // n_items/invalid_items/total_bytes recomputed (kind dispatch, the
@@ -66,5 +101,9 @@ object MultimodalQueries extends QueryModule {
         |  0 AS dim_violations,
         |  0 AS norm_violations,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vision_markdown" ->
+      s"""SELECT doc_id, 1 AS page_number, 6 AS n_passes,
+         |  $visionMdLenSql AS md_len
+         |FROM documents ORDER BY doc_id""".stripMargin)
 }

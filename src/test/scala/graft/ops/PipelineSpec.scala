@@ -215,6 +215,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(got == want, s"missed ${(want -- got).size} planted near-dup pairs")
   }
 
+  test("vision pages: six passes in declaration order, deterministic synthesis") {
+    import spark.implicits._
+    val pages = Seq((1L, 1, "page one content".getBytes("UTF-8")),
+      (1L, 2, "page two".getBytes("UTF-8"))).toDS()
+    val out = EnrichStages.visionPages(pages, enricher).collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.length == 2)
+    out.foreach { case (_, page, md, nPasses) =>
+      assert(nPasses == 6)
+      assert(md.startsWith(s"# Page $page"))
+      graft.enrich.Prompts.visionPasses.foreach { case (name, _) =>
+        assert(md.contains(s"## ${name.toUpperCase.replace('_', ' ')}"),
+          s"missing pass $name")
+      }
+      // declaration order preserved in the synthesis
+      val idx = graft.enrich.Prompts.visionPasses.map(p =>
+        md.indexOf(s"## ${p._1.toUpperCase.replace('_', ' ')}"))
+      assert(idx == idx.sorted)
+    }
+    val again = EnrichStages.visionPages(pages, enricher).collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq == again.toSeq, "vision synthesis must be deterministic")
+  }
+
   test("cost meter: deterministic totals, every call and batch counted") {
     import spark.implicits._
     val meter = new graft.enrich.CostMeter(spark)
