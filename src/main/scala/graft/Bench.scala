@@ -10,8 +10,43 @@ import org.apache.spark.sql.SparkSession
   * under-report. Headline set mirrors BASELINE.md: CDC battery, master
   * upsert, ordered-group pipeline, window battery, validation battery,
   * plus the training-data additions (dedup, knn, text analysis).
+  *
+  * Two scale points are recorded so scaling regressions are visible
+  * round-over-round, not just wall time at one size: the primary
+  * SPARK_GRAFT_SF_DIR timing plus a smaller sf0.01 pass
+  * (`queries_small`), and per-query output rows (`rows`, counted
+  * untimed) so rows/s can be derived per scale.
   */
 object Bench {
+
+  private val headline = Seq(
+    "q_rel_pricing_summary", "q_rel_revenue_by_nation", "q_rel_top_customers",
+    "q_cdc_process_list", "q_cdc_counts", "q_upsert_master",
+    "q_group_ordered_concat", "q_group_renumber",
+    "q_window_neighbor_fill", "q_window_proportional",
+    "q_validate_coverage", "q_master_merge",
+    "q_dedup_minhash_pairs", "q_dedup_simhash", "q_knn_brute",
+    "q_text_stats", "q_text_quality",
+    "q_events_windowed", "q_events_sessions",
+    "q_pipe_chunks")
+
+  /** Time the headline set at one scale dir: name → seconds (-1 = fail). */
+  private def timeSet(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
+    headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    }
+
+  private def jsonNum(results: Seq[(String, Double)]): String =
+    results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,36 +59,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val headline = Seq(
-      "q_rel_pricing_summary", "q_rel_revenue_by_nation", "q_rel_top_customers",
-      "q_cdc_process_list", "q_cdc_counts", "q_upsert_master",
-      "q_group_ordered_concat", "q_group_renumber",
-      "q_window_neighbor_fill", "q_window_proportional",
-      "q_validate_coverage", "q_master_merge",
-      "q_dedup_minhash_pairs", "q_dedup_simhash", "q_knn_brute",
-      "q_text_stats", "q_text_quality",
-      "q_events_windowed", "q_events_sessions",
-      "q_pipe_chunks")
-
-    val all = SparkEntry.queries
     // one warm-up materialization to amortize JIT/codegen compilation
-    all("q_rel_part_stats")(spark, sfDir)
+    SparkEntry.queries("q_rel_part_stats")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    val results = headline.flatMap { name =>
-      all.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    val results = timeSet(spark, sfDir)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // untimed output-row counts at the primary scale (rows/s denominators)
+    val rows = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        "\"" + name + s"""":$n"""
+      }
+    }.mkString("{", ",", "}")
+
+    // second scale point: sf0.01 when available and distinct
+    val smallDir = "/root/testdata/sf0.01"
+    val small =
+      if (smallDir != sfDir && new java.io.File(smallDir).isDirectory)
+        s""","sf_small":"$smallDir","queries_small":${jsonNum(timeSet(spark, smallDir))}"""
+      else ""
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonNum(results)},"rows":$rows,"sf":"$sfDir"$small}""")
     spark.stop()
   }
 }

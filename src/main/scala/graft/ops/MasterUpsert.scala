@@ -43,26 +43,32 @@ object MasterUpsert {
 
   /** G11: assign ids max(existing)+1.. to `fresh` ordered by `orderCols`.
     *
-    * Two metadata-scale driver actions (the max(id) scalar and
-    * zipWithIndex's per-partition count array); the data itself is never
-    * collected and the sort runs range-partitioned across the cluster.
-    * `orderCols` must be a total order for run-to-run determinism (ties
-    * would make the rank among tied rows partition-dependent — true of
-    * any rank formulation).
+    * The global rank comes from a range-partitioned sort + zipWithIndex:
+    * its per-partition count pass is the only extra driver action, it is
+    * metadata-scale (K integers), and the sort's shuffle output is reused
+    * by the data pass (the count job's map stage shows as skipped). The
+    * max(existing id) stays a lazy broadcast scalar joined into the final
+    * plan, so the existing/master side is scanned only when the caller
+    * acts. `orderCols` must be a total order for run-to-run determinism
+    * (ties would make the rank among tied rows partition-dependent — true
+    * of any rank formulation).
     */
   def assignIds(existing: DataFrame, fresh: DataFrame,
       orderCols: Seq[String]): DataFrame = {
     val spark = fresh.sparkSession
-    val maxId = existing
-      .agg(coalesce(max(col("id")), lit(0L)).cast("long")).first().getLong(0)
     val sorted = fresh.drop("id")
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-    val schema = sorted.schema.add("id", LongType, nullable = false)
-    val withIds = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (maxId + i + 1L))
-    }
-    spark.createDataFrame(withIds, schema)
+    val schema = sorted.schema.add("_rank", LongType, nullable = false)
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+    val maxId = existing.agg(
+      coalesce(max(col("id")), lit(0L)).cast("long").as("_max_id"))
+    ranked.crossJoin(broadcast(maxId))
+      .withColumn("id", col("_max_id") + col("_rank"))
+      .drop("_max_id", "_rank")
   }
 
   /** Full upsert: delete, mint ids, union (J6 + G11 + J7). */
