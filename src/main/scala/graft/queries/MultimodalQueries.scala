@@ -69,10 +69,26 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** S12/S15/S16: document → per-page blobs → grouped ordered reassembly.
+    * The stub codec pages on 256-byte boundaries, so the merge must
+    * reproduce the original bytes exactly — the oracle recomputes page
+    * counts and the full content hash from the source table. */
+  def binarySplitMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    graft.ops.BinaryDocs.mergeGroups(
+      graft.ops.BinaryDocs.splitPages(docs), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"), md5(col("merged")).as("content_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> features,
     "q_media_audit" -> mediaAudit,
-    "q_vision_markdown" -> visionMarkdown)
+    "q_vision_markdown" -> visionMarkdown,
+    "q_binary_split_merge" -> binarySplitMerge)
 
   /** The synthesized markdown rebuilt in SQL with a fixed-width tag
     * placeholder — structure (headers, separators, byte-count digits) is
@@ -105,5 +121,12 @@ object MultimodalQueries extends QueryModule {
     "q_vision_markdown" ->
       s"""SELECT doc_id, 1 AS page_number, 6 AS n_passes,
          |  $visionMdLenSql AS md_len
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // split→merge round-trip: page count and the reassembled content hash
+    // both recomputed from the source bytes (256-byte stub pages)
+    "q_binary_split_merge" ->
+      """SELECT doc_id,
+        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER) AS n_pages,
+        |  md5(text) AS content_fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -146,6 +146,26 @@ object Artifacts {
     }
   }
 
+  /** S3: whole-file JSON-array input — the reference reads each stage
+    * artifact as one pretty-printed array and asserts the top level IS a
+    * list before processing (`stage_01_chapter_processing.py` input
+    * contract). `multiLine` mode parses the array distributed; the
+    * list-assert reads only the first non-whitespace byte. */
+  def readJsonArray(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val p = new Path(path)
+    val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = hfs.open(p)
+    try {
+      var c = in.read()
+      while (c != -1 && Character.isWhitespace(c)) c = in.read()
+      require(c == '[',
+        s"$path is not a JSON array (first byte '${c.toChar}') — " +
+          "stage artifacts must be whole-file JSON lists")
+    } finally in.close()
+    spark.read.option("multiLine", true).json(path)
+  }
+
   // -------------------------------------------------------------------
   // V10 — skip/refresh flag files
   // -------------------------------------------------------------------

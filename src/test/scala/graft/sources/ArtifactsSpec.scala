@@ -72,6 +72,63 @@ class ArtifactsSpec extends SparkSpecBase {
       Files.readAllBytes(Paths.get(target))).size == 1)
   }
 
+  test("readJsonArray: round-trips writeJsonArray, rejects non-arrays") {
+    val dir = tmpDir()
+    val target = s"$dir/artifact.json"
+    Artifacts.writeJsonArray(df, Seq("id"), target)
+    val back = Artifacts.readJsonArray(spark, target)
+    assert(back.count() == 3)
+    assert(back.columns.sorted.toSeq == Seq("id", "name", "score"))
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    val bad = Paths.get(dir, "not-array.json")
+    Files.write(bad, """{"id": 1}""".getBytes)
+    intercept[IllegalArgumentException] {
+      Artifacts.readJsonArray(spark, bad.toString)
+    }
+  }
+
+  test("binary split/merge round-trips bytes through grouped reassembly") {
+    import spark.implicits._
+    import graft.ops.BinaryDocs
+    val rng = new scala.util.Random(11)
+    val docs = (1L to 8L).map { id =>
+      val n = if (id == 1) 0 else rng.nextInt(2000)
+      (id, Array.fill(n)(rng.nextInt().toByte))
+    }
+    val ds = docs.toDS()
+    val pages = BinaryDocs.splitPages(ds)
+    // page sizing: ceil(n/256) pages, all but last exactly 256 bytes
+    val byDoc = pages.collect().groupBy(_.getLong(0))
+    docs.foreach { case (id, bytes) =>
+      val expect = (bytes.length + 255) / 256
+      assert(byDoc.getOrElse(id, Array.empty).length == expect, s"doc $id")
+    }
+    val merged = BinaryDocs.mergeGroups(pages, Seq("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("merged")).toMap
+    docs.filter(_._2.nonEmpty).foreach { case (id, bytes) =>
+      assert(merged(id).sameElements(bytes), s"doc $id bytes differ")
+    }
+  }
+
+  test("token cache: fetch once per ttl window, failures not cached") {
+    var now = 0L
+    var calls = 0
+    val cache = new graft.enrich.TokenCache(1000L,
+      () => { calls += 1; if (calls == 2) None else Some(s"tok$calls") },
+      () => now)
+    assert(cache.get().contains("tok1"))
+    assert(cache.get().contains("tok1"), "cached within ttl")
+    assert(calls == 1)
+    now = 1000L // expired
+    assert(cache.get().isEmpty, "failed fetch propagates None")
+    assert(cache.get().contains("tok3"), "failure was not cached")
+    assert(calls == 3)
+    cache.invalidate()
+    assert(cache.get().contains("tok4"))
+    assert(cache.fetchCount == 4)
+  }
+
   test("flag files: skip iff no work, refresh per mode, consumers see them") {
     val dir = tmpDir()
     Artifacts.manageFlags(df, dir, nToProcess = 0, nToDelete = 0,
