@@ -152,7 +152,7 @@ class PipelineSpec extends SparkSpecBase {
       val df = graft.queries.EnrichQueries.fullExport(spark, sfDir)
       assert(df.columns.toSeq == graft.ops.DbExport.databaseColumns)
       val hashed = df.select(
-        conv(substring(md5(concat_ws("\u0001", df.columns.map(c =>
+        conv(substring(md5(concat_ws("\u0001", df.columns.toIndexedSeq.map(c =>
           coalesce(col(c).cast("string"), lit("\u0000"))): _*)), 1, 8), 16, 10)
           .cast("long").as("h"))
         .agg(count(lit(1)).as("n"), sum(col("h")).as("hash"))
