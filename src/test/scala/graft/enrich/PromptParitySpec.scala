@@ -93,6 +93,54 @@ class PromptParitySpec extends AnyFunSuite {
     }
   }
 
+  test("T3/G8: chapter segmentation + rolling fold match the reference") {
+    import graft.text.Segmenter
+    val cs = ofKind("chapterFold")
+    assert(cs.nonEmpty)
+    assert(cs.exists(_.get("segments").size > 1), "segmentation never triggered")
+    cs.foreach { c =>
+      val text = c.get("text").asText
+      val want = c.get("segments").elements().asScala.toSeq.map(_.asText)
+      val segs = Segmenter.segmentChapter(text, limit = 3000, buffer = 2000)
+      assert(segs == want, s"segments mismatch (${segs.length} vs ${want.length})")
+      // fold wiring: each segment's prompt carries the prior scripted
+      // summary; the last non-empty segment is flagged final
+      var prev: Option[String] = None
+      val got = segs.zipWithIndex.map { case (seg, i) =>
+        val m = Prompts.chapterAnalysis(seg, prev, i == segs.length - 1)
+        prev = Some(s"SUMMARY ${i + 1}")
+        m
+      }
+      val wantMsgs = c.get("messages").elements().asScala.toSeq.map(messages)
+      assert(got == wantMsgs, "fold prompt sequence mismatch")
+      assert(c.get("result").asText == s"SUMMARY ${segs.length}")
+    }
+  }
+
+  test("T4/G9: section segmentation + segment fold match the reference") {
+    import graft.text.Segmenter
+    val cs = ofKind("sectionFold")
+    assert(cs.nonEmpty)
+    assert(cs.exists(_.get("segments").size > 1), "segmentation never triggered")
+    cs.foreach { c =>
+      val content = c.get("content").asText
+      val want = c.get("segments").elements().asScala.toSeq.map(_.asText)
+      val segs = Segmenter.segmentSection(content, limit = 5000, buffer = 4000)
+      assert(segs == want, s"segments mismatch (${segs.length} vs ${want.length})")
+      val prevs = c.get("previous").elements().asScala.toSeq.map(_.asText)
+      val ch = c.get("chapter_summary").asText
+      val hier = c.get("hierarchy").asText
+      val got = segs.zipWithIndex.map { case (seg, i) =>
+        val p = if (i == 0) prevs
+          else prevs :+ s"Previous segment summary: SSUM $i"
+        Prompts.sectionAnalysis(seg, ch, hier, p)
+      }
+      val wantMsgs = c.get("messages").elements().asScala.toSeq.map(messages)
+      assert(got == wantMsgs, "section fold prompt sequence mismatch")
+      assert(c.get("result").asText == s"SSUM ${segs.length}")
+    }
+  }
+
   test("L1: retry machine reproduces the reference's attempt trace exactly") {
     val cs = ofKind("retryTrace")
     assert(cs.length >= 9)

@@ -397,6 +397,67 @@ for script in SCRIPTS:
                 "attempt_messages": rec, "sleeps": list(_sleeps),
                 "result": args})
 
+# --- T3 + G8: chapter segmentation + rolling fold, by RUNNING the
+# reference's get_chapter_summary_robust with a scripted client and a
+# shrunken token budget (limit 3000, buffer 2000 -> available 1000) ---
+_s01_limit = s01.GPT_INPUT_TOKEN_LIMIT
+s01.GPT_INPUT_TOKEN_LIMIT = 3000
+
+class _FoldCompletions:
+    def __init__(self, rec, tool, field, prefix):
+        self.rec, self.tool, self.field, self.prefix = rec, tool, field, prefix
+        self.i = 0
+    def create(self, **kw):
+        self.rec.append(kw["messages"])
+        self.i += 1
+        return _resp(tool_calls=[_tc(self.tool,
+            json.dumps({self.field: f"{self.prefix} {self.i}"}))])
+
+def _between(s, a, b):
+    i = s.index(a) + len(a)
+    return s[i:s.index(b, i)]
+
+for i in range(8):
+    n_sent = rng.choice([12, 80, 250, 500])
+    text = sentencey(n_sent)
+    rec = []
+    client = types.SimpleNamespace(chat=types.SimpleNamespace(
+        completions=_FoldCompletions(rec, "provide_chapter_analysis",
+                                     "summary", "SUMMARY")))
+    result = s01.get_chapter_summary_robust(text, client, "m")
+    out.append({"kind": "chapterFold", "text": text,
+                "segments": [_between(m[-1]["content"],
+                                      "<current_segment>\n",
+                                      "\n</current_segment>") for m in rec],
+                "messages": rec, "result": result})
+s01.GPT_INPUT_TOKEN_LIMIT = _s01_limit
+
+# --- T4 + G9 segment fold: stage_02 process_section_summary with budget
+# limit 5000 (available = 5000 - 2000 - 2000 = 1000) ---
+_s02_limit = s02.GPT_INPUT_TOKEN_LIMIT
+s02.GPT_INPUT_TOKEN_LIMIT = 5000
+for i in range(8):
+    n_sent = rng.choice([12, 80, 250, 500])
+    content = sentencey(n_sent)
+    prevs = [words(rng.randint(6, 14)) for _ in range(rng.randint(0, 3))]
+    ch = words(rng.randint(8, 20))
+    hier = "Ch > S" + str(i)
+    section = {"content": content, "token_count": s02.count_tokens(content),
+               "title": f"T{i}", "section_number": i + 1}
+    rec = []
+    client = types.SimpleNamespace(chat=types.SimpleNamespace(
+        completions=_FoldCompletions(rec, "provide_section_analysis",
+                                     "section_summary", "SSUM")))
+    result = s02.process_section_summary(section, {"chapter_summary": ch},
+                                         hier, list(prevs), client)
+    out.append({"kind": "sectionFold", "content": content,
+                "chapter_summary": ch, "hierarchy": hier, "previous": prevs,
+                "segments": [_between(m[-1]["content"],
+                                      "<current_section>\n",
+                                      "\n</current_section>") for m in rec],
+                "messages": rec, "result": result})
+s02.GPT_INPUT_TOKEN_LIMIT = _s02_limit
+
 path = "src/test/resources/reference_golden.jsonl"
 import os
 os.makedirs(os.path.dirname(path), exist_ok=True)
