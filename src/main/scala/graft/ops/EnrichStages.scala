@@ -48,9 +48,14 @@ object EnrichStages {
   /** Stage-02 summary pass (G9): per chapter in section order, each summary
     * sees the previous five; stored summary = "hierarchy\n\nsummary"; the
     * context entries carry the "[Section N]" prefix
-    * (stage_02_section_processing.py:1760-1770). */
+    * (stage_02_section_processing.py:1760-1770). Oversized sections are
+    * budget-segmented and folded — each segment call appends the
+    * accumulated segment summary to the context, exactly the reference's
+    * loop (stage_02:1416-1507, parity-tested via PromptParitySpec). */
   def summarizeSections(sections: Dataset[SectionRecord],
-      enricher: Enricher): Dataset[SectionRecord] = {
+      enricher: Enricher,
+      tokenLimit: Int = Segmenter.GptInputTokenLimit,
+      tokenBuffer: Int = Segmenter.TokenBuffer + 2000): Dataset[SectionRecord] = {
     val spark = sections.sparkSession
     import spark.implicits._
     sections
@@ -60,8 +65,15 @@ object EnrichStages {
         val out = scala.collection.mutable.ArrayBuffer[SectionRecord]()
         val previous = scala.collection.mutable.ArrayBuffer[String]()
         ordered.foreach { s =>
-          val generated = enricher.sectionSummary(
-            s.section_content, s.chapter_summary, s.section_hierarchy, previous.toSeq)
+          val segments =
+            Segmenter.segmentSection(s.section_content, tokenLimit, tokenBuffer)
+          val generated = segments.zipWithIndex.foldLeft("") {
+            case (acc, (seg, i)) =>
+              val ctx = if (i == 0) previous.toSeq
+                else previous.toSeq :+ s"Previous segment summary: $acc"
+              enricher.sectionSummary(seg, s.chapter_summary,
+                s.section_hierarchy, ctx)
+          }
           val full = s"${s.section_hierarchy}\n\n$generated"
           out += s.copy(section_summary = full)
           previous += s"[Section ${s.section_number}] $full"

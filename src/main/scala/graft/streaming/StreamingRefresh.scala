@@ -33,6 +33,22 @@ object StreamingRefresh {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Gap-based event-time sessionization (30-minute inactivity closes a
+    * session) — the streaming form of EventsQueries.sessions, expressed
+    * with the built-in `session_window` so state handling, watermark
+    * eviction, and merging stay inside the engine (preferred over a
+    * hand-rolled flatMapGroupsWithState for mergeable session state). */
+  def sessionized(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Run a streaming DataFrame to completion with AvailableNow into an
     * in-memory table; returns after all available data is processed. */
   def runAvailableNowToMemory(df: DataFrame, queryName: String,

@@ -72,6 +72,29 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("summarizeSections segments oversized sections and folds context") {
+    import spark.implicits._
+    import graft.text.Segmenter
+    val fat = ("Alpha beta gamma delta epsilon zeta eta theta. " * 400).trim
+    val sec = DocPipeline.pagesToSections(
+      spark.createDataset(pageData.take(3))).head()
+      .copy(section_number = 1, section_content = fat)
+    val out = EnrichStages.summarizeSections(
+      spark.createDataset(Seq(sec)), enricher,
+      tokenLimit = 5000, tokenBuffer = 4000).collect()
+    assert(out.length == 1)
+    val segs = Segmenter.segmentSection(fat, limit = 5000, buffer = 4000)
+    assert(segs.length > 1, "fixture must trigger segmentation")
+    // the stored summary comes from the LAST segment's call, whose context
+    // is previous (empty here) + the accumulated segment summary
+    val summary = out.head.section_summary
+    assert(summary.startsWith(sec.section_hierarchy + "\n\n(1 prior) "),
+      s"unexpected fold context in '${summary.take(80)}'")
+    val lastHead = segs.last.trim.replaceAll("\\s+", " ")
+      .split("(?<=[.!?])\\s+").take(2).mkString(" ")
+    assert(summary.endsWith(lastHead), "summary must derive from the last segment")
+  }
+
   test("embedChunks: unit-norm vectors, blank content embeds as null") {
     import spark.implicits._
     val sections = DocPipeline.pagesToSections(spark.createDataset(pageData))

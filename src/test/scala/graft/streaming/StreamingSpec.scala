@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("AvailableNow sessionization equals the batch gap rule") {
+    import org.apache.spark.sql.expressions.Window
+    val events = graft.Tables.events(spark, sfDir)
+    val staged = tmp("events-sess")
+    events.write.mode("overwrite").parquet(staged)
+
+    val stream = StreamingRefresh.parquetStream(spark, staged,
+      spark.read.parquet(staged).schema)
+    StreamingRefresh.runAvailableNowToMemory(
+      StreamingRefresh.sessionized(stream), "sessions", tmp("ckpt-sess"),
+      outputMode = "complete")
+    val streamed = spark.sql("SELECT user_id, session_start, n_events FROM sessions")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // batch formulation of the same half-open gap rule: a gap of exactly
+    // the window closes the session (session_window extends only while
+    // ts < last_ts + gap)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("brk", when(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") >= 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("sn", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sn"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, "streaming session_window != batch gap rule")
+  }
+
   test("foreachBatch upsert replaces master rows by key") {
     import spark.implicits._
     val masterPath = tmp("master") + "/m"
