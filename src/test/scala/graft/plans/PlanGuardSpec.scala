@@ -1,0 +1,83 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-regression gate: the scale properties the engine is designed
+  * around, asserted on the optimized physical plans so a future edit that
+  * silently reintroduces a cartesian product, a single-partition window,
+  * or an unpruned scan fails CI — not a 100 TB run.
+  */
+class PlanGuardSpec extends SparkSpecBase {
+
+  private def planOf(name: String): SparkPlan =
+    graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      // AQE wraps the real plan; before execution its children are empty
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.inputPlan)
+      case other => other.children
+    }
+    (p +: kids.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+  }
+
+  private def names(name: String): Seq[String] =
+    nodes(planOf(name)).map(_.nodeName)
+
+  // Queries whose plans must never contain a cartesian/unconditioned join.
+  // (q_knn_brute is the labeled exact baseline and legitimately crosses a
+  // broadcast 5-row query side; it is excluded by design.)
+  private val noCartesian = Seq(
+    "q_sim_cosine_pairs", "q_knn_lsh", "q_knn_ivf",
+    "q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
+    "q_dedup_ngram_jaccard", "q_cdc_process_list", "q_master_merge")
+
+  test("candidate joins are equi-joins: no cartesian products") {
+    noCartesian.foreach { q =>
+      val bad = names(q).filter(n => n.contains("CartesianProduct"))
+      assert(bad.isEmpty, s"$q contains $bad")
+    }
+  }
+
+  test("no single-partition window stages anywhere in the query surface") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val unpartitioned = nodes(planOf(q)).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"$q has a global (single-partition) WindowExec")
+    }
+  }
+
+  test("projection pruning reaches the parquet scan") {
+    // q_text_quality projects 2 derived columns from a 1-table scan: the
+    // scan must not read the full documents schema
+    val scans = nodes(planOf("q_text_quality")).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val cols = s.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("doc_id", "text")),
+        s"scan reads more than needed: $cols")
+    }
+  }
+
+  test("filter pushdown reaches the scan for selective queries") {
+    val scans = nodes(planOf("q_sample_chapters")).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
+      "no pushed filters on a filtered scan")
+  }
+
+  test("small dimension joins broadcast in the relational battery") {
+    val n = names("q_rel_revenue_by_nation")
+    assert(n.exists(_.contains("BroadcastHashJoin")),
+      s"expected a broadcast join, got: ${n.distinct.mkString(", ")}")
+  }
+}
