@@ -56,6 +56,40 @@ object BinaryDocs {
     }.toDF("doc_id", "page_number", "page")
   }
 
+  /** S17/S18 seam: render one row's fields into one document blob (the
+    * reference renders each spreadsheet row as a styled PDF,
+    * `catalog search - excel prep/excel_to_pdf_prep.py:177-330`, and
+    * converts DOCX via an external tool). The layout engine is
+    * presentation; the engine contract is the row→document mapping. */
+  trait RowRenderer extends Serializable {
+    def render(rowId: Long, fields: Seq[(String, String)]): Array[Byte]
+  }
+
+  /** STUB renderer (no ReportLab/LibreOffice analogue offline): a
+    * deterministic textual layout — title line plus one bracketed section
+    * per field — so outputs are byte-recomputable by the oracle. */
+  object StubRowRenderer extends RowRenderer {
+    override def render(rowId: Long,
+        fields: Seq[(String, String)]): Array[Byte] =
+      (s"ROW $rowId\n" +
+        fields.map { case (k, v) => s"[$k] $v\n" }.mkString)
+        .getBytes("UTF-8")
+  }
+
+  /** S17: render every row into a document blob. Input: `rowIdCol` plus
+    * string field columns (callers cast); output adds `doc` and
+    * `n_bytes`. Pure projection — scales with the scan. */
+  def renderRows(df: DataFrame, rowIdCol: String,
+      renderer: RowRenderer = StubRowRenderer): DataFrame = {
+    val fieldCols = df.columns.filter(_ != rowIdCol).toSeq
+    val renderUdf = udf { (id: Long, vs: Seq[String]) =>
+      renderer.render(id, fieldCols.zip(vs.map(v => if (v == null) "" else v)))
+    }
+    df.withColumn("doc",
+        renderUdf(col(rowIdCol), array(fieldCols.map(col): _*)))
+      .withColumn("n_bytes", length(col("doc")))
+  }
+
   /** S16: reassemble pages into one blob per group, in page order — one
     * shuffle on the group key; ordering via sort_array on (page_number,
     * page) structs so no window or secondary sort is needed. */

@@ -84,11 +84,26 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** S17: every orders row rendered to a document blob via the renderer
+    * seam; the oracle reconstructs the stub layout byte-for-byte. */
+  def rowRender(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("row_id"),
+      col("o_orderkey").cast("string").as("order_key"),
+      col("o_custkey").cast("string").as("cust_key"),
+      col("o_orderpriority").as("priority"),
+      col("o_orderstatus").as("status"))
+    graft.ops.BinaryDocs.renderRows(src, "row_id")
+      .select(col("row_id"), col("n_bytes"), md5(col("doc")).as("fp"))
+      .orderBy(col("row_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> features,
     "q_media_audit" -> mediaAudit,
     "q_vision_markdown" -> visionMarkdown,
-    "q_binary_split_merge" -> binarySplitMerge)
+    "q_binary_split_merge" -> binarySplitMerge,
+    "q_row_render" -> rowRender)
 
   /** The synthesized markdown rebuilt in SQL with a fixed-width tag
     * placeholder — structure (headers, separators, byte-count digits) is
@@ -128,5 +143,18 @@ object MultimodalQueries extends QueryModule {
       """SELECT doc_id,
         |  CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER) AS n_pages,
         |  md5(text) AS content_fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the rendered document rebuilt field-for-field in SQL
+    "q_row_render" ->
+      """WITH rendered AS (
+        |  SELECT o_orderkey AS row_id,
+        |    'ROW ' || CAST(o_orderkey AS VARCHAR) || chr(10)
+        |      || '[order_key] ' || CAST(o_orderkey AS VARCHAR) || chr(10)
+        |      || '[cust_key] ' || CAST(o_custkey AS VARCHAR) || chr(10)
+        |      || '[priority] ' || o_orderpriority || chr(10)
+        |      || '[status] ' || o_orderstatus || chr(10) AS doc
+        |  FROM orders)
+        |SELECT row_id, CAST(octet_length(encode(doc)) AS INTEGER) AS n_bytes,
+        |  md5(doc) AS fp
+        |FROM rendered ORDER BY row_id""".stripMargin)
 }
