@@ -80,4 +80,36 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(n.exists(_.contains("BroadcastHashJoin")),
       s"expected a broadcast join, got: ${n.distinct.mkString(", ")}")
   }
+
+  test("bucketed tables co-locate the big join: zero exchanges") {
+    // the 100 TB CDC-join strategy from README: bucket both sides on the
+    // join key and the shuffle disappears — proven here on the session
+    // catalog, not just claimed
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-buckets")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val od = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    try {
+      li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$dir/li").saveAsTable("b_lineitem")
+      od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$dir/od").saveAsTable("b_orders")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        val shuffles = nodes(joined.queryExecution.executedPlan)
+          .filter(_.nodeName.contains("Exchange"))
+        assert(shuffles.isEmpty,
+          s"bucketed join still shuffles: ${shuffles.map(_.nodeName)}")
+        assert(joined.count() > 0)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
 }
