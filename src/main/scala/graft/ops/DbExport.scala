@@ -33,6 +33,12 @@ object DbExport {
 
   /** pgvector literal `[x,y,...]` from a float array; empty string for
     * null (stage_05_csv_export.py:444-454 — this is NOT json). */
+  /** pgvector text literal. Deliberate divergence from the reference's
+    * `str(float(x))` (stage_05_csv_export.py:444-453): the reference holds
+    * python doubles, this engine stores float32 arrays, so digits differ
+    * (and Java renders exponents as `1.0E-5` vs python's `1e-05`) — both
+    * are valid vector literals and land identically in the float4-backed
+    * vector column. */
   def embeddingLiteral(embedding: Column): Column =
     when(embedding.isNull || size(embedding) === 0, lit(""))
       .otherwise(concat(lit("["),

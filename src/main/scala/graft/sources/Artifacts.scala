@@ -198,6 +198,43 @@ object Artifacts {
     fs(new Path(dir, RefreshFlag), df).exists(new Path(dir, RefreshFlag))
 
   // -------------------------------------------------------------------
+  // V8 — archive a run directory
+  // -------------------------------------------------------------------
+
+  /** V8: zip every regular file under `dir` (relative paths preserved,
+    * entries sorted for a deterministic archive) into `zipPath` — the
+    * reference's end-of-run archive step. Driver-side by design: run
+    * artifacts are metadata-scale. Returns the number of entries. */
+  def archiveRun(df: DataFrame, dir: String, zipPath: String): Int = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val hfs = fs(new Path(dir), df)
+    val base = hfs.makeQualified(new Path(dir))
+    def walk(p: Path): Seq[FileStatus] =
+      hfs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath) else Seq(st)
+      }
+    val files = walk(base).sortBy(_.getPath.toString)
+    val out = new java.util.zip.ZipOutputStream(
+      hfs.create(new Path(zipPath), true))
+    try {
+      files.foreach { st =>
+        val rel = base.toUri.relativize(st.getPath.toUri).getPath
+        val entry = new java.util.zip.ZipEntry(rel)
+        entry.setTime(0L) // deterministic archive bytes
+        out.putNextEntry(entry)
+        val in = hfs.open(st.getPath)
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        out.closeEntry()
+      }
+    } finally out.close()
+    files.length
+  }
+
+  // -------------------------------------------------------------------
   // V7 — deployment metadata + summary report
   // -------------------------------------------------------------------
 

@@ -144,6 +144,28 @@ class ArtifactsSpec extends SparkSpecBase {
     assert(!Artifacts.shouldSkip(df, dir), "deletes alone are work")
   }
 
+  test("archiveRun zips a run directory deterministically") {
+    val dir = tmpDir()
+    Files.createDirectories(Paths.get(dir, "sub"))
+    Files.write(Paths.get(dir, "a.json"), "[1,2]".getBytes)
+    Files.write(Paths.get(dir, "sub", "b.csv"), "x,y\n1,2\n".getBytes)
+    val zip1 = s"$dir-run1.zip"
+    val zip2 = s"$dir-run2.zip"
+    assert(Artifacts.archiveRun(df, dir, zip1) == 2)
+    assert(Artifacts.archiveRun(df, dir, zip2) == 2)
+    val b1 = Files.readAllBytes(Paths.get(zip1))
+    assert(b1.sameElements(Files.readAllBytes(Paths.get(zip2))),
+      "archive must be byte-deterministic")
+    val zf = new java.util.zip.ZipFile(zip1)
+    try {
+      import scala.jdk.CollectionConverters._
+      val entries = zf.entries().asScala.map(_.getName).toSet
+      assert(entries == Set("a.json", "sub/b.csv"))
+      val in = zf.getInputStream(zf.getEntry("sub/b.csv"))
+      assert(new String(in.readAllBytes(), "UTF-8") == "x,y\n1,2\n")
+    } finally zf.close()
+  }
+
   test("deployment metadata: counts, hashes, delete query, status") {
     val meta = Artifacts.deploymentMetadata(df, df.limit(2),
       "2026-08-12_00-00-00", Seq("srcA", "srcB"))
