@@ -72,6 +72,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch, "streaming session_window != batch gap rule")
   }
 
+  test("upsert propagates a corrupt master instead of replacing it") {
+    import spark.implicits._
+    // an existing-but-unreadable master must FAIL the batch — the old
+    // behavior silently substituted an empty frame and overwrote the
+    // master with just the batch's rows
+    val masterPath = tmp("master-corrupt") + "/m"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(masterPath))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(masterPath, "part-00000.parquet"),
+      "not a parquet file".getBytes)
+    val updatesDir = tmp("updates-corrupt")
+    Seq((1L, "new")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(updatesDir)
+    val stream = StreamingRefresh.parquetStream(spark, updatesDir,
+      spark.read.parquet(updatesDir).schema)
+    intercept[Exception] {
+      StreamingRefresh.upsertStream(stream, "id", masterPath, tmp("ckpt3"))
+    }
+    // the corrupt master is untouched — no silent replacement
+    val left = new java.io.File(masterPath).listFiles().map(_.getName).toSet
+    assert(left.contains("part-00000.parquet"))
+  }
+
   test("foreachBatch upsert replaces master rows by key") {
     import spark.implicits._
     val masterPath = tmp("master") + "/m"
