@@ -142,7 +142,10 @@ object Artifacts {
         hfs.delete(dst, false)
         if (!hfs.rename(tmpOut, dst))
           throw new java.io.IOException(s"rename $tmpOut -> $dst failed")
-      } finally hfs.delete(tmp, true)
+      } finally {
+        hfs.delete(tmp, true)
+        hfs.delete(new Path(dst.getParent, s".${dst.getName}.publishing"), false)
+      }
     }
   }
 
