@@ -67,12 +67,17 @@ final class DeterministicEnricher(val embeddingDims: Int = 64) extends Enricher 
     h
   }
 
+  // zero-padded so tags are ALWAYS 8 hex chars (unpadded toHexString
+  // shrinks on leading-zero hashes, which would break length-based
+  // oracles with ~2^-36 probability per value)
+  private def tag8(h: Long): String = f"$h%016x".take(8)
+
   override def chapterSegmentSummary(segment: String, prevSummary: Option[String],
       isFinal: Boolean): String = {
     val head = firstSentences(segment, 2)
     val carry = prevSummary.map(p => firstSentences(p, 1) + " ").getOrElse("")
     val tag = if (isFinal) "FINAL" else "PART"
-    s"[$tag ${java.lang.Long.toHexString(h64(segment)).take(8)}] $carry$head"
+    s"[$tag ${tag8(h64(segment))}] $carry$head"
   }
 
   override def sectionSummary(sectionContent: String, chapterSummary: String,
@@ -85,7 +90,7 @@ final class DeterministicEnricher(val embeddingDims: Int = 64) extends Enricher 
   override def describeDocument(documentContent: String): (String, String) = {
     val head = firstSentences(documentContent, 3)
     (s"Description: $head",
-      s"Usage: reference document ${java.lang.Long.toHexString(h64(documentContent)).take(8)}")
+      s"Usage: reference document ${tag8(h64(documentContent))}")
   }
 
   override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
@@ -109,8 +114,7 @@ final class DeterministicEnricher(val embeddingDims: Int = 64) extends Enricher 
 
   override def visionAnalyze(passName: String, prompt: String,
       image: Array[Byte]): String = {
-    val tag = java.lang.Long.toHexString(
-      h64b(image) ^ h64(passName) ^ h64(prompt)).take(8)
+    val tag = tag8(h64b(image) ^ h64(passName) ^ h64(prompt))
     s"[$passName $tag] ${image.length} bytes analyzed"
   }
 

@@ -65,9 +65,13 @@ object EnrichStages {
         val out = scala.collection.mutable.ArrayBuffer[SectionRecord]()
         val previous = scala.collection.mutable.ArrayBuffer[String]()
         ordered.foreach { s =>
-          val segments =
-            Segmenter.segmentSection(s.section_content, tokenLimit, tokenBuffer)
-          val generated = segments.zipWithIndex.foldLeft("") {
+          // the reference's empty-content guard (stage_02:1396-1407):
+          // blank sections get the default summary, no model call
+          val generated = if (s.section_content == null ||
+              s.section_content.trim.isEmpty)
+            s"Section covering ${s.section_title}"
+          else Segmenter.segmentSection(s.section_content, tokenLimit,
+            tokenBuffer).zipWithIndex.foldLeft("") {
             case (acc, (seg, i)) =>
               val ctx = if (i == 0) previous.toSeq
                 else previous.toSeq :+ s"Previous segment summary: $acc"

@@ -52,6 +52,15 @@ object MasterUpsert {
     * acts. `orderCols` must be a total order for run-to-run determinism
     * (ties would make the rank among tied rows partition-dependent — true
     * of any rank formulation).
+    *
+    * NOTE: zipWithIndex runs its count job when this method is CALLED, so
+    * constructing the frame already evaluates `fresh` once (plan dumps and
+    * tests pay that too). This is deliberate: the fully-lazy alternative
+    * (row_number per spark_partition_id + a counts-offset join) references
+    * the range exchange from two plan branches and is only correct if
+    * exchange reuse fires — a silent-wrong-ids hazard if boundaries
+    * diverge — whereas the single-lineage zipWithIndex cannot disagree
+    * with itself.
     */
   def assignIds(existing: DataFrame, fresh: DataFrame,
       orderCols: Seq[String]): DataFrame = {

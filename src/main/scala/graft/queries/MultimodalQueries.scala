@@ -78,9 +78,16 @@ object MultimodalQueries extends QueryModule {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
-    graft.ops.BinaryDocs.mergeGroups(
+    val merged = graft.ops.BinaryDocs.mergeGroups(
       graft.ops.BinaryDocs.splitPages(docs), Seq("doc_id"))
-      .select(col("doc_id"), col("n_pages"), md5(col("merged")).as("content_fp"))
+    // empty documents produce zero pages (nothing to merge) but must not
+    // vanish from the round-trip report: 0 pages, hash of empty content
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    docs.toDF("doc_id", "payload").select(col("doc_id"))
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pages"), lit(0)).as("n_pages"),
+        coalesce(md5(col("merged")), lit(emptyMd5)).as("content_fp"))
       .orderBy(col("doc_id"))
   }
 

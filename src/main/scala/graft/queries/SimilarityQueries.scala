@@ -41,13 +41,19 @@ object SimilarityQueries extends QueryModule {
   /** Embedding near-dup candidate pairs at cosine ≥ 0.35: LSH-bucketed
     * candidates, exact-verified — the scale path (no all-pairs cross
     * join). The DuckDB oracle rebuilds the identical md5-derived buckets,
-    * so the result is value-checked end to end. */
+    * so the result is value-checked end to end.
+    *
+    * 32 tables × 4 planes: at this low threshold (θ≈69°, p≈0.61) the
+    * default 8 tables would drop ~25% of qualifying pairs; 32 gives
+    * per-pair recall ≥0.99 at 0.35 and higher above it (PipelineSpec
+    * measures ≥0.95 against the exact all-pairs result). At true
+    * near-dup thresholds (≥0.85) 8 tables suffice — T is the knob. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairsBucketed(Tables.embeddings(spark, dir), 0.35,
       numTables = Tables_, planesPerTable = Planes_)
       .orderBy(col("vec_a"), col("vec_b"))
 
-  private val Tables_ = 8
+  private val Tables_ = 32
   private val Planes_ = 4
 
   /** Label-centroid similarity: mean vector per label, then each label's

@@ -97,10 +97,12 @@ object Artifacts {
   }
 
   /** S4: publish `df` as ONE pretty-printed JSON array (2-space indent,
-    * rows in `orderCols` order — the reference's `json.dumps(list,
-    * indent=2)` contract). The distributed plan writes ordered NDJSON to a
-    * temp dir; the part file is then STREAMED through Jackson row by row,
-    * so driver memory stays O(row), not O(table). */
+    * `"key": value` separators, nulls kept, rows in `orderCols` order —
+    * the shape of the reference's `json.dumps(list, indent=2)` stage
+    * artifacts; key order follows the schema rather than dict insertion).
+    * The distributed plan writes ordered NDJSON to a temp dir; the part
+    * file is then STREAMED through Jackson row by row, so driver memory
+    * stays O(row), not O(table). */
   def writeJsonArray(df: DataFrame, orderCols: Seq[String], target: String,
       maxRetries: Int = 3, sleep: Int => Unit = _ => ()): Unit = {
     import org.apache.spark.sql.functions.col
@@ -111,13 +113,23 @@ object Artifacts {
         s".${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
       try {
         df.orderBy(orderCols.map(col): _*).coalesce(1)
-          .write.mode("overwrite").json(tmp.toString)
+          .write.option("ignoreNullFields", false) // python json keeps nulls
+          .mode("overwrite").json(tmp.toString)
         val part = hfs.listStatus(tmp)
           .map(_.getPath).find(_.getName.startsWith("part-"))
           .getOrElse(throw new java.io.IOException(s"no part file in $tmp"))
         hfs.mkdirs(dst.getParent)
         val mapper = new ObjectMapper
-        val writer = mapper.writerWithDefaultPrettyPrinter()
+        // python-style separators: '"key": value', not Jackson's ' : '
+        val seps = com.fasterxml.jackson.core.util.Separators
+          .createDefaultInstance()
+          .withObjectFieldValueSpacing(
+            com.fasterxml.jackson.core.util.Separators.Spacing.AFTER)
+        val printer = new com.fasterxml.jackson.core.util.DefaultPrettyPrinter()
+          .withSeparators(seps)
+        printer.indentArraysWith(com.fasterxml.jackson.core.util
+          .DefaultIndenter.SYSTEM_LINEFEED_INSTANCE)
+        val writer = mapper.writer(printer)
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(hfs.open(part), "UTF-8"))
         val tmpOut = new Path(dst.getParent, s".${dst.getName}.publishing")
@@ -249,9 +261,9 @@ object Artifacts {
   def contentHash(df: DataFrame): String = {
     import org.apache.spark.sql.functions._
     val cols = df.columns.toIndexedSeq.map(c =>
-      coalesce(col(c).cast("string"), lit(" ")))
+      coalesce(col(c).cast("string"), lit("\u0000")))
     val row = df.select(
-      conv(substring(md5(concat_ws("", cols: _*)), 1, 8), 16, 10)
+      conv(substring(md5(concat_ws("\u0001", cols: _*)), 1, 8), 16, 10)
         .cast("long").as("h"))
       .agg(coalesce(sum(col("h")), lit(0L)).as("s"),
         count(lit(1)).as("n")).collect()(0)

@@ -27,7 +27,11 @@ object JdbcVectorSink {
     * are interpolated into DDL/DML — reject anything that would need
     * quoting games. */
   private[sources] def ident(name: String): String = {
-    require(name.split('.').forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+    // split with -1: trailing dots must yield an (invalid) empty segment
+    // rather than being silently discarded
+    val parts = name.split("\\.", -1)
+    require(parts.nonEmpty &&
+      parts.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
       s"unsafe SQL identifier: '$name'")
     name
   }

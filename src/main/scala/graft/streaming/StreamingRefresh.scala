@@ -88,15 +88,36 @@ object StreamingRefresh {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val masterDir = new Path(masterPath)
         val fs = masterDir.getFileSystem(spark.sessionState.newHadoopConf())
+        val parent = masterDir.getParent
+        val oldPrefix = s"${masterDir.getName}.old-"
+        // crash recovery: a previous run may have died between the two
+        // renames (master moved aside, replacement not yet published) —
+        // restore the moved-aside master instead of treating the batch as
+        // a first-batch bootstrap, which would silently drop all history.
+        // Leftover .old-*/.tmp-* dirs from completed or failed attempts
+        // are cleared so a retried batch id can rename cleanly.
+        val stale =
+          (if (fs.exists(parent)) fs.listStatus(parent).map(_.getPath)
+           else Array.empty[Path])
+            .filter(p => p.getName.startsWith(oldPrefix) ||
+              p.getName.startsWith(s"${masterDir.getName}.tmp-"))
+        stale.find(p => p.getName.startsWith(oldPrefix) &&
+            !fs.exists(masterDir))
+          .foreach { orphan =>
+            if (!fs.rename(orphan, masterDir))
+              throw new java.io.IOException(
+                s"cannot restore orphaned master $orphan")
+          }
+        stale.filter(fs.exists(_)).foreach(fs.delete(_, true))
+
         val exists = fs.exists(masterDir)
         val master =
           if (exists) spark.read.parquet(masterPath)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val merged = graft.ops.DbExport.replaceByKey(master, batch, keyCol)
-        val parent = masterDir.getParent
         val tmp = new Path(parent, s"${masterDir.getName}.tmp-$batchId")
-        val old = new Path(parent, s"${masterDir.getName}.old-$batchId")
+        val old = new Path(parent, s"$oldPrefix$batchId")
         merged.write.mode("overwrite").parquet(tmp.toString)
         if (exists && !fs.rename(masterDir, old))
           throw new java.io.IOException(s"cannot move aside $masterDir")

@@ -222,6 +222,13 @@ class PipelineSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bucketed.subsetOf(exact), "bucketed found a pair all-pairs did not")
     assert(bucketed.nonEmpty)
+    // at the delivered query's table count, recall vs exact must be high
+    // even at this low threshold
+    val wide = Similarity.cosinePairsBucketed(emb, 0.35, numTables = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.subsetOf(exact))
+    val recall = wide.size.toDouble / exact.size
+    assert(recall >= 0.95, s"32-table recall $recall too low at 0.35")
     // planted near-identical vectors (cos ≈ 1): recall must be 1 at a real
     // near-dup threshold — the angle is tiny so every table agrees
     val rng = new scala.util.Random(7)

@@ -34,5 +34,11 @@ class JdbcVectorSinkSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       JdbcVectorSink.castInsertSql(t, Seq("good_col", "bad col"))
     }
+    intercept[IllegalArgumentException] {
+      JdbcVectorSink.clearSql(t.copy(table = "public."))
+    }
+    intercept[IllegalArgumentException] {
+      JdbcVectorSink.clearSql(t.copy(table = ""))
+    }
   }
 }
