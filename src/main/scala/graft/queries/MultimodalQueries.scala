@@ -105,26 +105,71 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("row_id"))
   }
 
+  /** The vision-catalog pipeline end to end (`catalog search - vision`
+    * stages 2→3): document blob → per-page split → six vision passes +
+    * markdown synthesis per page → ordered markdown merge → catalog
+    * describe + embed. The oracle reconstructs page counts and the TOTAL
+    * synthesized markdown length across all pages (page-number digits and
+    * last-page byte counts included) purely from the source bytes —
+    * a value check across four composed stages. */
+  def visionCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val enricher = new graft.enrich.DeterministicEnricher(64)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val pages = graft.ops.BinaryDocs.splitPages(docs)
+      .select(col("doc_id"), col("page_number").cast("int"), col("page"))
+      .as[(Long, Int, Array[Byte])]
+    val md = graft.ops.EnrichStages.visionPages(pages, enricher)
+      .toDF("doc_id", "page_number", "markdown", "n_passes")
+    val perDoc = md.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_pages"),
+        sum(length(col("markdown"))).as("total_md_len"),
+        array_join(
+          sort_array(collect_list(struct(col("page_number"), col("markdown"))))
+            .getField("markdown"), "\n\n").as("document_md"))
+    val described = graft.ops.EnrichStages.describeDocuments(
+      perDoc.select(col("doc_id"), col("document_md")).as[(Long, String)],
+      enricher)
+      .toDF("doc_id", "description", "usage", "desc_vec", "usage_vec")
+      .select(col("doc_id"), size(col("desc_vec")).as("desc_dims"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc.drop("document_md"), Seq("doc_id"), "left")
+      .join(described, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pages"), lit(0)).as("n_pages"),
+        coalesce(col("total_md_len"), lit(0L)).cast("long").as("total_md_len"),
+        col("desc_dims"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> features,
     "q_media_audit" -> mediaAudit,
     "q_vision_markdown" -> visionMarkdown,
     "q_binary_split_merge" -> binarySplitMerge,
-    "q_row_render" -> rowRender)
+    "q_row_render" -> rowRender,
+    "q_vision_catalog" -> visionCatalog)
 
   /** The synthesized markdown rebuilt in SQL with a fixed-width tag
     * placeholder — structure (headers, separators, byte-count digits) is
     * real recomputation; only the 8-hex content tag is shape-pinned. */
   // single-line: the interpolation target goes through stripMargin, which
-  // would eat the leading '|' of a wrapped '||'
-  private def visionMdLenSql: String = {
+  // would eat the leading '|' of a wrapped '||'. Parameterized on the page
+  // label and byte-count expressions so single-page and per-page variants
+  // share one generator.
+  private def visionMdLen(pageExpr: String, bytesExpr: String): String = {
     val parts = graft.enrich.Prompts.visionPasses.map { case (name, _) =>
       s"chr(10) || chr(10) || '## ${name.toUpperCase.replace('_', ' ')}' || chr(10)" +
-        s" || '[$name xxxxxxxx] ' || CAST(octet_length(encode(text)) AS VARCHAR)" +
+        s" || '[$name xxxxxxxx] ' || CAST($bytesExpr AS VARCHAR)" +
         " || ' bytes analyzed'"
     }.mkString(" || ")
-    s"length('# Page 1' || $parts)"
+    s"length('# Page ' || CAST($pageExpr AS VARCHAR) || $parts)"
   }
+
+  private def visionMdLenSql: String =
+    visionMdLen("1", "octet_length(encode(text))")
 
   override def oracle: Map[String, String] = Map(
     // n_items/invalid_items/total_bytes recomputed (kind dispatch, the
@@ -151,6 +196,29 @@ object MultimodalQueries extends QueryModule {
         |  CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER) AS n_pages,
         |  md5(text) AS content_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // four composed stages value-checked: ceil-split page counts, per-page
+    // synthesized-markdown lengths (256-byte pages, variable last page,
+    // page-number digits) summed per document, embedding materialization
+    "q_vision_catalog" -> {
+      val mdLen = visionMdLen("pg",
+        "CASE WHEN pg < n_pages THEN 256 ELSE n - (n_pages - 1) * 256 END")
+      s"""WITH d AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+         |), p AS (
+         |  SELECT doc_id, n, CAST(ceil(n / 256.0) AS INTEGER) AS n_pages FROM d
+         |), pg AS (
+         |  SELECT doc_id, n, n_pages,
+         |    unnest(generate_series(1, n_pages)) AS pg
+         |  FROM p WHERE n_pages > 0
+         |), lens AS (
+         |  SELECT doc_id, SUM($mdLen) AS s FROM pg GROUP BY doc_id
+         |)
+         |SELECT p.doc_id, p.n_pages,
+         |  CAST(COALESCE(l.s, 0) AS BIGINT) AS total_md_len,
+         |  CASE WHEN p.n_pages = 0 THEN NULL ELSE 64 END AS desc_dims
+         |FROM p LEFT JOIN lens l ON l.doc_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin
+    },
     // the rendered document rebuilt field-for-field in SQL
     "q_row_render" ->
       """WITH rendered AS (
