@@ -34,7 +34,10 @@ object Multimodal {
   /** STUB decoder: real codecs are unavailable in this environment.
     * Deterministic pure function of the bytes — stands in for
     * image-decode / resample / frame-sample so the pipeline shape is
-    * testable end to end. */
+    * testable end to end. Metadata derives from the first 32 bits of the
+    * payload's md5 (the engine's portable-hash pattern), so any engine —
+    * including the DuckDB oracle — rebuilds widths/heights/durations
+    * bit-for-bit. */
   object StubDecoder extends MediaDecoder {
     private def h64(b: Array[Byte]): Long = {
       var h = 0xcbf29ce484222325L
@@ -42,15 +45,20 @@ object Multimodal {
       while (i < b.length) { h ^= b(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
       h
     }
+    /** First 8 md5 hex digits as a non-negative long (∈ [0, 2^32)). */
+    private def h32(b: Array[Byte]): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+      d.take(4).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+    }
     override def decode(kind: String, bytes: Array[Byte]): MediaMeta = {
       if (bytes == null || bytes.isEmpty) return MediaMeta(kind, 0, 0, 0L, valid = false)
-      val h = h64(bytes)
+      val h = h32(bytes)
       kind match {
-        case "image" => MediaMeta(kind, (math.abs(h) % 1920 + 64).toInt,
-          (math.abs(h >> 16) % 1080 + 64).toInt, 0L, valid = true)
-        case "audio" => MediaMeta(kind, 0, 0, math.abs(h) % 600000 + 1000, valid = true)
-        case "video" => MediaMeta(kind, (math.abs(h) % 1920 + 64).toInt,
-          (math.abs(h >> 16) % 1080 + 64).toInt, math.abs(h >> 24) % 600000 + 1000,
+        case "image" => MediaMeta(kind, (h % 1920 + 64).toInt,
+          (h / 1920 % 1080 + 64).toInt, 0L, valid = true)
+        case "audio" => MediaMeta(kind, 0, 0, h % 600000 + 1000, valid = true)
+        case "video" => MediaMeta(kind, (h % 1920 + 64).toInt,
+          (h / 1920 % 1080 + 64).toInt, h / 7 % 600000 + 1000,
           valid = true)
         case _ => MediaMeta(kind, 0, 0, 0L, valid = false)
       }

@@ -24,7 +24,8 @@ object MultimodalQueries extends QueryModule {
       .as[(Long, String, Array[Byte])]
   }
 
-  /** Decode + feature-extract; per-item inventory. */
+  /** Decode + feature-extract; per-item inventory. The stub decoder's
+    * metadata is md5-derived, so every cell is recomputed by the oracle. */
   def features(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extract(media(spark, dir))
       .select(col("media_id"), col("kind"), col("width"), col("height"),
@@ -172,6 +173,30 @@ object MultimodalQueries extends QueryModule {
     visionMdLen("1", "octet_length(encode(text))")
 
   override def oracle: Map[String, String] = Map(
+    // every cell recomputed: kind dispatch, md5-derived stub metadata,
+    // empty-payload invalidity, byte lengths, fixed feature dims
+    "q_media_features" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |    octet_length(encode(text)) AS nb,
+        |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, kind,
+        |  CAST(CASE WHEN nb = 0 THEN 0
+        |    WHEN kind IN ('image', 'video') THEN h % 1920 + 64
+        |    ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN nb = 0 THEN 0
+        |    WHEN kind IN ('image', 'video') THEN (h // 1920) % 1080 + 64
+        |    ELSE 0 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN nb = 0 THEN 0
+        |    WHEN kind = 'audio' THEN h % 600000 + 1000
+        |    WHEN kind = 'video' THEN (h // 7) % 600000 + 1000
+        |    ELSE 0 END AS BIGINT) AS duration_ms,
+        |  nb > 0 AS valid,
+        |  CASE WHEN nb = 0 THEN NULL ELSE 32 END AS dims,
+        |  CAST(nb AS INTEGER) AS n_bytes
+        |FROM d ORDER BY media_id""".stripMargin,
     // n_items/invalid_items/total_bytes recomputed (kind dispatch, the
     // empty-payload validity rule, UTF-8 byte length); dim/norm violations
     // are structural invariants of the extractor — pinned at zero.
