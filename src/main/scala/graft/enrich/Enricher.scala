@@ -89,8 +89,13 @@ final class DeterministicEnricher(val embeddingDims: Int = 64) extends Enricher 
 
   override def describeDocument(documentContent: String): (String, String) = {
     val head = firstSentences(documentContent, 3)
+    // md5-derived tag (portable-hash pattern): any engine, including the
+    // DuckDB oracle, reproduces the usage string bit-for-bit
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(documentContent.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(8)
     (s"Description: $head",
-      s"Usage: reference document ${tag8(h64(documentContent))}")
+      s"Usage: reference document $md5hex")
   }
 
   override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =

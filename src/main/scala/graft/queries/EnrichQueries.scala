@@ -177,11 +177,36 @@ object EnrichQueries extends QueryModule {
     "q_enrich_catalog_descriptions" -> catalogDescriptions,
     "q_enrich_cost_report" -> costReport)
 
-  // Only the CDC + sequential-id shape is SQL-expressible (the enricher
-  // text flows are checked by parity/specs and ride in the rows-only
-  // queries above); q_catalog_master's mirror reproduces the master/fresh
-  // split, the max(id) + rank-by-file_name mint, and the union.
+  // The deterministic enricher's catalog outputs are md5-derived and its
+  // extractive head is regular, so q_enrich_catalog_descriptions is fully
+  // mirrorable: DuckDB rebuilds the description (first-3-sentences over
+  // whitespace-collapsed text, via a lazy RE2 pattern — no lookbehind) and
+  // the usage tag, then compares lengths, dims, and the md5 fingerprint.
+  // The chapter/section summary flows stay rows-only (multi-layer folds
+  // over segmented, tag-embedded text); q_catalog_master's mirror
+  // reproduces the master/fresh split, the max(id) + rank-by-file_name
+  // mint, and the union.
+  private val catalogDescSql: String = {
+    val first3 =
+      "CASE WHEN regexp_extract(coll, '^(.*?[.!?] .*?[.!?] .*?[.!?])(?: |$)', 1) <> '' " +
+        "THEN regexp_extract(coll, '^(.*?[.!?] .*?[.!?] .*?[.!?])(?: |$)', 1) ELSE coll END"
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(trim(text), '\\s+', ' ', 'g') AS coll
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    'Description: ' || $first3 AS descr,
+       |    'Usage: reference document ' || substr(md5(text), 1, 8) AS usg
+       |  FROM c)
+       |SELECT doc_id, length(descr) AS desc_len, length(usg) AS usage_len,
+       |  64 AS desc_dims, 64 AS usage_dims,
+       |  md5(descr || '|' || usg) AS fp
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q_enrich_catalog_descriptions" -> catalogDescSql,
     "q_catalog_master" ->
       """WITH d AS (
         |  SELECT doc_id,
