@@ -37,8 +37,17 @@ object Sections {
     * (≤200-char lookback, whitespace-only between tag and heading); intro
     * text before the first heading becomes its own section pinned to
     * start page 1. */
+  // one compiled pattern per heading level — this runs per chapter per
+  // recursion level, and per-call Regex compilation was the hot spot in
+  // the sectioning stage
+  private val headingPatterns: Array[Regex] =
+    Array.tabulate(8)(l =>
+      new Regex(s"(?m)^(#{${math.max(l, 1)}})\\s+(.+)$$"))
+
   def splitByHeadingLevel(content: String, level: Int, parentTitle: String = ""): Seq[Section] = {
-    val pattern = new Regex(s"(?m)^(#{$level})\\s+(.+)$$")
+    val pattern =
+      if (level >= 1 && level < headingPatterns.length) headingPatterns(level)
+      else new Regex(s"(?m)^(#{$level})\\s+(.+)$$")
     val matches = pattern.findAllMatchIn(content).toSeq
 
     def meta(c: String): (Option[Int], Option[Int], Int) = PageTags.extractMetadata(c)
