@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.model.{ChunkRecord, PageRecord, SectionRecord}
-import graft.text.{Chunker, PageTags, Sections, Tokens}
+import graft.text.{Chunker, PageTags, Sections}
 
 /** The semantic document pipeline as Dataset transforms (SURVEY §3.1).
   *
@@ -95,7 +95,7 @@ object DocPipeline {
     val spark = sections.sparkSession
     import spark.implicits._
     sections.flatMap { s =>
-      Chunker.chunk(s.section_content, cfg).zipWithIndex.map { case (c, i) =>
+      Chunker.chunkWithTokens(s.section_content, cfg).zipWithIndex.map { case ((c, tok), i) =>
         ChunkRecord(
           document_id = s.document_id,
           filename = s.filename,
@@ -115,7 +115,7 @@ object DocPipeline {
           chunk_end_page = None,
           chunk_start_reference = "",
           chunk_end_reference = "",
-          chunk_token_count = Tokens.estimateB(c),
+          chunk_token_count = tok,
           chunk_content = c)
       }
     }

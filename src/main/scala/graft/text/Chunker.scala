@@ -79,30 +79,43 @@ object Chunker {
       candidates.minBy(b => (b.priority, math.abs(b.position - idealEnd))).position
   }
 
-  /** Chunk a section's content; returns the chunk texts, numbered 1.. by
-    * position in the sequence. Empty content → no chunks. */
-  def chunk(content: String, cfg: Config = Config()): Seq[String] = {
+  /** Chunk a section's content; returns (chunk text, estimator-B token
+    * count) pairs, positionally ordered. Empty content → no chunks.
+    *
+    * The reference rescans the remaining text with the token regex on
+    * every cut; a TokenSpans index (one regex pass) answers each
+    * remaining/slice estimate with bit-identical arithmetic, turning the
+    * per-section cost from O(chunks × length) into O(length). The counts
+    * equal `Tokens.estimateB` of each chunk exactly (TokenSpansSpec).
+    */
+  def chunkWithTokens(content: String, cfg: Config = Config()): Seq[(String, Int)] = {
     if (content == null || content.isEmpty) return Nil
-    if (Tokens.estimateB(content) <= cfg.maxTokens) return Seq(content)
+    val spans = TokenSpans(content)
+    val totalTokens = spans.estimateBFrom(0)
+    if (totalTokens <= cfg.maxTokens) return Seq((content, totalTokens))
 
     val zones = protectedZones(content)
     val breaks = breakPoints(content, zones)
     val targetTokens = (cfg.minTokens + cfg.maxTokens) / 2
 
-    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int)]()
     var pos = 0
     var continue = true
     while (continue && pos < content.length) {
-      val remaining = content.substring(pos)
-      if (Tokens.estimateB(remaining) <= cfg.maxTokens) {
-        out += remaining
+      val remainingTokens = spans.estimateBFrom(pos)
+      if (remainingTokens <= cfg.maxTokens) {
+        out += ((content.substring(pos), remainingTokens))
         continue = false
       } else {
         val breakPos = findBestBreak(content, pos, targetTokens, breaks, zones, cfg)
-        out += content.substring(pos, breakPos)
+        out += ((content.substring(pos, breakPos), spans.estimateB(pos, breakPos)))
         pos = breakPos
       }
     }
     out.toSeq
   }
+
+  /** Chunk texts only (parity surface used by the golden suite). */
+  def chunk(content: String, cfg: Config = Config()): Seq[String] =
+    chunkWithTokens(content, cfg).map(_._1)
 }

@@ -31,7 +31,7 @@ object Tokens {
     math.max(minTokens, math.min(est, maxTokens))
   }
 
-  private val wordRe = """\b\w+\b|[^\w\s]""".r
+  private[text] val wordRe = """\b\w+\b|[^\w\s]""".r
 
   /** T2: word-weighted estimator (pure). */
   def estimateB(text: String): Int = {
