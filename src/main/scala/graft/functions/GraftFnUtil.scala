@@ -1,0 +1,104 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local kernels behind the native Catalyst expressions. All of them
+  * are called from whole-stage-generated Java (Scala objects expose static
+  * forwarders), so each must be a pure static function of its arguments.
+  *
+  * Hash portability contract (shared with `graft.ops.Dedup` and the DuckDB
+  * oracles): h32(s) = first 8 hex digits of md5(s) as an unsigned int —
+  * i.e. the first 4 digest bytes big-endian. MinHash permutations are
+  * h_i(x) = (a_i·x + b_i) mod P with the same a/b/P constants as
+  * `Dedup.permA/permB/P`, so a per-row signature is bit-identical to the
+  * explode + groupBy(min) formulation it replaces (min and ±1 bit sums are
+  * order-independent — that is WHY these are per-row computable at all).
+  */
+object GraftFnUtil {
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val wsPattern = Pattern.compile("\\s+")
+
+  /** First 4 md5 bytes of the UTF-8 encoding, as an unsigned 32-bit value.
+    * ≡ Spark `conv(substring(md5(s),1,8),16,10)` ≡ DuckDB
+    * `CAST('0x'||substr(md5(s),1,8) AS BIGINT)`. */
+  def h32(b: Array[Byte]): Long = {
+    val d = mdLocal.get()
+    d.reset()
+    val out = d.digest(b)
+    ((out(0) & 0xffL) << 24) | ((out(1) & 0xffL) << 16) |
+      ((out(2) & 0xffL) << 8) | (out(3) & 0xffL)
+  }
+
+  /** Distinct word n-gram shingles; the whole text when shorter than n
+    * words. Split semantics = Java regex `\s+` with limit -1, matching both
+    * the former compiled-UDF form and Spark's `split` builtin. */
+  def shingleStrings(t: String, n: Int): Array[String] = {
+    val w = wsPattern.split(t, -1)
+    if (w.length < n) Array(t)
+    else w.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
+
+  def shingles(t: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(
+      shingleStrings(t.toString, n).map(UTF8String.fromString): Array[AnyRef])
+
+  /** MinHash signature of the distinct 3-word shingles: per permutation i,
+    * min over shingles of (a_i·h32 + b_i) mod P. Single pass, no shuffle. */
+  def minhashSig(t: UTF8String, numPerms: Int): ArrayData = {
+    val sh = shingleStrings(t.toString, 3)
+    val hs = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { hs(i) = h32(sh(i).getBytes(UTF_8)); i += 1 }
+    val out = new Array[Long](numPerms)
+    val P = graft.ops.Dedup.P
+    var p = 0
+    while (p < numPerms) {
+      val a = graft.ops.Dedup.permA(p)
+      val b = graft.ops.Dedup.permB(p)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = (a * hs(j) + b) % P
+        if (v < m) m = v
+        j += 1
+      }
+      out(p) = m
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 32-bit term-frequency-weighted SimHash over whitespace tokens: bit j
+    * is 1 iff the sum over tokens of (±1 by bit j of h32(token)) is
+    * positive. Single pass, no explode, no shuffle. */
+  def simhash32(t: UTF8String): Long = {
+    val toks = wsPattern.split(t.toString, -1)
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      val h = h32(toks(i).getBytes(UTF_8))
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < 32) { if (counts(j) > 0) v |= 1L << j; j += 1 }
+    v
+  }
+
+  /** Estimator-B token count (graft.text.Tokens.estimateB) for codegen. */
+  def tokenEstB(t: UTF8String): Int = graft.text.Tokens.estimateB(t.toString)
+}

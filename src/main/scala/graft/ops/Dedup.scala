@@ -25,23 +25,15 @@ object Dedup {
 
   /** Distinct word n-gram shingles; whole text when shorter than n words.
     *
-    * Implemented as a compiled Scala UDF: the equivalent nested
-    * higher-order-function expression is interpreted per element and
-    * measured 12x slower (8.1s vs 0.7s for a 260k-shingle explode at
-    * sf0.1). Split uses limit -1 to match Spark's `split` / DuckDB's
-    * `regexp_split_to_array` empty-string semantics — the oracle computes
-    * the same grams. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val f = udf((t: String) => {
-      if (t == null) Array.empty[String]
-      else {
-        val w = t.split("\\s+", -1)
-        if (w.length < n) Array(t)
-        else w.sliding(n).map(_.mkString(" ")).toArray.distinct
-      }
-    })
-    f(text)
-  }
+    * A native codegen'd expression (graft.functions.WordShingles): the
+    * equivalent nested higher-order-function expression is interpreted per
+    * element and measured 12x slower (8.1s vs 0.7s for a 260k-shingle
+    * explode at sf0.1); the native form also drops the former compiled
+    * UDF's encoder round-trip. Split uses limit -1 to match Spark's
+    * `split` / DuckDB's `regexp_split_to_array` empty-string semantics —
+    * the oracle computes the same grams. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.GraftFunctions.shingles(text, n)
 
   /** MinHash permutation constants: h_i(x) = (a_i*x + b_i) mod P.
     * a_i stays small so a_i * h32 < 2^63 (no overflow in long math). */
@@ -50,15 +42,18 @@ object Dedup {
   def permB(i: Int): Long = 1000003L * i + 12345
 
   /** MinHash signature: one row per id with columns m0..m{k-1}.
-    * One explode + one groupBy(id) with k partial-min aggregates. */
+    *
+    * Computed PER ROW by a native expression (one pass over the text's
+    * shingles — min is order-independent, so the former explode +
+    * groupBy(partial-min) plan is equivalent but paid a full shuffle of
+    * every shingle row; at 100 TB that shuffle IS the job. This form runs
+    * at scan speed with zero exchanges and identical output. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 8): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
-      .withColumn("h", h32(col("shingle")))
-    val aggs = (0 until numPerms).map(i =>
-      min((lit(permA(i)) * col("h") + lit(permB(i))) % lit(P)).as(s"m$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = df.select(col(idCol),
+      graft.functions.GraftFunctions.minhashSig(col(textCol), numPerms).as("_sig"))
+    sig.select(col(idCol) +:
+      (0 until numPerms).map(i => col("_sig").getItem(i).as(s"m$i")): _*)
   }
 
   /** LSH candidate pairs from a signature frame: bands of `rowsPerBand`
@@ -90,18 +85,15 @@ object Dedup {
 
   /** 32-bit SimHash over whitespace tokens (term-frequency weighted):
     * bit j of the result is 1 iff sum over token occurrences of
-    * (±1 by bit j of h32(token)) is positive. One explode + one groupBy. */
-  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("tok"))
-      .withColumn("h", h32(col("tok")))
-    val bitSums = (0 until 32).map(j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
-    val agg = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val value = (0 until 32).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    agg.withColumn("simhash", value).select(col(idCol), col("simhash"))
-  }
+    * (±1 by bit j of h32(token)) is positive.
+    *
+    * Per-row native expression: the ±1 bit sums are order-independent, so
+    * the explode + 32-sum groupBy plan this replaces produced identical
+    * values while shuffling every token row. This is a pure projection —
+    * scan speed, zero exchanges, same bits. */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.simhash32(col(textCol)).as("simhash"))
 
   /** Hamming distance between two simhash values (POPCOUNT of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

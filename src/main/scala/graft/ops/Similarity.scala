@@ -19,13 +19,14 @@ object Similarity {
   /** Float array → double array (all cosine math in double). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** L2 norm of a double array (left-to-right fold — portable order). */
-  def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  /** L2 norm of a double array (left-to-right fold — portable order).
+    * Native codegen'd expression; Spark's `aggregate`/`zip_with` HOFs are
+    * CodegenFallback (interpreted per element), which dominated the
+    * pair-verification inner loops. Same arithmetic, same bits. */
+  def norm(v: Column): Column = graft.functions.GraftFunctions.norm(v)
 
   /** Dot product of two double arrays (left-to-right fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
 
   /** Project (id, vec float array) → (id, v double array, norm). */
   def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -57,15 +57,9 @@ object Tokens {
         least(est, floor(n / 2).cast("int"))))
   }
 
-  /** T2 as a Catalyst expression. */
-  def estimateBCol(text: Column): Column = {
-    val words = regexp_extract_all(text, lit("""\b\w+\b|[^\w\s]"""), lit(0))
-    val wordTokens = aggregate(words, lit(0.0), (acc, w) =>
-      acc + when(length(w) <= 3, lit(1.0))
-        .when(length(w) <= 7, lit(1.3))
-        .otherwise(length(w).cast("double") / 4.5))
-    val charEstimate = length(text).cast("double") / 4.0
-    when(text.isNull || length(text) === 0, 0)
-      .otherwise((wordTokens * 0.7 + charEstimate * 0.3).cast("int"))
-  }
+  /** T2 as a Catalyst expression — a native codegen'd call into the pure
+    * estimator (the former `regexp_extract_all` + `aggregate` HOF form was
+    * CodegenFallback, interpreted per row). null → 0 like the pure form. */
+  def estimateBCol(text: Column): Column =
+    coalesce(graft.functions.GraftFunctions.tokenEstimateB(text), lit(0))
 }

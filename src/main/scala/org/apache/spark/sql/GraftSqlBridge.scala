@@ -1,0 +1,33 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` surface needed by a native-expression
+  * library: Spark 4 moved `Column` onto ColumnNode and made the
+  * Expression↔Column converters (`classic.ExpressionUtils`) and the
+  * session's FunctionRegistry sql-private. Placing this one-file shim in
+  * `org.apache.spark.sql` is the standard extension-library practice
+  * (frameless, spark-daria, Sedona all ship the same bridge); everything
+  * else in the engine stays in `graft.*` and uses only this object.
+  */
+object GraftSqlBridge {
+
+  /** Wrap a Catalyst expression as a classic Column. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Unwrap a classic Column to its Catalyst expression. */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a builder in the session's function registry (runtime path;
+    * the config-time path is `graft.functions.GraftExtensions` via
+    * `spark.sql.extensions`). Idempotent: createOrReplace. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Drop a registered function (test support for install() idempotency). */
+  def dropFunction(spark: SparkSession, name: String): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+}
