@@ -20,11 +20,17 @@ object GraftSqlBridge {
 
   /** Register a builder in the session's function registry (runtime path;
     * the config-time path is `graft.functions.GraftExtensions` via
-    * `spark.sql.extensions`). Idempotent: createOrReplace. */
+    * `spark.sql.extensions`). Idempotent AND quiet: a function already
+    * registered is left alone (createOrReplace would WARN on every call —
+    * install() runs per query invocation). */
   def registerFunction(spark: SparkSession, name: String,
-      builder: Seq[Expression] => Expression): Unit =
-    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
+      builder: Seq[Expression] => Expression): Unit = {
+    val registry =
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!registry.functionExists(id))
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
 
   /** Drop a registered function (test support for install() idempotency). */
   def dropFunction(spark: SparkSession, name: String): Boolean =
