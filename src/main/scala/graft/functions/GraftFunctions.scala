@@ -58,18 +58,23 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"graft_token_est_b expects 1 argument, got ${args.length}") })
 
-  /** Runtime registration; safe to call repeatedly. */
-  def install(spark: SparkSession): Unit =
+  /** Runtime registration (functions + the MintRank planner strategy);
+    * safe to call repeatedly. */
+  def install(spark: SparkSession): Unit = {
     registry.foreach { case (name, builder) =>
       GraftSqlBridge.registerFunction(spark, name, builder)
     }
+    graft.plans.MintRank.install(spark)
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registry.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.MintRank.Strategy)
+  }
 }

@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Master-table upsert: anti-join deletes, sequential id assignment, union.
   *
@@ -43,36 +42,26 @@ object MasterUpsert {
 
   /** G11: assign ids max(existing)+1.. to `fresh` ordered by `orderCols`.
     *
-    * The global rank comes from a range-partitioned sort + zipWithIndex:
-    * its per-partition count pass is the only extra driver action, it is
-    * metadata-scale (K integers), and the sort's shuffle output is reused
-    * by the data pass (the count job's map stage shows as skipped). The
-    * max(existing id) stays a lazy broadcast scalar joined into the final
-    * plan, so the existing/master side is scanned only when the caller
-    * acts. `orderCols` must be a total order for run-to-run determinism
-    * (ties would make the rank among tied rows partition-dependent — true
-    * of any rank formulation).
+    * The global rank comes from the MintRank custom operator
+    * (graft.plans.MintRank): its exec node requires
+    * OrderedDistribution(orderCols), so the planner plants the range
+    * exchange + local sort; a metadata-scale count job prefix-sums K
+    * partition sizes on the driver; the data pass stamps
+    * `offset + local index` straight onto UnsafeRows. Identical output to
+    * the former RDD.zipWithIndex formulation but with no
+    * InternalRow→Row→InternalRow encoder round-trip, and the same
+    * single-lineage guarantee (the count job reads the exchange the data
+    * pass reuses — skipped map stages, no divergence hazard).
     *
-    * NOTE: zipWithIndex runs its count job when this method is CALLED, so
-    * constructing the frame already evaluates `fresh` once (plan dumps and
-    * tests pay that too). This is deliberate: the fully-lazy alternative
-    * (row_number per spark_partition_id + a counts-offset join) references
-    * the range exchange from two plan branches and is only correct if
-    * exchange reuse fires — a silent-wrong-ids hazard if boundaries
-    * diverge — whereas the single-lineage zipWithIndex cannot disagree
-    * with itself.
+    * The max(existing id) stays a lazy broadcast scalar joined into the
+    * final plan, so the existing/master side is scanned only when the
+    * caller acts. `orderCols` must be a total order for run-to-run
+    * determinism (ties would make the rank among tied rows
+    * partition-dependent — true of any rank formulation).
     */
   def assignIds(existing: DataFrame, fresh: DataFrame,
       orderCols: Seq[String]): DataFrame = {
-    val spark = fresh.sparkSession
-    val sorted = fresh.drop("id")
-      .repartitionByRange(orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-    val schema = sorted.schema.add("_rank", LongType, nullable = false)
-    val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (i + 1L))
-      }, schema)
+    val ranked = graft.plans.MintRank.withRank(fresh.drop("id"), orderCols)
     val maxId = existing.agg(
       coalesce(max(col("id")), lit(0L)).cast("long").as("_max_id"))
     ranked.crossJoin(broadcast(maxId))

@@ -32,6 +32,11 @@ object GraftSqlBridge {
       registry.createOrReplaceTempFunction(name, builder, "built-in")
   }
 
+  /** Build a DataFrame over a raw logical plan (custom operators). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Drop a registered function (test support for install() idempotency). */
   def dropFunction(spark: SparkSession, name: String): Boolean =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
