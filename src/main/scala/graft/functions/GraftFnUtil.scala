@@ -101,4 +101,71 @@ object GraftFnUtil {
 
   /** Estimator-B token count (graft.text.Tokens.estimateB) for codegen. */
   def tokenEstB(t: UTF8String): Int = graft.text.Tokens.estimateB(t.toString)
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+    * over a Rabin–Karp rolling hash of character k-grams:
+    *
+    *  - code-point k-grams hashed with the rolling recurrence
+    *    h' = ((h − c_out·B^(k−1))·B + c_in) mod M (B=131, M=1e9+7) — one
+    *    O(n) pass, equal to per-gram Horner, which is how the DuckDB
+    *    oracle recomputes it;
+    *  - window minima over w consecutive gram hashes via a monotonic
+    *    deque (O(n) total), consecutive duplicate minima collapsed —
+    *    the winnowing guarantee that any ≥(w+k−1)-char match between two
+    *    documents shares a fingerprint;
+    *  - texts shorter than k fingerprint as one whole-text hash
+    *    (empty → 0), mirroring the shingle short-text fallback.
+    */
+  def winnow(t: UTF8String, k: Int, w: Int): ArrayData = {
+    val M = 1000000007L
+    val B = 131L
+    val cps = t.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * B + cps(i)) % M; i += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(Array(h))
+    }
+    // rolling gram hashes
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var bk1 = 1L
+    var i = 0
+    while (i < k - 1) { bk1 = bk1 * B % M; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = (((h - cps(i - 1) * bk1 % M + M) % M) * B + cps(i + k - 1)) % M
+      hs(i) = h
+      i += 1
+    }
+    if (m <= w) {
+      var mn = hs(0)
+      i = 1
+      while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(Array(mn))
+    }
+    // sliding-window minima (monotonic deque), consecutive dupes collapsed
+    val out = new scala.collection.mutable.ArrayBuffer[Long](m - w + 1)
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // deque indices in [head, tail)
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val mn = hs(deque(head))
+        if (out.isEmpty || out(out.length - 1) != mn) out += mn
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out.toArray)
+  }
 }

@@ -26,6 +26,8 @@ object GraftFunctions {
     c(MinHashSignature(e(text), numPerms))
   def simhash32(text: Column): Column = c(SimHash32(e(text)))
   def tokenEstimateB(text: Column): Column = c(TokenEstimateB(e(text)))
+  def winnow(text: Column, k: Int = 8, w: Int = 8): Column =
+    c(WinnowFingerprints(e(text), k, w))
 
   private def intLit(x: Expression, what: String): Int = x match {
     case Literal(v: Int, IntegerType) => v
@@ -56,7 +58,13 @@ object GraftFunctions {
         s"graft_simhash32 expects 1 argument, got ${args.length}") },
     "graft_token_est_b" -> { case Seq(t) => TokenEstimateB(t)
       case args => throw new IllegalArgumentException(
-        s"graft_token_est_b expects 1 argument, got ${args.length}") })
+        s"graft_token_est_b expects 1 argument, got ${args.length}") },
+    "graft_winnow" -> {
+      case Seq(t) => WinnowFingerprints(t, 8, 8)
+      case Seq(t, k, w) =>
+        WinnowFingerprints(t, intLit(k, "gram size"), intLit(w, "window"))
+      case args => throw new IllegalArgumentException(
+        s"graft_winnow expects 1 or 3 arguments, got ${args.length}") })
 
   /** Runtime registration (functions + the MintRank planner strategy);
     * safe to call repeatedly. */

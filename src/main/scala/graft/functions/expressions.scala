@@ -171,6 +171,26 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints over a Rabin–Karp rolling hash of character
+  * k-grams (window-min selection, consecutive dupes collapsed). One O(n)
+  * codegen'd pass per row — see GraftFnUtil.winnow for the algorithm. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFnUtil.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftFnUtil.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Estimator-B token count (T2) as one codegen'd call — replaces the
   * interpreted `regexp_extract_all` + `aggregate` HOF formulation. */
 case class TokenEstimateB(child: Expression)

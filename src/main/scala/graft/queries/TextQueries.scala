@@ -63,10 +63,28 @@ object TextQueries extends QueryModule {
         count(when(col("q") >= 0.5, 1)).as("n_keep"))
       .orderBy(col("source"))
 
+  /** Winnowing fingerprints (rolling-hash k-grams, window-min selection) —
+    * the near-dup document fingerprint of a training-data pipeline. One
+    * codegen'd O(n) pass per row (graft.functions.WinnowFingerprints);
+    * the DuckDB oracle recomputes every gram hash, window min, and the
+    * collapsed fingerprint list from scratch. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val fps = graft.functions.GraftFunctions.winnow(col("text"), 8, 8)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fps"),
+        col("fps").getItem(0).as("first_fp"),
+        md5(array_join(transform(col("fps"), _.cast("string")), ","))
+          .as("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> langId,
     "q_text_quality" -> quality,
+    "q_text_fingerprint" -> fingerprints,
     "q_text_source_report" -> sourceReport)
 
   // DuckDB mirrors. Shared fragments keep Spark and SQL in lockstep; every
@@ -115,6 +133,36 @@ object TextQueries extends QueryModule {
          |  ROUND($qualitySql, 6) AS quality,
          |  ROUND($qualitySql, 6) >= 0.5 AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Rebuilds the winnowing fingerprints from scratch: per-position Horner
+    // gram hashes (≡ the Spark side's rolling recurrence mod 1e9+7),
+    // window minima via list_slice, consecutive dupes collapsed.
+    "q_text_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) < 8 THEN
+        |      [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(1, length(text)+1), j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+        |         (a,b) -> (a*131+b) % 1000000007)]
+        |    ELSE
+        |      list_transform(range(1, length(text)-8+2), i ->
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(CAST(i AS INT), CAST(i AS INT)+8), j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+        |          (a,b) -> (a*131+b) % 1000000007))
+        |    END AS hs
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+        |    ELSE list_transform(range(1, len(hs)-8+2), p -> list_min(list_slice(hs, CAST(p AS INT), CAST(p AS INT)+8-1)))
+        |    END AS mins
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(range(1, len(mins)+1), p -> p = 1 OR mins[CAST(p AS INT)] != mins[CAST(p AS INT)-1]), p -> mins[CAST(p AS INT)]) AS fps
+        |  FROM m)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps[1] AS first_fp,
+        |  md5(array_to_string(fps, ',')) AS checksum
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_text_source_report" ->
       s"""WITH scored AS (
          |  SELECT source, n_chars, ROUND($qualitySql, 6) AS q FROM documents)
