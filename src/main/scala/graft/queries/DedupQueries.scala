@@ -89,8 +89,35 @@ object DedupQueries extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** MOSS-style near-dup pairs from winnowing fingerprints: docs sharing
+    * ≥50% of the smaller side's distinct fingerprints (containment). The
+    * fingerprint explode + equi-join on fp is the same bucketed shape as
+    * the shingle join — linear in corpus + bucket sizes, never all-pairs —
+    * but each doc contributes ~n/w fingerprints instead of ~n shingles. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.GraftFunctions.winnow(col("text"), 8, 8))).as("fp"))
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val inter = fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6))
+      .filter(col("containment") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact,
+    "q_dedup_winnow_pairs" -> winnowPairs,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_dedup_minhash_sig" -> minhashSig,
     "q_dedup_minhash_pairs" -> minhashPairs,
@@ -141,7 +168,47 @@ object DedupQueries extends QueryModule {
         .mkString(" + ") +
       " AS simhash\n  FROM bits\n)"
 
+  /** Winnowing fingerprint CTE (distinct fps per doc) — same constants as
+    * graft_winnow(text, 8, 8); Horner per gram ≡ the rolling recurrence. */
+  private val winnowCte: String =
+    """WITH g AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(text) < 8 THEN
+      |      [list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(range(1, length(text)+1), j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+      |         (a,b) -> (a*131+b) % 1000000007)]
+      |    ELSE
+      |      list_transform(range(1, length(text)-8+2), i ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(CAST(i AS INT), CAST(i AS INT)+8), j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+      |          (a,b) -> (a*131+b) % 1000000007))
+      |    END AS hs
+      |  FROM documents),
+      |mw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+      |    ELSE list_transform(range(1, len(hs)-8+2), p -> list_min(list_slice(hs, CAST(p AS INT), CAST(p AS INT)+8-1)))
+      |    END AS mins
+      |  FROM g),
+      |fw AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(list_filter(range(1, len(mins)+1), p -> p = 1 OR mins[CAST(p AS INT)] != mins[CAST(p AS INT)-1]), p -> mins[CAST(p AS INT)])) AS fps
+      |  FROM mw),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM fw)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q_dedup_winnow_pairs" -> (winnowCte +
+      """, sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM e GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.n_fp, sb.n_fp), 6) AS containment
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        |           JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.n_fp, sb.n_fp), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_exact" ->
       """WITH aug AS (
         |  SELECT * FROM documents
