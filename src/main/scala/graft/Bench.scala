@@ -59,9 +59,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one warm-up materialization to amortize JIT/codegen compilation
-    SparkEntry.queries("q_rel_part_stats")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    // Warm-up: run the WHOLE headline set once at the smallest scale
+    // factor (untimed) so JIT + codegen compilation of every code path —
+    // the text engine, dedup kernels, native expressions — happens before
+    // the timed passes. The timed numbers then measure steady-state
+    // throughput, which is what extrapolates to a long-running cluster
+    // job; a single-query warm-up left ~2s of C2-compilation inside the
+    // first timed execution of each remaining path.
+    val warmDir = "/root/testdata/sf0.001"
+    val wd = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
+    (1 to 2).foreach { _ =>
+      headline.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, wd).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+      }
+    }
 
     val results = timeSet(spark, sfDir)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
