@@ -34,21 +34,33 @@ object Relational extends QueryModule {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** Revenue by nation: 4-way join; nation/region are broadcast-size dims. */
+  /** Revenue by nation: 4-way join; nation/region are broadcast-size dims.
+    *
+    * The per-order revenue is pre-aggregated BELOW the join chain: the
+    * lineitem→orders join is N:1 on the order key and the revenue sum is
+    * exact DECIMAL (order-independent), so summing per order first and
+    * re-summing per nation is bit-identical to aggregating after the
+    * joins — but the customer/nation joins then carry one row per order
+    * instead of one per line item (~4× less at any scale; the optimizer
+    * does not push aggregates through joins on its own). */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(
+        sum(col("l_extendedprice").cast(D) *
+          (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+          .as("o_revenue"),
+        count(lit(1)).as("o_items"))
+    perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(col("l_extendedprice").cast(D) *
-          (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
-          .cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+        sum(col("o_revenue")).cast("double").as("revenue"),
+        sum(col("o_items")).as("n_items"))
       .orderBy(col("n_name"))
   }
 
