@@ -49,6 +49,54 @@ object StreamingRefresh {
           .as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** J1–J3 as an INCREMENTAL stream: per-file change detection with
+    * `flatMapGroupsWithState` — the one CDC piece the declarative
+    * streaming surface cannot express (the classification depends on the
+    * last emitted decision per key, not on a window of the input).
+    *
+    * State per file_name is the minute-floored last-modified micros last
+    * acted upon (the reference's filesystem-precision guard,
+    * `stage1_extract_csv.py:652-655`): an unseen file emits `new`, a
+    * file whose minute-floor advanced emits `updated`, sub-minute
+    * touches emit nothing. Deletions are inherently absent from an
+    * append-only listing stream — the batch CDC (ops.Cdc) owns them.
+    *
+    * Scale posture: state is one long per distinct file — corpus-sized
+    * metadata, hash-partitioned across executors by the groupByKey; each
+    * micro-batch shuffles only its own listing rows. Within a batch,
+    * rows of a key are folded in mtime order so a burst of touches
+    * yields the same classifications the batch rule would produce.
+    */
+  def cdcStream(listings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = listings.sparkSession
+    import spark.implicits._
+    listings
+      .select(col("file_name"), col("file_path"),
+        unix_micros(date_trunc("minute", col("date_last_modified"))).as("minute_us"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fileName: String, rows: Iterator[(String, String, Long)],
+            state: GroupState[Long]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._3, r._2))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val seenBefore = state.exists
+          val out = ordered.flatMap { case (_, path, minuteUs) =>
+            if (!seenBefore && last == Long.MinValue) {
+              last = minuteUs
+              Some((fileName, path, minuteUs, "new"))
+            } else if (minuteUs > last) {
+              last = minuteUs
+              Some((fileName, path, minuteUs, "updated"))
+            } else None
+          }
+          if (last != Long.MinValue) state.update(last)
+          out.iterator
+      }
+      .toDF("file_name", "file_path", "minute_us", "reason")
+  }
+
   /** Run a streaming DataFrame to completion with AvailableNow into an
     * in-memory table; returns after all available data is processed. */
   def runAvailableNowToMemory(df: DataFrame, queryName: String,

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpecBase
+
+/** Stateful streaming CDC (flatMapGroupsWithState): per-file minute-floor
+  * change detection across micro-batches must reproduce the batch rule —
+  * unseen → new, minute-floor advanced → updated, sub-minute touch →
+  * nothing — with state carried between batches. */
+class CdcStreamSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("classifications across micro-batches match the minute-floor rule") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp)]
+    val listings = input.toDF()
+      .toDF("file_name", "file_path", "date_last_modified")
+
+    val q = StreamingRefresh.cdcStream(listings).writeStream
+      .format("memory").queryName("cdc_stream").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc-ckpt").toString)
+      .start()
+
+    def drainTo(n: Int): Seq[(String, String)] = {
+      q.processAllAvailable()
+      spark.sql("SELECT file_name, reason FROM cdc_stream")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    }
+
+    // batch 1: two unseen files
+    input.addData(
+      ("a.pdf", "/x/a.pdf", ts("2024-01-01 10:00:10")),
+      ("b.pdf", "/x/b.pdf", ts("2024-01-01 10:00:20")))
+    assert(drainTo(2).sorted ==
+      Seq(("a.pdf", "new"), ("b.pdf", "new")))
+
+    // batch 2: a +90min (updated), b +30s within the same minute
+    // (nothing — the reference's filesystem-precision guard), c unseen
+    input.addData(
+      ("a.pdf", "/x/a.pdf", ts("2024-01-01 11:30:10")),
+      ("b.pdf", "/x/b.pdf", ts("2024-01-01 10:00:40")),
+      ("c.pdf", "/x/c.pdf", ts("2024-01-01 12:00:00")))
+    assert(drainTo(4).sorted == Seq(
+      ("a.pdf", "new"), ("a.pdf", "updated"),
+      ("b.pdf", "new"), ("c.pdf", "new")))
+
+    // batch 3: a touched at the SAME minute (nothing), b advanced a
+    // minute (updated) — state survived two batches
+    input.addData(
+      ("a.pdf", "/x/a.pdf", ts("2024-01-01 11:30:55")),
+      ("b.pdf", "/x/b.pdf", ts("2024-01-01 10:01:05")))
+    assert(drainTo(5).sorted == Seq(
+      ("a.pdf", "new"), ("a.pdf", "updated"),
+      ("b.pdf", "new"), ("b.pdf", "updated"), ("c.pdf", "new")))
+
+    q.stop()
+  }
+
+  test("an in-batch burst folds in mtime order: one new, then updates") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp)]
+    val listings = input.toDF()
+      .toDF("file_name", "file_path", "date_last_modified")
+    val q = StreamingRefresh.cdcStream(listings).writeStream
+      .format("memory").queryName("cdc_burst").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc-ckpt2").toString)
+      .start()
+
+    input.addData(
+      ("d.pdf", "/x/d.pdf", ts("2024-01-01 09:20:00")), // minute 3: updated
+      ("d.pdf", "/x/d.pdf", ts("2024-01-01 09:00:00")), // earliest: new
+      ("d.pdf", "/x/d.pdf", ts("2024-01-01 09:00:30")), // same minute: no
+      ("d.pdf", "/x/d.pdf", ts("2024-01-01 09:10:00"))) // minute 2: updated
+    q.processAllAvailable()
+    val out = spark.sql("SELECT minute_us, reason FROM cdc_burst")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(out.map(_._2) == Seq("new", "updated", "updated"))
+    q.stop()
+  }
+}
