@@ -59,17 +59,26 @@ object GroupWindowQueries extends QueryModule {
   }
 
   /** Section-shaped projection of orders with deterministic null page
-    * bounds (every 3rd start, every 4th end missing). */
+    * bounds (every 3rd start, every 4th end missing).
+    *
+    * The rename to `chapter_id` happens BEFORE the numbering window:
+    * aliasing the partition key downstream of the exchange severs
+    * partitioning propagation (the planner can't see through a dropped
+    * source column), which forced the neighbor-fill/continuity windows —
+    * partitioned by the same key — to re-shuffle. With the alias first,
+    * both window stages share one hash exchange. */
   private def sections(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val base = Tables.orders(spark, dir).select(
+      col("o_custkey").as("chapter_id"), col("o_orderkey").as("ord"))
+    val w = Window.partitionBy(col("chapter_id")).orderBy(col("ord"))
     def page(mod: Int, extra: Column): Column =
-      when(col("o_orderkey") % mod === 0, lit(null).cast("long"))
-        .otherwise(col("o_orderkey") % 40 + lit(1) + extra)
-    Tables.orders(spark, dir).select(
-      col("o_custkey").as("chapter_id"),
+      when(col("ord") % mod === 0, lit(null).cast("long"))
+        .otherwise(col("ord") % 40 + lit(1) + extra)
+    base.select(
+      col("chapter_id"),
       row_number().over(w).as("section_number"),
       page(3, lit(0)).as("start_page"),
-      page(4, col("o_orderkey") % 5).as("end_page"))
+      page(4, col("ord") % 5).as("end_page"))
   }
 
   /** W2: neighbor fill over nullable bounds. */
