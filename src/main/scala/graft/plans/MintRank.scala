@@ -71,7 +71,12 @@ object MintRank {
     override def outputOrdering: Seq[SortOrder] = sortOrder
     override def outputPartitioning: Partitioning = child.outputPartitioning
 
+    override lazy val metrics = Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"))
+
     override protected def doExecute(): RDD[InternalRow] = {
+      val numOutputRows = longMetric("numOutputRows")
       val childRdd = child.execute()
       // K integers to the driver — metadata-scale at any data size. This
       // job materializes the required exchange; the data pass below reuses
@@ -89,6 +94,7 @@ object MintRank {
         var i = offsets(pid)
         it.map { row =>
           i += 1
+          numOutputRows += 1
           rankRow.setLong(0, i)
           project(joined(row, rankRow))
         }
