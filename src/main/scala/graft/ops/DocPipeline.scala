@@ -16,6 +16,40 @@ import graft.text.{Chunker, PageTags, Sections}
   */
 object DocPipeline {
 
+  /** One chapter's pages (page-sorted) → its SectionRecords. */
+  private def chapterSections(docId: String, chapterNum: Int,
+      chapterPages: Seq[PageRecord]): Seq[SectionRecord] = {
+    val first = chapterPages.head
+    val tagged = chapterPages.map(p =>
+      (Some(p.page_number): Option[Int], p.page_reference, p.content))
+    val sections = Sections.mergeSmall(
+      Sections.hierarchicalSplit(tagged, first.chapter_name))
+    sections.zipWithIndex.map { case (s, idx) =>
+      SectionRecord(
+        document_id = docId,
+        filename = first.filename,
+        filepath = first.filepath,
+        source_filename = first.source_filename,
+        chapter_number = chapterNum,
+        chapter_name = first.chapter_name,
+        chapter_summary = "",
+        chapter_page_count = chapterPages.length,
+        section_number = s.sectionNumber,
+        section_title = s.title,
+        section_level = s.level,
+        splitting_level = s.splittingLevel,
+        section_hierarchy = Sections.hierarchyString(sections, idx),
+        section_summary = "",
+        section_start_page = s.startPage,
+        section_end_page = s.endPage,
+        section_page_count = s.pageCount,
+        section_start_reference = "",
+        section_end_reference = "",
+        section_token_count = s.tokenCount,
+        section_content = s.content)
+    }
+  }
+
   /** Stage-02 core: pages → sections (tag embed, hierarchical split,
     * small-section merge, breadcrumbs). Null-chapter pages are dropped
     * (P2: routed to an unassigned path by callers that need them). */
@@ -26,39 +60,53 @@ object DocPipeline {
       .filter((p: PageRecord) => p.chapter_number.isDefined)
       .groupByKey(p => (p.document_id, p.chapter_number.get))
       .flatMapGroups { (key: (String, Int), it: Iterator[PageRecord]) =>
-        val (docId, chapterNum) = key
-        val chapterPages = it.toSeq.sortBy(_.page_number)
-        val first = chapterPages.head
-        val tagged = chapterPages.map(p =>
-          (Some(p.page_number): Option[Int], p.page_reference, p.content))
-        val sections = Sections.mergeSmall(
-          Sections.hierarchicalSplit(tagged, first.chapter_name))
-        sections.zipWithIndex.map { case (s, idx) =>
-          SectionRecord(
-            document_id = docId,
-            filename = first.filename,
-            filepath = first.filepath,
-            source_filename = first.source_filename,
-            chapter_number = chapterNum,
-            chapter_name = first.chapter_name,
-            chapter_summary = "",
-            chapter_page_count = chapterPages.length,
-            section_number = s.sectionNumber,
-            section_title = s.title,
-            section_level = s.level,
-            splitting_level = s.splittingLevel,
-            section_hierarchy = Sections.hierarchyString(sections, idx),
-            section_summary = "",
-            section_start_page = s.startPage,
-            section_end_page = s.endPage,
-            section_page_count = s.pageCount,
-            section_start_reference = "",
-            section_end_reference = "",
-            section_token_count = s.tokenCount,
-            section_content = s.content)
-        }
+        chapterSections(key._1, key._2, it.toSeq.sortBy(_.page_number))
       }
   }
+
+  /** Ordered variant of pages→sections: the chapter shuffle is a RANGE
+    * partition of the (small) page rows with an in-partition sort, and the
+    * chapter algebra runs over consecutive groups — so the output arrives
+    * globally ordered by (document_id, chapter_number, section_number)
+    * with NO post-compute sort.
+    *
+    * Why it matters at scale: a global `orderBy` placed AFTER the text
+    * algebra re-executes the whole computation for range-boundary
+    * sampling and then shuffles the computed (large) section rows; this
+    * path sorts the cheap input rows once and computes exactly once.
+    * Equal keys land in one range partition, so consecutive grouping is
+    * key-complete (OrderedPipelineSpec pins row AND order equality with
+    * `pagesToSections(...).orderBy(...)`). */
+  def pagesToSectionsOrdered(pages: Dataset[PageRecord]): Dataset[SectionRecord] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    pages
+      .filter((p: PageRecord) => p.chapter_number.isDefined)
+      .repartitionByRange(col("document_id"), col("chapter_number"))
+      .sortWithinPartitions(
+        col("document_id"), col("chapter_number"), col("page_number"))
+      .mapPartitions { it =>
+        groupConsecutive(it)(p => (p.document_id, p.chapter_number.get))
+          .flatMap { case ((docId, ch), chapterPages) =>
+            chapterSections(docId, ch, chapterPages)
+          }
+      }
+  }
+
+  /** Group a sorted iterator's consecutive equal-key runs (streaming — one
+    * group buffered at a time; chapters are bounded). */
+  private[ops] def groupConsecutive[T, K](it: Iterator[T])(key: T => K): Iterator[(K, Seq[T])] =
+    new Iterator[(K, Seq[T])] {
+      private val in = it.buffered
+      override def hasNext: Boolean = in.hasNext
+      override def next(): (K, Seq[T]) = {
+        val k = key(in.head)
+        val buf = scala.collection.mutable.ArrayBuffer[T]()
+        while (in.hasNext && key(in.head) == k) buf += in.next()
+        (k, buf.toSeq)
+      }
+    }
 
   /** Stage-02b (W5/W6+J13): chapter-wide page-boundary correction via the
     * position-map/tag-scan algorithm (text.PageCorrection). One

@@ -24,15 +24,18 @@ object PipelineQueries extends QueryModule {
       .flatMap { case (id, text) => FixtureCorpus.pages(id, text) }
   }
 
-  /** T5/T6/T7 output: section inventory with page bounds + hierarchy. */
+  /** T5/T6/T7 output: section inventory with page bounds + hierarchy.
+    * Uses the ordered pipeline path — output is globally ordered by
+    * construction (range partition of the cheap page rows), so there is
+    * no post-compute sort re-executing the text algebra for boundary
+    * sampling. */
   def sections(spark: SparkSession, dir: String): DataFrame =
-    DocPipeline.pagesToSections(pages(spark, dir))
+    DocPipeline.pagesToSectionsOrdered(pages(spark, dir))
       .select(col("document_id"), col("chapter_number"), col("section_number"),
         col("section_title"), col("section_level"), col("splitting_level"),
         col("section_hierarchy"), col("section_start_page"),
         col("section_end_page"), col("section_page_count"),
         col("section_token_count"), length(col("section_content")).as("n_chars"))
-      .orderBy(col("document_id"), col("chapter_number"), col("section_number"))
 
   /** W5/W6 output: stage-2b corrected sections — bounds from the tag scan,
     * refs populated, overlaps clamped. Self-auditing continuity columns. */
@@ -53,14 +56,15 @@ object PipelineQueries extends QueryModule {
       .orderBy(col("document_id"), col("chapter_number"), col("section_number"))
   }
 
-  /** T8 output: chunk inventory. */
+  /** T8 output: chunk inventory. Ordered pipeline path (see `sections`):
+    * the per-section chunk explode preserves the range order, so the
+    * inventory arrives sorted without a post-compute global sort. */
   def chunks(spark: SparkSession, dir: String): DataFrame =
-    DocPipeline.sectionsToChunks(DocPipeline.pagesToSections(pages(spark, dir)))
+    DocPipeline.sectionsToChunks(
+      DocPipeline.pagesToSectionsOrdered(pages(spark, dir)))
       .select(col("document_id"), col("chapter_number"), col("section_number"),
         col("chunk_number"), col("chunk_token_count"),
         length(col("chunk_content")).as("n_chars"))
-      .orderBy(col("document_id"), col("chapter_number"),
-        col("section_number"), col("chunk_number"))
 
   /** W7–W11 output: stage-3b corrected chunks with continuity audit. */
   def chunksCorrected(spark: SparkSession, dir: String): DataFrame = {
