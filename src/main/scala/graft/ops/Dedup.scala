@@ -102,4 +102,38 @@ object Dedup {
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation — the survivor-selection step of cluster dedup (keep one
+    * document per component).
+    *
+    * Each round joins the symmetric edge list with the current labels,
+    * takes the min neighbor label per vertex, and lowers labels that
+    * improved; it converges in O(component diameter) rounds — near-dup
+    * graphs are shallow (dense clusters), so a handful. Every step is a
+    * plain equi-join + partial-min aggregate (distributed, no driver
+    * state beyond the loop counter); `localCheckpoint` truncates the
+    * per-iteration lineage like any iterative Spark algorithm. The
+    * result is deterministic (min labels), so the DuckDB oracle can
+    * recompute it with a recursive transitive-closure CTE. */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val sym = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .union(edges.select(col(dstCol).as("_s"), col(srcCol).as("_d")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col(idCol).as("_id"), col(idCol).as("_cc"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym.join(labels, col("_d") === col("_id"))
+        .groupBy(col("_s")).agg(min(col("_cc")).as("_nbr"))
+      val next = labels.join(nbrMin, col("_id") === col("_s"), "left")
+        .select(col("_id"), col("_cc"),
+          least(col("_cc"), coalesce(col("_nbr"), col("_cc"))).as("_cc2"))
+        .localCheckpoint(true)
+      changed = next.filter(col("_cc2") < col("_cc")).count()
+      labels = next.select(col("_id"), col("_cc2").as("_cc"))
+    }
+    labels.select(col("_id").as(idCol), col("_cc").as("cluster_id"))
+  }
 }

@@ -115,9 +115,21 @@ object DedupQueries extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cluster dedup: connected components over the winnow-pair graph with
+    * min-id survivor selection — one row per document with its cluster id
+    * and whether it is the kept representative. */
+  def winnowClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = winnowPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    Dedup.connectedComponents(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact,
     "q_dedup_winnow_pairs" -> winnowPairs,
+    "q_dedup_clusters" -> winnowClusters,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_dedup_minhash_sig" -> minhashSig,
     "q_dedup_minhash_pairs" -> minhashPairs,
@@ -197,6 +209,27 @@ object DedupQueries extends QueryModule {
       |e AS (SELECT doc_id, unnest(fps) AS fp FROM fw)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // Recursive transitive closure over the same winnow-pair graph: the
+    // cluster id (min reachable doc) is label-propagation's fixpoint.
+    "q_dedup_clusters" -> (winnowCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM e GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.n_fp, sb.n_fp), 6) >= 0.5),
+        |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM g
+        |  UNION
+        |  SELECT r.src, e2.d FROM reach r JOIN sym e2 ON e2.s = r.dst)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id,
+        |  src = MIN(dst) AS is_survivor
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
     "q_dedup_winnow_pairs" -> (winnowCte +
       """, sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM e GROUP BY doc_id),
         |inter AS (
