@@ -69,11 +69,26 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Embedding-space cluster dedup: connected components over the
+    * LSH-bucketed cosine-pair graph (≥ 0.35), min-id survivor per
+    * cluster — the semantic-dedup step of a training-data pipeline. */
+  def simClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.cosinePairsBucketed(emb, 0.35,
+      numTables = Tables_, planesPerTable = Planes_)
+      .select(col("vec_a"), col("vec_b"))
+    graft.ops.Dedup.connectedComponents(
+      emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b")
+      .withColumn("is_survivor", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
     "q_sim_cosine_pairs" -> cosinePairs,
+    "q_sim_clusters" -> simClusters,
     "q_sim_label_centroids" -> labelCentroids)
 
   /** Shared CTE: vectors as doubles with norms, identical fold order. */
@@ -206,7 +221,36 @@ object SimilarityQueries extends QueryModule {
          |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Recursive transitive closure over the identical cosine-pair graph. */
+  private def simClustersSql(threshold: Double): String = {
+    val unions = bucketExprs(Tables_, Planes_).zipWithIndex.map {
+      case (expr, t) => s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM n"
+    }.mkString("\n  UNION ALL ")
+    (normCte +
+      s""", b AS (
+         |  $unions
+         |), cand AS (
+         |  SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
+         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+         |    AND l.vec_id < r.vec_id
+         |), pr AS (
+         |  SELECT c.va, c.vb
+         |  FROM cand c JOIN n a ON a.vec_id = c.va JOIN n q ON q.vec_id = c.vb
+         |  WHERE ROUND($dotSql / (a.nrm * q.nrm), 4) >= $threshold
+         |), sym AS (SELECT va AS s, vb AS d FROM pr
+         |           UNION ALL SELECT vb, va FROM pr),
+         |reach AS (
+         |  SELECT vec_id AS src, vec_id AS dst FROM n
+         |  UNION
+         |  SELECT r.src, e2.d FROM reach r JOIN sym e2 ON e2.s = r.dst)
+         |SELECT src AS vec_id, MIN(dst) AS cluster_id,
+         |  src = MIN(dst) AS is_survivor
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin)
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q_sim_clusters" -> simClustersSql(0.35),
     "q_knn_brute" -> (normCte +
       s""", scored AS (
          |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
