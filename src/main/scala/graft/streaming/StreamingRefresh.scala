@@ -97,6 +97,17 @@ object StreamingRefresh {
       .toDF("file_name", "file_path", "minute_us", "reason")
   }
 
+  /** Streaming exact dedup: keep the first arrival per key, dropping
+    * re-deliveries that land within the watermark — the streaming
+    * counterpart of `Dedup.exactGroups` for an event/document feed.
+    * `dropDuplicatesWithinWatermark` bounds the key state by event time
+    * (state for a key is evicted once the watermark passes it), so state
+    * size tracks the watermark window, not the stream's lifetime. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Run a streaming DataFrame to completion with AvailableNow into an
     * in-memory table; returns after all available data is processed. */
   def runAvailableNowToMemory(df: DataFrame, queryName: String,

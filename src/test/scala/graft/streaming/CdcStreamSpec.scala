@@ -62,6 +62,31 @@ class CdcStreamSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("streaming dedup keeps one arrival per key within the watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val events = input.toDF().toDF("event_id", "payload", "ts")
+    val q = StreamingRefresh.dedupStream(events, Seq("event_id")).writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("dedup-ckpt").toString)
+      .start()
+
+    input.addData(
+      (1L, "first", ts("2024-01-01 10:00:00")),
+      (1L, "dup-same-batch", ts("2024-01-01 10:05:00")),
+      (2L, "only", ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    input.addData((1L, "dup-next-batch", ts("2024-01-01 10:20:00")))
+    q.processAllAvailable()
+
+    val out = spark.sql("SELECT event_id, payload FROM dedup_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, "first"), (2L, "only")))
+    q.stop()
+  }
+
   test("an in-batch burst folds in mtime order: one new, then updates") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
