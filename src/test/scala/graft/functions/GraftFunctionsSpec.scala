@@ -145,6 +145,7 @@ class GraftFunctionsSpec extends SparkSpecBase {
         |       graft_token_est_b(text) AS est,
         |       size(graft_shingles(text, 3)) AS ns,
         |       size(graft_minhash_sig(text, 8)) AS nm,
+        |       size(graft_winnow(text, 8, 8)) AS nw,
         |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |       graft_norm(array(3.0d, 4.0d)) AS n
         |FROM gf_docs WHERE doc_id = 5""".stripMargin).collect()(0)
@@ -154,6 +155,7 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(row.getAs[Double]("d") == 11.0)
     assert(row.getAs[Double]("n") == 5.0)
     assert(row.getAs[Int]("nm") == 8)
+    assert(row.getAs[Int]("nw") >= 1)
   }
 
   test("SparkSessionExtensions path registers the functions at session build") {
