@@ -99,6 +99,37 @@ object GraftFnUtil {
     v
   }
 
+  /** 64-bit SimHash: like simhash32 but over a 64-bit token hash built
+    * from the first 8 md5 digest bytes big-endian — bits 32..63 come from
+    * hex digits 1..8 (= h32) and bits 0..31 from digits 9..16, so the
+    * DuckDB mirror computes both halves with the same nonneg 32-bit
+    * CAST('0x'||substr(md5(tok),...,8) AS BIGINT) trick and recombines.
+    * Bit 63 can be set, so the returned long may be negative (the signed
+    * reinterpretation of the unsigned 64-bit signature). */
+  def simhash64(t: UTF8String): Long = {
+    val toks = wsPattern.split(t.toString, -1)
+    val counts = new Array[Int](64)
+    val d = mdLocal.get()
+    var i = 0
+    while (i < toks.length) {
+      d.reset()
+      val out = d.digest(toks(i).getBytes(UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (out(b) & 0xffL); b += 1 }
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) v |= 1L << j; j += 1 }
+    v
+  }
+
   /** Estimator-B token count (graft.text.Tokens.estimateB) for codegen. */
   def tokenEstB(t: UTF8String): Int = graft.text.Tokens.estimateB(t.toString)
 

@@ -25,6 +25,7 @@ object GraftFunctions {
   def minhashSig(text: Column, numPerms: Int = 8): Column =
     c(MinHashSignature(e(text), numPerms))
   def simhash32(text: Column): Column = c(SimHash32(e(text)))
+  def simhash64(text: Column): Column = c(SimHash64(e(text)))
   def tokenEstimateB(text: Column): Column = c(TokenEstimateB(e(text)))
   def winnow(text: Column, k: Int = 8, w: Int = 8): Column =
     c(WinnowFingerprints(e(text), k, w))
@@ -56,6 +57,9 @@ object GraftFunctions {
     "graft_simhash32" -> { case Seq(t) => SimHash32(t)
       case args => throw new IllegalArgumentException(
         s"graft_simhash32 expects 1 argument, got ${args.length}") },
+    "graft_simhash64" -> { case Seq(t) => SimHash64(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_simhash64 expects 1 argument, got ${args.length}") },
     "graft_token_est_b" -> { case Seq(t) => TokenEstimateB(t)
       case args => throw new IllegalArgumentException(
         s"graft_token_est_b expects 1 argument, got ${args.length}") },

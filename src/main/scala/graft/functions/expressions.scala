@@ -119,6 +119,7 @@ case class ArrayNormL2(child: Expression)
 /** Distinct word n-gram shingles (Dedup contract; whole text if < n words). */
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"graft_shingles: shingle width must be >= 1, got $n")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -137,6 +138,8 @@ case class WordShingles(child: Expression, n: Int)
 /** Per-row MinHash signature (array<bigint> of length numPerms). */
 case class MinHashSignature(child: Expression, numPerms: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(numPerms >= 1 && numPerms <= 1024,
+    s"graft_minhash_sig: numPerms must be in [1, 1024], got $numPerms")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -171,11 +174,33 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-row 64-bit SimHash over whitespace tokens (token hash = first 16
+  * md5 hex digits, i.e. two h32 halves — the split keeps every derived
+  * quantity the DuckDB oracle needs inside non-negative 32-bit math). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFnUtil.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftFnUtil.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints over a Rabin–Karp rolling hash of character
   * k-grams (window-min selection, consecutive dupes collapsed). One O(n)
   * codegen'd pass per row — see GraftFnUtil.winnow for the algorithm. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"graft_winnow: gram size k must be >= 1, got $k")
+  require(w >= 1, s"graft_winnow: window w must be >= 1, got $w")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

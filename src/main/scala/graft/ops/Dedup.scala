@@ -50,7 +50,10 @@ object Dedup {
     * at scan speed with zero exchanges and identical output. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol),
+    // Null-text docs are dropped (not emitted with null signatures) —
+    // preserving the former explode+groupBy shape, where a null produced
+    // no shingle rows and therefore no output row.
+    val sig = df.where(col(textCol).isNotNull).select(col(idCol),
       graft.functions.GraftFunctions.minhashSig(col(textCol), numPerms).as("_sig"))
     sig.select(col(idCol) +:
       (0 until numPerms).map(i => col("_sig").getItem(i).as(s"m$i")): _*)
@@ -92,8 +95,16 @@ object Dedup {
     * values while shuffling every token row. This is a pure projection —
     * scan speed, zero exchanges, same bits. */
   def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      graft.functions.GraftFunctions.simhash32(col(textCol)).as("simhash"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.GraftFunctions.simhash32(col(textCol)).as("simhash"))
+
+  /** 64-bit SimHash (same shape; 16-bit bands give 65,536 buckets per band
+    * for near-dup candidate generation — see DedupQueries.simhashPairs). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.GraftFunctions.simhash64(col(textCol)).as("simhash"))
 
   /** Hamming distance between two simhash values (POPCOUNT of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -45,6 +45,48 @@ object Similarity {
     }
   }
 
+  /** Per-(table, plane) hyperplane weights, seeded independently of the
+    * planes-per-table setting: dim d of plane p in table t derives from
+    * md5("t<t>_p<p>_<d>"). Independence is what makes the ADAPTIVE pair
+    * generator oracle-able: the bucket depth b can grow with the corpus
+    * without shifting any other table's planes (the flat array above,
+    * sliced by b, would re-seed everything whenever b changes). */
+  def planeWeightsTP(t: Int, p: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { d =>
+      val hex = md.digest(s"t${t}_p${p}_$d".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+    }
+  }
+
+  /** Corpus-adaptive bucket depth: the smallest b ≥ minPlanes with
+    * targetOccupancy · 2^b ≥ n (= ⌈log₂(n/targetOccupancy)⌉ clamped).
+    * Expected bucket occupancy stays ≤ targetOccupancy as the corpus
+    * grows, so per-table candidate pairs stay ~linear in n — a CONSTANT
+    * b means occupancy Θ(n) and quadratic candidates at 100× scale.
+    * Pure integer arithmetic: no float log, so any engine agrees at the
+    * power-of-two boundaries. */
+  def adaptivePlanes(n: Long, targetOccupancy: Int = 64,
+      minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
+    var b = minPlanes
+    while (b < maxPlanes && (targetOccupancy.toLong << b) < n) b += 1
+    b
+  }
+
+  /** Tables needed for pair recall ≥ targetRecall at `threshold` with
+    * b-plane buckets: ⌈ln(1−R)/ln(1−p^b)⌉ with p = 1 − acos(s)/π — the
+    * recall-compensation knob that pairs with `adaptivePlanes` (deeper
+    * buckets lower per-table collision probability; more tables buy it
+    * back; total candidate work stays ~T(b)·n·occupancy). */
+  def adaptiveTables(threshold: Double, planes: Int,
+      targetRecall: Double = 0.99, maxTables: Int = 512): Int = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val t = math.ceil(math.log(1.0 - targetRecall) /
+      math.log(1.0 - math.pow(p, planes))).toInt
+    math.min(maxTables, math.max(1, t))
+  }
+
   /** Random-hyperplane signature: bit p of the result = 1 iff
     * dot(v, plane_p) > 0. Buckets cosine-similar vectors together. */
   def rhpBucket(v: Column, planes: Array[Array[Double]]): Column =
@@ -75,17 +117,23 @@ object Similarity {
   /** Explode a normed frame into one row per (table, bucket): the
     * multi-table RHP signature used by both `lshTopK` and
     * `cosinePairsBucketed`. */
-  private def tableBuckets(df: DataFrame, numTables: Int,
-      planesPerTable: Int, dims: Int): DataFrame = {
-    val allPlanes = planeWeights(numTables * planesPerTable, dims)
+  private def tableBucketsWith(df: DataFrame, numTables: Int,
+      planesPerTable: Int, weights: (Int, Int) => Array[Double]): DataFrame = {
     val buckets = array((0 until numTables).map { t =>
-      val planes = allPlanes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+      val planes = Array.tabulate(planesPerTable)(p => weights(t, p))
       struct(lit(t).as("table"), rhpBucket(col("v"), planes).as("bucket"))
     }: _*)
     df.withColumn("tb", explode(buckets))
       .withColumn("table", col("tb.table"))
       .withColumn("bucket", col("tb.bucket"))
       .drop("tb")
+  }
+
+  private def tableBuckets(df: DataFrame, numTables: Int,
+      planesPerTable: Int, dims: Int): DataFrame = {
+    val allPlanes = planeWeights(numTables * planesPerTable, dims)
+    tableBucketsWith(df, numTables, planesPerTable,
+      (t, p) => allPlanes(t * planesPerTable + p))
   }
 
   /** LSH-bucketed approximate top-k: multi-table random-hyperplane hashing
@@ -222,11 +270,42 @@ object Similarity {
     * the candidate set — and therefore the result — bit-for-bit. */
   def cosinePairsBucketed(emb: DataFrame, threshold: Double,
       numTables: Int = 8, planesPerTable: Int = 4, dims: Int = 64): DataFrame = {
+    val allPlanes = planeWeights(numTables * planesPerTable, dims)
+    cosinePairsCore(emb, threshold, numTables, planesPerTable,
+      (t, p) => allPlanes(t * planesPerTable + p))
+  }
+
+  /** Corpus-adaptive near-dup pairs — the 100×-safe form of
+    * `cosinePairsBucketed`: bucket depth b grows with the corpus
+    * (`adaptivePlanes`, constant expected occupancy) and the table count
+    * compensates recall (`adaptiveTables`), so candidate generation stays
+    * ~T(b)·n·targetOccupancy instead of going quadratic when a fixed
+    * bucket count saturates. The corpus count is a metadata-scale job
+    * (parquet row-count statistics); everything downstream is the same
+    * deterministic md5-derived bucketing, so an oracle engine that
+    * computes n the same way rebuilds the result bit-for-bit.
+    *
+    * `maxPlanes` bounds the depth the caller's mirror was generated for
+    * (SimilarityQueries caps at 7 = corpora up to 8,192 vectors at the
+    * default occupancy; the operator default allows 2^24-bucket tables). */
+  def cosinePairsAdaptive(emb: DataFrame, threshold: Double,
+      targetOccupancy: Int = 64, targetRecall: Double = 0.99,
+      minPlanes: Int = 4, maxPlanes: Int = 24, maxTables: Int = 512,
+      dims: Int = 64): DataFrame = {
+    val n = emb.count()
+    val b = adaptivePlanes(n, targetOccupancy, minPlanes, maxPlanes)
+    val t = adaptiveTables(threshold, b, targetRecall, maxTables)
+    cosinePairsCore(emb, threshold, t, b, planeWeightsTP(_, _, dims))
+  }
+
+  private def cosinePairsCore(emb: DataFrame, threshold: Double,
+      numTables: Int, planesPerTable: Int,
+      weights: (Int, Int) => Array[Double]): DataFrame = {
     val base = withNorm(emb, "vec_id", "embedding")
-    val a = tableBuckets(base, numTables, planesPerTable, dims)
+    val a = tableBucketsWith(base, numTables, planesPerTable, weights)
       .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"),
         col("table"), col("bucket"))
-    val b = tableBuckets(base, numTables, planesPerTable, dims)
+    val b = tableBucketsWith(base, numTables, planesPerTable, weights)
       .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"),
         col("table"), col("bucket"))
     a.join(b, Seq("table", "bucket"))

@@ -27,10 +27,23 @@ object DedupQueries extends QueryModule {
       .orderBy(col("keep_id"))
 
   /** All-pairs 3-gram Jaccard ≥ 0.5 (the planted near-dup pairs).
-    * Shingle-join candidate generation — only docs sharing a shingle meet. */
+    * Shingle-join candidate generation — only docs sharing a shingle meet.
+    *
+    * Hot-shingle skew guard: shingles whose document frequency exceeds
+    * ⌊N/8⌋ (stop-phrase class) are removed from the universe BEFORE the
+    * self-join — one corpus-wide boilerplate shingle would otherwise
+    * create a quadratic hot bucket at scale. The hot set is tiny by
+    * construction, so it broadcasts into an anti-join; capped shingles
+    * leave both the intersection and the size denominators (documented
+    * semantics, mirrored in the oracle). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val n = Tables.documents(spark, dir).count()
+    val maxDf = math.max(2L, n / 8)
+    val sh0 = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
+    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"))
+    val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -60,31 +73,46 @@ object DedupQueries extends QueryModule {
       "doc_id")
       .orderBy(col("id_a"), col("id_b"))
 
-  /** 32-bit SimHash per document. */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash32(Tables.documents(spark, dir), "doc_id", "text")
+  /** SimHash per document: both the 32-bit and 64-bit signatures, each a
+    * per-row native expression (the 64-bit form is what the banded pair
+    * generator uses — 16-bit bands need the wider signature). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash32(col("text")).as("simhash"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("simhash64"))
       .orderBy(col("doc_id"))
+  }
 
-  /** SimHash near-dup pairs: byte-banded candidate generation (pairs
-    * agreeing on ≥1 of 4 signature bytes), verified at hamming ≤ 6. */
+  /** SimHash near-dup pairs over the 64-bit signature: 4 bands × 16 bits
+    * (65,536 buckets per band — the r3 byte-banding over 32 bits had 256
+    * buckets per band, a constant-cardinality trap whose bucket occupancy
+    * grew Θ(N)), candidates verified at hamming ≤ 8.
+    *
+    * Chosen operating point (not inherited): banding GUARANTEES recall for
+    * hamming ≤ 3 (pigeonhole over 4 bands); the planted near-dups sit at
+    * hamming 0–4 of 64, and unrelated pairs center at ~32, so ≤ 8 with
+    * 16-bit bands is a deliberate precision/recall point with random-pair
+    * collision probability ~4/65536 per pair. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val s = Dedup.simhash32(Tables.documents(spark, dir), "doc_id", "text")
-    // byte-band explode (one signature computation, one bucket-key join) —
-    // per-band join legs would recompute the simhash aggregation 8x
+    val s = Dedup.simhash64(Tables.documents(spark, dir), "doc_id", "text")
+    // band explode (one signature computation, one bucket-key join) —
+    // per-band join legs would recompute the signature scan 8x
     val banded = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("k"),
-          (shiftright(col("simhash"), 8 * k) % 256).as("byte"))): _*)).as("b"))
+          shiftrightunsigned(col("simhash"), 16 * k)
+            .bitwiseAND(lit(65535L)).as("band"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
-        col("b.k").as("k"), col("b.byte").as("byte"))
+        col("b.k").as("k"), col("b.band").as("band"))
     val a = banded.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
-      col("k"), col("byte"))
+      col("k"), col("band"))
     val b = banded.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
-      col("k"), col("byte"))
-    a.join(b, Seq("k", "byte")).filter(col("id_a") < col("id_b"))
+      col("k"), col("band"))
+    a.join(b, Seq("k", "band")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
       .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")).cast("int"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= 8)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -95,10 +123,14 @@ object DedupQueries extends QueryModule {
     * the shingle join — linear in corpus + bucket sizes, never all-pairs —
     * but each doc contributes ~n/w fingerprints instead of ~n shingles. */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    // Materialized once: fps feeds both self-join legs AND the sizes
+    // aggregate — without the checkpoint the scan + winnow kernel (the
+    // expensive part) executes three times per run.
     val fps = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(
           graft.functions.GraftFunctions.winnow(col("text"), 8, 8))).as("fp"))
+      .localCheckpoint(true)
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val inter = fps.as("a")
       .join(fps.as("b"),
@@ -163,22 +195,39 @@ object DedupQueries extends QueryModule {
       |  FROM sh GROUP BY doc_id
       |)""".stripMargin
 
+  /** Shared simhash CTE: the 64-bit token hash is two md5-derived 32-bit
+    * halves (hv = hex digits 1-8 ≡ h32, lv = digits 9-16), so every bit
+    * sum stays in non-negative 32-bit math; hi32 (from hv) IS the 32-bit
+    * simhash, and the signed 64-bit signature recombines as
+    * signed(hi32)·2^32 + lo32 — bit-identical to GraftFnUtil.simhash64. */
   private val simhashCte: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
       |), h AS (
-      |  SELECT doc_id, CAST('0x' || substr(md5(tok),1,8) AS BIGINT) AS hv FROM tok
+      |  SELECT doc_id, CAST('0x' || substr(md5(tok),1,8) AS BIGINT) AS hv,
+      |         CAST('0x' || substr(md5(tok),9,8) AS BIGINT) AS lv FROM tok
       |), bits AS (
       |  SELECT doc_id,
       |""".stripMargin +
-      (0 until 32).map(j =>
-        s"    SUM(CASE WHEN (hv >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      ((0 until 32).map(j =>
+        s"    SUM(CASE WHEN (hv >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j") ++
+       (0 until 32).map(j =>
+        s"    SUM(CASE WHEN (lv >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS t$j"))
         .mkString(",\n") +
-      "\n  FROM h GROUP BY doc_id\n), sim AS (\n  SELECT doc_id,\n    " +
+      "\n  FROM h GROUP BY doc_id\n), halves AS (\n  SELECT doc_id,\n    " +
       (0 until 32).map(j =>
         s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
         .mkString(" + ") +
-      " AS simhash\n  FROM bits\n)"
+      " AS hi32,\n    " +
+      (0 until 32).map(j =>
+        s"(CASE WHEN t$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ") +
+      " AS lo32\n  FROM bits\n), sim AS (\n" +
+      """  SELECT doc_id, hi32 AS simhash, hi32, lo32,
+        |    (CASE WHEN hi32 >= 2147483648 THEN hi32 - 4294967296 ELSE hi32 END)
+        |      * 4294967296 + lo32 AS simhash64
+        |  FROM halves
+        |)""".stripMargin
 
   /** Winnowing fingerprint CTE (distinct fps per doc) — same constants as
     * graft_winnow(text, 8, 8); Horner per gram ≡ the rolling recurrence. */
@@ -251,11 +300,17 @@ object DedupQueries extends QueryModule {
         |SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM aug GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_dedup_ngram_jaccard" -> (shingleCte +
-      """, sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      """, hot AS (
+        |  SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING COUNT(*) > GREATEST(2, (SELECT COUNT(*) FROM documents) // 8)
+        |), shc AS (
+        |  SELECT s.doc_id, s.shingle FROM sh s
+        |  LEFT JOIN hot ON hot.shingle = s.shingle WHERE hot.shingle IS NULL
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id
         |), inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT doc_a, doc_b, n_inter,
         |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
@@ -278,18 +333,23 @@ object DedupQueries extends QueryModule {
         |SELECT id_a, id_b, COUNT(*) AS n_bands FROM cand
         |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin),
     "q_dedup_simhash" -> (simhashCte +
-      "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),
+      "\nSELECT doc_id, simhash, simhash64 FROM sim ORDER BY doc_id"),
     "q_dedup_simhash_pairs" -> (simhashCte +
       """, cand AS (
         |""".stripMargin +
-      (0 until 4).map(k =>
-        s"  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b\n" +
-        s"  FROM sim a JOIN sim b ON (a.simhash >> ${8 * k}) % 256 = (b.simhash >> ${8 * k}) % 256\n" +
-        s"    AND a.doc_id < b.doc_id")
+      // bands of the unsigned 64-bit signature: k=0,1 from lo32, k=2,3
+      // from hi32 — ≡ Spark's shiftrightunsigned(simhash, 16k) & 0xFFFF
+      Seq("lo32 % 65536", "lo32 // 65536", "hi32 % 65536", "hi32 // 65536")
+        .map(band =>
+          s"  SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n" +
+          s"    a.hi32 AS ha, a.lo32 AS la, b.hi32 AS hb, b.lo32 AS lb\n" +
+          s"  FROM sim a JOIN sim b ON a.$band = b.$band\n" +
+          s"    AND a.doc_id < b.doc_id")
         .mkString("\n  UNION ALL\n") +
       """
-        |), dist AS (SELECT DISTINCT id_a, id_b, sh_a, sh_b FROM cand)
-        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-        |FROM dist WHERE bit_count(xor(sh_a, sh_b)) <= 6
+        |), dist AS (SELECT DISTINCT id_a, id_b, ha, la, hb, lb FROM cand)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER) AS hamming
+        |FROM dist WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 8
         |ORDER BY id_a, id_b""".stripMargin))
 }

@@ -145,6 +145,23 @@ object PipelineQueries extends QueryModule {
       .orderBy(col("doc_id"), col("section_id"))
   }
 
+  /** The fixture corpus itself: one row per synthetic page with full
+    * metadata, content length and content fingerprint. Dual purpose:
+    * (a) FixtureCorpus.pages is oracle-checked end to end — the DuckDB
+    * mirror REBUILDS every page (heading, the 8-word sentence cycle with
+    * capitalized sentence starts, the fat-page/page-count arithmetic,
+    * even-page list blocks) from `documents` and matches md5 per page;
+    * (b) the dumped parquet is the INPUT-side anchor for the pipe-family
+    * invariant oracles (reassembly char-sums etc. join against it). */
+  def fixturePages(spark: SparkSession, dir: String): DataFrame =
+    pages(spark, dir).toDF()
+      .select(col("document_id"), col("chapter_number"), col("chapter_name"),
+        col("filename"), col("page_number"), col("page_reference"),
+        col("source_page_number"),
+        length(col("content")).as("n_chars"),
+        md5(col("content")).as("fp"))
+      .orderBy(col("chapter_number"), col("page_number"))
+
   /** T1/T2 token estimators as Catalyst expressions — oracle-checked. */
   def tokenEstimators(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -154,6 +171,7 @@ object PipelineQueries extends QueryModule {
       .orderBy(col("doc_id"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fixture_pages" -> fixturePages,
     "q_pipe_sections" -> sections,
     "q_pipe_sections_corrected" -> sectionsCorrected,
     "q_pipe_chunks" -> chunks,

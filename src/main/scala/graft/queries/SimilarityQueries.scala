@@ -38,23 +38,28 @@ object SimilarityQueries extends QueryModule {
       Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
       .orderBy(col("query_id"), col("rk"))
 
-  /** Embedding near-dup candidate pairs at cosine ≥ 0.35: LSH-bucketed
-    * candidates, exact-verified — the scale path (no all-pairs cross
-    * join). The DuckDB oracle rebuilds the identical md5-derived buckets,
-    * so the result is value-checked end to end.
-    *
-    * 32 tables × 4 planes: at this low threshold (θ≈69°, p≈0.61) the
-    * default 8 tables would drop ~25% of qualifying pairs; 32 gives
-    * per-pair recall ≥0.99 at 0.35 and higher above it (PipelineSpec
-    * measures ≥0.95 against the exact all-pairs result). At true
-    * near-dup thresholds (≥0.85) 8 tables suffice — T is the knob. */
+  /** Embedding near-dup candidate pairs at cosine ≥ 0.35: CORPUS-ADAPTIVE
+    * LSH-bucketed candidates, exact-verified — the scale path (no
+    * all-pairs cross join, no constant bucket count). Bucket depth b =
+    * ⌈log₂(n/64)⌉ (constant expected occupancy) and the table count
+    * T(b) = ⌈ln(0.01)/ln(1−p^b)⌉ compensates recall to ≥0.99 at this
+    * threshold (p≈0.61 at θ≈69°; PipelineSpec measures ≥0.95 against the
+    * exact all-pairs result). The DuckDB oracle computes the SAME b from
+    * its own COUNT(*) and gates the same masked bucket expressions, so
+    * the result stays value-checked at every fixture scale (n=500 →
+    * b=4, T=31; n=5000 → b=7, T=138). */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairsBucketed(Tables.embeddings(spark, dir), 0.35,
-      numTables = Tables_, planesPerTable = Planes_)
+    Similarity.cosinePairsAdaptive(Tables.embeddings(spark, dir), Threshold,
+      targetOccupancy = Occupancy, targetRecall = Recall, maxPlanes = MaxB)
       .orderBy(col("vec_a"), col("vec_b"))
 
-  private val Tables_ = 32
-  private val Planes_ = 4
+  private val Threshold = 0.35
+  private val Occupancy = 64
+  private val Recall = 0.99
+  /** Mirror depth bound: the generated SQL has masked plane expressions
+    * up to b=7, i.e. corpora up to 64·2^7 = 8,192 vectors (fixture max is
+    * 5,000). The Spark side passes the same cap so both saturate alike. */
+  private val MaxB = 7
 
   /** Label-centroid similarity: mean vector per label, then each label's
     * nearest other centroid — a coarse IVF-style structure report. */
@@ -74,8 +79,8 @@ object SimilarityQueries extends QueryModule {
     * cluster — the semantic-dedup step of a training-data pipeline. */
   def simClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val pairs = Similarity.cosinePairsBucketed(emb, 0.35,
-      numTables = Tables_, planesPerTable = Planes_)
+    val pairs = Similarity.cosinePairsAdaptive(emb, Threshold,
+      targetOccupancy = Occupancy, targetRecall = Recall, maxPlanes = MaxB)
       .select(col("vec_a"), col("vec_b"))
     graft.ops.Dedup.connectedComponents(
       emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b")
@@ -200,16 +205,46 @@ object SimilarityQueries extends QueryModule {
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
   }
 
-  /** Mirror of cosinePairsBucketed: same buckets, same candidate join,
-    * same exact verification. */
-  private def cosinePairsSql(threshold: Double): String = {
-    val unions = bucketExprs(Tables_, Planes_).zipWithIndex.map {
-      case (expr, t) => s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM n"
+  /** Adaptive-parameter CTEs + masked per-table bucket legs, mirroring
+    * `cosinePairsAdaptive` exactly:
+    *  - `nn.b` is the bucket depth ⌈log₂(n/64)⌉ clamped to [4, MaxB] —
+    *    CEIL(LOG2(...)) agrees with the Scala integer loop because the
+    *    fixture counts sit far from the power-of-two boundaries (and AT
+    *    a boundary log2 of an exact power of two is exact in IEEE);
+    *  - `tt.t` is the table count T(b), generated as a CASE from the SAME
+    *    `Similarity.adaptiveTables` the Spark side calls (no cross-engine
+    *    float: the lookup is baked into the SQL text);
+    *  - each of the T(MaxB) table legs is gated by `tt.t > <t>`, and each
+    *    plane bit inside a leg by `<p> < nn.b`, so DuckDB evaluates the
+    *    identical bucket set for whatever n it finds. */
+  private def adaptiveBucketCtes(threshold: Double): String = {
+    val maxT = Similarity.adaptiveTables(threshold, MaxB, Recall)
+    val tCase = (4 to MaxB).map(b =>
+      s"WHEN $b THEN ${Similarity.adaptiveTables(threshold, b, Recall)}")
+      .mkString(" ")
+    val legs = (0 until maxT).map { t =>
+      val expr = (0 until MaxB).map { p =>
+        val lits = Similarity.planeWeightsTP(t, p, 64)
+          .map(x => f"$x%.3f").mkString("[", ", ", "]")
+        s"(CASE WHEN $p < nn.b AND list_sum(list_transform(range(1, 65), i -> v[i] * ($lits)[i])) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM n, nn, tt WHERE tt.t > $t"
     }.mkString("\n  UNION ALL ")
-    normCte +
-      s""", b AS (
-         |  $unions
-         |), cand AS (
+    s""", nn AS (
+       |  SELECT GREATEST(4, LEAST($MaxB,
+       |    CAST(CEIL(LOG2(GREATEST(CAST(COUNT(*) AS DOUBLE), 1.0) / $Occupancy)) AS INT))) AS b
+       |  FROM embeddings
+       |), tt AS (SELECT CASE b $tCase ELSE ${maxT} END AS t FROM nn
+       |), b AS (
+       |  $legs
+       |)""".stripMargin
+  }
+
+  /** Mirror of cosinePairsAdaptive: same adaptive buckets, same candidate
+    * join, same exact verification. */
+  private def cosinePairsSql(threshold: Double): String = {
+    normCte + adaptiveBucketCtes(threshold) +
+      s""", cand AS (
          |  SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
          |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
          |    AND l.vec_id < r.vec_id
@@ -223,13 +258,8 @@ object SimilarityQueries extends QueryModule {
 
   /** Recursive transitive closure over the identical cosine-pair graph. */
   private def simClustersSql(threshold: Double): String = {
-    val unions = bucketExprs(Tables_, Planes_).zipWithIndex.map {
-      case (expr, t) => s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM n"
-    }.mkString("\n  UNION ALL ")
-    (normCte +
-      s""", b AS (
-         |  $unions
-         |), cand AS (
+    (normCte + adaptiveBucketCtes(threshold) +
+      s""", cand AS (
          |  SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
          |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
          |    AND l.vec_id < r.vec_id
@@ -250,7 +280,7 @@ object SimilarityQueries extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
-    "q_sim_clusters" -> simClustersSql(0.35),
+    "q_sim_clusters" -> simClustersSql(Threshold),
     "q_knn_brute" -> (normCte +
       s""", scored AS (
          |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
@@ -266,7 +296,7 @@ object SimilarityQueries extends QueryModule {
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin),
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
-    "q_sim_cosine_pairs" -> cosinePairsSql(0.35),
+    "q_sim_cosine_pairs" -> cosinePairsSql(Threshold),
     "q_sim_label_centroids" ->
       """WITH dims AS (
         |  SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS dim,
