@@ -43,8 +43,13 @@ object Bench {
       }
     }
 
+  /** Locale-pinned: f"%.3f" would emit comma decimals (invalid JSON)
+    * under a comma-decimal default locale. */
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   private def jsonNum(results: Seq[(String, Double)]): String =
-    results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
@@ -59,8 +64,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Methodology (FROZEN since r3, labeled in the output JSON so rounds
-    // compare like-for-like):
+    // Methodology "r4-cold+steady" (ADOPTED in r4 — r3 ran two untimed
+    // small-scale warm-ups then one timed pass, so r3 `total` is
+    // comparable to r4+ `total_cold`, NOT to r4+ `total`, whose steady
+    // pass runs with the primary data's page cache warmed by the cold
+    // pass; the `methodology` field in the JSON labels this):
     //  1. one timed COLD pass at the primary scale (JIT/codegen cost
     //     included — `total_cold`/`queries_cold`),
     //  2. one untimed warm-up pass of the whole headline set at the
@@ -102,7 +110,14 @@ object Bench {
         s""","sf_small":"$smallDir","queries_small":${jsonNum(timeSet(spark, smallDir))}"""
       else ""
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonNum(results)},"total_cold":$totalCold%.3f,"queries_cold":${jsonNum(cold)},"warmup":{"passes":2,"dir":"$wd","timed_pass":"steady-state"},"rows":$rows,"sf":"$sfDir"$small}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonNum(results)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"r4-cold+steady","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-state"},"rows":$rows,"sf":"$sfDir"$small}"""
+    println(line)
+    // belt-and-braces against stdout tail truncation (BENCH_r04's
+    // steady-state total was clipped by the capture): the same line is
+    // also written to a file the round snapshot picks up.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -81,10 +81,36 @@ object Similarity {
     * back; total candidate work stays ~T(b)·n·occupancy). */
   def adaptiveTables(threshold: Double, planes: Int,
       targetRecall: Double = 0.99, maxTables: Int = 512): Int = {
+    val t = adaptiveTablesUnclamped(threshold, planes, targetRecall)
+    val clamped = math.min(maxTables, math.max(1, t))
+    if (clamped < t) {
+      val achieved = achievedRecall(threshold, planes, clamped)
+      log.warn(f"adaptiveTables clamped $t -> $clamped tables at " +
+        f"threshold=$threshold%.3f b=$planes: achieved pair recall " +
+        f"$achieved%.4f < target $targetRecall%.2f — raise maxTables, " +
+        "lower b, or accept the degraded recall explicitly")
+    }
+    clamped
+  }
+
+  private lazy val log = org.apache.log4j.Logger.getLogger(getClass)
+
+  private def adaptiveTablesUnclamped(threshold: Double, planes: Int,
+      targetRecall: Double): Int = {
     val p = 1.0 - math.acos(threshold) / math.Pi
-    val t = math.ceil(math.log(1.0 - targetRecall) /
+    math.ceil(math.log(1.0 - targetRecall) /
       math.log(1.0 - math.pow(p, planes))).toInt
-    math.min(maxTables, math.max(1, t))
+  }
+
+  /** Pair recall actually delivered by T tables of b-plane buckets at
+    * `threshold`: 1 − (1 − p^b)^T with p = 1 − acos(s)/π. Exposed so
+    * callers (and AdaptiveLshSpec) can DETECT a degraded operating point
+    * instead of trusting the ≥targetRecall contract after the maxTables
+    * clamp — at deep b × low threshold the unclamped T explodes and the
+    * clamp silently costs tens of recall points. */
+  def achievedRecall(threshold: Double, planes: Int, tables: Int): Double = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, planes), tables)
   }
 
   /** Random-hyperplane signature: bit p of the result = 1 iff
@@ -296,6 +322,28 @@ object Similarity {
     val b = adaptivePlanes(n, targetOccupancy, minPlanes, maxPlanes)
     val t = adaptiveTables(threshold, b, targetRecall, maxTables)
     cosinePairsCore(emb, threshold, t, b, planeWeightsTP(_, _, dims))
+  }
+
+  /** Pre-dedup candidate rows of the adaptive generator — the
+    * (table,bucket) self-join output size that drives shuffle cost (spec
+    * surface: AdaptiveLshSpec asserts this grows sub-quadratically
+    * between fixture scales; a regression to constant b would take it
+    * quadratic). Returns (candidateRows, b, tables, corpusN). */
+  private[graft] def adaptiveCandidateStats(emb: DataFrame, threshold: Double,
+      targetOccupancy: Int = 64, targetRecall: Double = 0.99,
+      minPlanes: Int = 4, maxPlanes: Int = 24, maxTables: Int = 512,
+      dims: Int = 64): (Long, Int, Int, Long) = {
+    val n = emb.count()
+    val b = adaptivePlanes(n, targetOccupancy, minPlanes, maxPlanes)
+    val t = adaptiveTables(threshold, b, targetRecall, maxTables)
+    val buckets = tableBucketsWith(withNorm(emb, "vec_id", "embedding"),
+      t, b, planeWeightsTP(_, _, dims))
+      .select(col("vec_id"), col("table"), col("bucket"))
+    val a = buckets.select(col("vec_id").as("vec_a"), col("table"), col("bucket"))
+    val bb = buckets.select(col("vec_id").as("vec_b"), col("table"), col("bucket"))
+    val rows = a.join(bb, Seq("table", "bucket"))
+      .filter(col("vec_a") < col("vec_b")).count()
+    (rows, b, t, n)
   }
 
   private def cosinePairsCore(emb: DataFrame, threshold: Double,

@@ -37,9 +37,34 @@ object DedupQueries extends QueryModule {
     * leave both the intersection and the size denominators (documented
     * semantics, mirrored in the oracle). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.documents(spark, dir).count()
+    val docs = Tables.documents(spark, dir)
+    ngramJaccardOn(docs, docs.count())
+  }
+
+  /** The capped shingle-join over an arbitrary (doc_id, text) corpus —
+    * spec surface: DedupSkewSpec feeds a planted stop-shingle corpus
+    * through it and asserts the candidate-pair count. */
+  private[graft] def ngramJaccardOn(docs: DataFrame, n: Long): DataFrame = {
+    val (inter, sizes) = ngramCandidates(docs, n)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Candidate stage of the capped shingle join: (meeting pairs with
+    * intersection counts, per-doc shingle sizes). Split out so the skew
+    * spec can count candidates directly — the cap's whole point is that
+    * this count stays ~linear under a corpus-wide stop shingle. */
+  private[graft] def ngramCandidates(docs: DataFrame,
+      n: Long): (DataFrame, DataFrame) = {
     val maxDf = math.max(2L, n / 8)
-    val sh0 = Tables.documents(spark, dir)
+    val sh0 = docs
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
     val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
@@ -50,15 +75,7 @@ object DedupQueries extends QueryModule {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    (inter, sizes)
   }
 
   /** MinHash signatures (8 portable md5-derived permutations). */
@@ -77,7 +94,9 @@ object DedupQueries extends QueryModule {
     * per-row native expression (the 64-bit form is what the banded pair
     * generator uses — 16-bit bands need the wider signature). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // null-text filter matches Dedup.simhash32/64's documented semantics
+    // (and the oracle's GROUP BY over exploded tokens, which drops the doc)
+    val d = Tables.documents(spark, dir).where(col("text").isNotNull)
     d.select(col("doc_id"),
       graft.functions.GraftFunctions.simhash32(col("text")).as("simhash"),
       graft.functions.GraftFunctions.simhash64(col("text")).as("simhash64"))

@@ -46,8 +46,10 @@ object SimilarityQueries extends QueryModule {
     * threshold (p≈0.61 at θ≈69°; PipelineSpec measures ≥0.95 against the
     * exact all-pairs result). The DuckDB oracle computes the SAME b from
     * its own COUNT(*) and gates the same masked bucket expressions, so
-    * the result stays value-checked at every fixture scale (n=500 →
-    * b=4, T=31; n=5000 → b=7, T=138). */
+    * the result stays value-checked at whichever scale the harness runs
+    * (driver gate: sf0.01, n=500 → b=4, T=31; the b=7/T=138 branch at
+    * sf0.1 n=5000 is exercised by local Verify runs, recorded in
+    * COVERAGE.md). */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairsAdaptive(Tables.embeddings(spark, dir), Threshold,
       targetOccupancy = Occupancy, targetRecall = Recall, maxPlanes = MaxB)
@@ -113,11 +115,17 @@ object SimilarityQueries extends QueryModule {
   /** Per-table RHP bucket expressions with the plane weights inlined as
     * exact 3-decimal literals (they are integers/1000 by construction in
     * Similarity.planeWeights, so the SQL text is lossless). */
+  /** Locale-pinned 3-decimal literal — f"%.3f" uses the JVM default
+    * locale, and a comma-decimal locale would silently corrupt the
+    * generated SQL. */
+  private def f3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
   private def bucketExprs(numTables: Int, planes: Int): Seq[String] = {
     val w = Similarity.planeWeights(numTables * planes, 64)
     (0 until numTables).map { t =>
       (0 until planes).map { p =>
-        val lits = w(t * planes + p).map(x => f"$x%.3f").mkString("[", ", ", "]")
+        val lits = w(t * planes + p).map(f3).mkString("[", ", ", "]")
         s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ($lits)[i])) > 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString(" + ")
     }
@@ -225,7 +233,7 @@ object SimilarityQueries extends QueryModule {
     val legs = (0 until maxT).map { t =>
       val expr = (0 until MaxB).map { p =>
         val lits = Similarity.planeWeightsTP(t, p, 64)
-          .map(x => f"$x%.3f").mkString("[", ", ", "]")
+          .map(f3).mkString("[", ", ", "]")
         s"(CASE WHEN $p < nn.b AND list_sum(list_transform(range(1, 65), i -> v[i] * ($lits)[i])) > 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, $t AS tbl, $expr AS bucket FROM n, nn, tt WHERE tt.t > $t"

@@ -39,4 +39,29 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     val got = cc(Seq(7L, 8L), Seq.empty)
     assert(got == Map(7L -> 7L, 8L -> 8L))
   }
+
+  test("1,000-node path graph converges in O(log n) rounds, not O(n)") {
+    import spark.implicits._
+    val n = 1000L
+    val vs = (0L until n).toDF("id")
+    val es = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) =
+      Dedup.connectedComponentsRounds(vs, "id", es, "src", "dst")
+    // pointer-halving: label distance ~doubles per round → ~11 rounds for
+    // diameter 999; 20 is a generous regression bound (plain min-label
+    // propagation would need 999)
+    assert(rounds <= 20, s"took $rounds rounds")
+    val labs = labels.collect().map(r => r.getLong(1)).toSet
+    assert(labs == Set(0L))
+  }
+
+  test("maxRounds guard fails loudly instead of returning partial merges") {
+    import spark.implicits._
+    val vs = (0L until 200L).toDF("id")
+    val es = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(vs, "id", es, "src", "dst", maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
