@@ -8,9 +8,13 @@ import graft.ops.{DocPipeline, EnrichStages}
 import graft.text.FixtureCorpus
 
 /** Enrichment-stage queries run with the DeterministicEnricher (no network;
-  * same bytes on every run). Not SQL-expressible → rows-only driver checks;
-  * the outputs are self-auditing (violation counters must be zero) and the
-  * determinism/batching contracts are pinned by EnrichSpec. */
+  * same bytes on every run). The chapter/section summary flows are exact
+  * hash-checked oracles: DuckDB rebuilds the fixture pages/sections
+  * (FixtureOracleSql) and recomputes the enricher's extractive summaries —
+  * including the FNV-1a 64-bit tag in pure SQL. Still rows-only: the
+  * embedding audit and full export (chunker-dependent counts) and the cost
+  * report (partition-layout-dependent `embed_calls`); their contracts are
+  * pinned by EnrichPropSpec and the chunk-audit zero counters. */
 object EnrichQueries extends QueryModule {
 
   private val enricher = new DeterministicEnricher(64)
@@ -206,6 +210,8 @@ object EnrichQueries extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q_enrich_pages" -> FixtureOracleSql.enrichPages,
+    "q_enrich_section_summaries" -> FixtureOracleSql.enrichSectionSummaries,
     "q_enrich_catalog_descriptions" -> catalogDescSql,
     "q_catalog_master" ->
       """WITH d AS (

@@ -8,11 +8,16 @@ import graft.ops.DocPipeline
 import graft.text.{FixtureCorpus, Tokens}
 
 /** Document-pipeline queries: the synthetic corpus (FixtureCorpus) run
-  * through pages→sections→chunks. The splitter/merger/chunker are not
-  * SQL-expressible, so those queries are rows-only checked by the driver;
-  * their correctness contract lives in the ScalaTest property specs AND in
+  * through pages→sections→chunks. The page generator, hierarchical
+  * splitter + small-section merge, W5 correction, and the natural-section
+  * char split all collapse to closed form on this corpus (see
+  * FixtureOracleSql), so q_fixture_pages / q_pipe_sections /
+  * q_pipe_sections_corrected / q_catalog_page_sections are exact
+  * hash-checked oracles. The CHUNKER (T8) is genuinely sequential
+  * (greedy budget fill over priority boundaries), so the chunk queries
+  * stay rows-only with their contract pinned by the property specs AND by
   * `q_pipe_chunk_audit`, whose violation counters must all be zero. The
-  * token-estimator query IS oracle-checked (Catalyst vs DuckDB).
+  * token-estimator query is oracle-checked (Catalyst vs DuckDB).
   */
 object PipelineQueries extends QueryModule {
 
@@ -128,8 +133,10 @@ object PipelineQueries extends QueryModule {
   }
 
   /** T9/T10: per-page natural-boundary sectioning with the min-2 force
-    * split (catalog stage-3 content entries). Rows-only; invariants in
-    * NaturalSectionsSpec. */
+    * split (catalog stage-3 content entries). Oracle-checked on the path
+    * the corpus exercises (char split + backtrack — the text has no
+    * sentence breaks or paragraphs, verified at every fixture scale);
+    * the sentence/paragraph paths are pinned by NaturalSectionsSpec. */
   def catalogPageSections(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -146,13 +153,14 @@ object PipelineQueries extends QueryModule {
   }
 
   /** The fixture corpus itself: one row per synthetic page with full
-    * metadata, content length and content fingerprint. Dual purpose:
-    * (a) FixtureCorpus.pages is oracle-checked end to end — the DuckDB
-    * mirror REBUILDS every page (heading, the 8-word sentence cycle with
-    * capitalized sentence starts, the fat-page/page-count arithmetic,
-    * even-page list blocks) from `documents` and matches md5 per page;
-    * (b) the dumped parquet is the INPUT-side anchor for the pipe-family
-    * invariant oracles (reassembly char-sums etc. join against it). */
+    * metadata, content length and content fingerprint. FixtureCorpus.pages
+    * is oracle-checked end to end — the registered DuckDB mirror
+    * (FixtureOracleSql.fixturePages) REBUILDS every page (heading, the
+    * 8-word sentence cycle with capitalized sentence starts, the
+    * fat-page/page-count arithmetic, even-page list blocks) from
+    * `documents` and matches md5 per page. It also anchors the section
+    * mirrors: q_pipe_sections / q_pipe_sections_corrected reuse the same
+    * rebuild CTEs. */
   def fixturePages(spark: SparkSession, dir: String): DataFrame =
     pages(spark, dir).toDF()
       .select(col("document_id"), col("chapter_number"), col("chapter_name"),
@@ -181,6 +189,10 @@ object PipelineQueries extends QueryModule {
     "q_text_token_estimators" -> tokenEstimators)
 
   override def oracle: Map[String, String] = Map(
+    "q_fixture_pages" -> FixtureOracleSql.fixturePages,
+    "q_pipe_sections" -> FixtureOracleSql.pipeSections,
+    "q_pipe_sections_corrected" -> FixtureOracleSql.pipeSectionsCorrected,
+    "q_catalog_page_sections" -> FixtureOracleSql.catalogPageSections,
     // The FixtureCorpus document list is recomputed (doc_id % 3 → DOC_n);
     // every violation counter is hard-asserted at zero.
     "q_pipe_chunk_audit" ->

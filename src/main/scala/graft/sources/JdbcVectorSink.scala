@@ -26,7 +26,7 @@ object JdbcVectorSink {
     * SQL-safe charset. Names come from config, not user data, but they
     * are interpolated into DDL/DML — reject anything that would need
     * quoting games. */
-  private[sources] def ident(name: String): String = {
+  private[graft] def ident(name: String): String = {
     // split with -1: trailing dots must yield an (invalid) empty segment
     // rather than being silently discarded
     val parts = name.split("\\.", -1)

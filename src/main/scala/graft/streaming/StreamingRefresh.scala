@@ -97,6 +97,28 @@ object StreamingRefresh {
       .toDF("file_name", "file_path", "minute_us", "reason")
   }
 
+  /** Delete detection for the AvailableNow refresh — the snapshot-join
+    * step the reference runs after its listing scan
+    * (`catalog search/stage1_extract_csv.py:678-686`). A deletion never
+    * appears in an append-only listing stream, so `cdcStream` can only
+    * emit new/updated; the refresh job closes the gap at drain time with
+    * ONE batch anti-join of the master catalog against the CURRENT
+    * listing snapshot. Output matches ops.Cdc.toDelete's deleted rows
+    * (catalog-side columns + reason), so the streaming refresh and the
+    * batch CDC agree row-for-row on vanished files (CdcStreamSpec pins
+    * the agreement).
+    *
+    * Scale posture: same single equi-join shuffle as batch CDC; the
+    * snapshot is the listing the stream just drained, so no second NAS
+    * scan is needed — pass the files the file source enumerated. */
+  def detectDeletes(catalog: DataFrame, listingSnapshot: DataFrame): DataFrame =
+    catalog
+      .join(listingSnapshot.select(col("file_name")).distinct(),
+        Seq("file_name"), "left_anti")
+      .select(col("id"), col("file_name"), col("file_path"),
+        col("document_source"), col("document_type"), col("document_name"))
+      .withColumn("reason", lit("deleted"))
+
   /** Streaming exact dedup: keep the first arrival per key, dropping
     * re-deliveries that land within the watermark — the streaming
     * counterpart of `Dedup.exactGroups` for an event/document feed.

@@ -110,4 +110,43 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(out.map(_._2) == Seq("new", "updated", "updated"))
     q.stop()
   }
+
+  test("a vanished file emits a delete row agreeing with batch Cdc") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the stream saw a and b; by refresh time b has vanished from the NAS
+    val input = MemoryStream[(String, String, Timestamp)]
+    val listings = input.toDF()
+      .toDF("file_name", "file_path", "date_last_modified")
+    val q = StreamingRefresh.cdcStream(listings).writeStream
+      .format("memory").queryName("cdc_del").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc-ckpt3").toString)
+      .start()
+    input.addData(
+      ("a.pdf", "/x/a.pdf", ts("2024-01-01 10:00:00")),
+      ("b.pdf", "/x/b.pdf", ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val catalog = Seq(
+      (1L, "a.pdf", "/x/a.pdf", "nas", "pdf", "doc a", ts("2024-01-01 10:00:00")),
+      (2L, "b.pdf", "/x/b.pdf", "nas", "pdf", "doc b", ts("2024-01-01 10:00:00")))
+      .toDF("id", "file_name", "file_path", "document_source",
+        "document_type", "document_name", "date_last_modified")
+    val snapshot = Seq( // current listing: b is gone
+      ("a.pdf", "/x/a.pdf", 10L, ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:00")))
+      .toDF("file_name", "file_path", "file_size", "date_created",
+        "date_last_modified")
+
+    val streamed = StreamingRefresh.detectDeletes(catalog, snapshot)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(6))).toSeq
+    assert(streamed == Seq((2L, "b.pdf", "deleted")))
+
+    // agreement with the batch classifier on the same snapshot
+    val batch = graft.ops.Cdc.toDelete(graft.ops.Cdc.classify(snapshot, catalog))
+      .filter($"reason" === "deleted")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(6))).toSeq
+    assert(batch == streamed)
+  }
 }
