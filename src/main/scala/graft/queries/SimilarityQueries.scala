@@ -47,9 +47,10 @@ object SimilarityQueries extends QueryModule {
     * exact all-pairs result). The DuckDB oracle computes the SAME b from
     * its own COUNT(*) and gates the same masked bucket expressions, so
     * the result stays value-checked at whichever scale the harness runs
-    * (driver gate: sf0.01, n=500 → b=4, T=31; the b=7/T=138 branch at
-    * sf0.1 n=5000 is exercised by local Verify runs, recorded in
-    * COVERAGE.md). */
+    * (driver gate: sf0.01, n=500 → b=4, T=31; local sf0.1 Verify runs
+    * exercise the deeper-b branch at n=2000 → b=5, T=51 — the fixture
+    * embedding tables stop at 2000 rows, so b=6..7 legs are generated
+    * but exercised only by corpora above 4,096 vectors). */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairsAdaptive(Tables.embeddings(spark, dir), Threshold,
       targetOccupancy = Occupancy, targetRecall = Recall, maxPlanes = MaxB)
