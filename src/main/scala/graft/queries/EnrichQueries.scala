@@ -8,13 +8,15 @@ import graft.ops.{DocPipeline, EnrichStages}
 import graft.text.FixtureCorpus
 
 /** Enrichment-stage queries run with the DeterministicEnricher (no network;
-  * same bytes on every run). The chapter/section summary flows are exact
-  * hash-checked oracles: DuckDB rebuilds the fixture pages/sections
-  * (FixtureOracleSql) and recomputes the enricher's extractive summaries —
-  * including the FNV-1a 64-bit tag in pure SQL. Still rows-only: the
-  * embedding audit and full export (chunker-dependent counts) and the cost
-  * report (partition-layout-dependent `embed_calls`); their contracts are
-  * pinned by EnrichPropSpec and the chunk-audit zero counters. */
+  * same bytes on every run). The chapter/section summary flows AND the
+  * embedding audit are exact hash-checked oracles: DuckDB rebuilds the
+  * fixture pages/sections/chunks (FixtureOracleSql) and recomputes the
+  * enricher's extractive summaries — including the FNV-1a 64-bit tag in
+  * pure SQL — plus the blank-chunk null-embedding rule. Still rows-only:
+  * the full export (28 columns embedding float32 vector payloads) and the
+  * cost report (partition-layout-dependent `embed_calls`); their
+  * contracts are pinned by EnrichPropSpec and the chunk-audit zero
+  * counters. */
 object EnrichQueries extends QueryModule {
 
   private val enricher = new DeterministicEnricher(64)
@@ -49,7 +51,9 @@ object EnrichQueries extends QueryModule {
       .orderBy(col("document_id"), col("chapter_number"), col("section_number"))
 
   /** Stage-04 L6: embedding audit — per document: all non-blank chunks
-    * embedded, unit norms, fixed dims. Violations must be zero. */
+    * embedded, unit norms, fixed dims. Violations must be zero.
+    * Oracle-checked: DuckDB replays the chunker and counts the tag-only
+    * (clean-blank) chunks that embed as null. */
   def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
     val embedded = EnrichStages.embedChunks(
       DocPipeline.sectionsToChunks(DocPipeline.pagesToSections(pages(spark, dir))),
@@ -212,6 +216,7 @@ object EnrichQueries extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "q_enrich_pages" -> FixtureOracleSql.enrichPages,
     "q_enrich_section_summaries" -> FixtureOracleSql.enrichSectionSummaries,
+    "q_enrich_embedding_audit" -> FixtureOracleSql.enrichEmbeddingAudit,
     "q_enrich_catalog_descriptions" -> catalogDescSql,
     "q_catalog_master" ->
       """WITH d AS (

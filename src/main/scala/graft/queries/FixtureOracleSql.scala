@@ -293,6 +293,250 @@ private[queries] object FixtureOracleSql {
       "FROM fullsum\n" +
       "ORDER BY document_id, chapter_number, section_number"
 
+  // ---- the chunker (T8) -------------------------------------------
+
+  /** Tokens.estimateB over a string expression — the same mirror the
+    * token-estimator oracle uses (word-weight blend, trunc toward zero). */
+  private def estB(s: String): String =
+    s"CASE WHEN length($s) = 0 THEN 0 ELSE " +
+      s"CAST(TRUNC(list_sum(list_transform(regexp_extract_all($s, '\\b\\w+\\b|[^\\w\\s]'), " +
+      "w -> CASE WHEN length(w) <= 3 THEN 1.0 WHEN length(w) <= 7 THEN 1.3 " +
+      s"ELSE length(w) / 4.5 END)) * 0.7 + length($s) / 4.0 * 0.3) AS INTEGER) END"
+
+  /** One scan of section content `c` collecting typed break points
+    * (0-based, matching the Scala regex match positions; `i` is the
+    * 1-based SQL index). The corpus is pure lowercase words — no [,;]
+    * anywhere (checked at every fixture scale), so comma breaks (prio 5)
+    * cannot occur, and every 8-word ". Cap" boundary IS a sentence break
+    * (capitalize of an [a-z] word always yields [A-Z]). Breaks never land
+    * inside tag zones: tags contain no newline and no '.', so the inZone
+    * guard is structurally satisfied. */
+  private val breaksScan: String =
+    "list_filter(list_transform(range(1, length(c) + 1), i ->\n" +
+      "  CASE\n" +
+      "    WHEN substr(c, i, 1) = chr(10) AND\n" +
+      "         (substr(c, i + 1, 3) = '## ' OR substr(c, i + 1, 3) = '###')\n" +
+      "      THEN {'p': i - 1, 'prio': 1}\n" +
+      "    WHEN substr(c, i, 2) = chr(10) || chr(10) AND\n" +
+      "         (i = 1 OR substr(c, i - 1, 1) <> chr(10))\n" +
+      "      THEN {'p': i - 1, 'prio': 2}\n" +
+      "    WHEN substr(c, i, 1) = chr(10) AND substr(c, i + 1, 2) = '- '\n" +
+      "      THEN {'p': i - 1, 'prio': 3}\n" +
+      "    WHEN substr(c, i, 1) = '.' AND substr(c, i + 1, 1) = ' ' AND\n" +
+      "         substr(c, i + 2, 1) BETWEEN 'A' AND 'Z'\n" +
+      "      THEN {'p': i, 'prio': 4}\n" +
+      "    ELSE NULL END),\n" +
+      "  x -> x IS NOT NULL)"
+
+  /** Tag-open positions for findBestBreak's no-candidate fallback
+    * (unreachable on this corpus — breaks recur every ~55 chars and the
+    * window is 1,200 chars wide — but mirrored for exactness). */
+  private val zonesScan: String =
+    "list_filter(list_transform(range(1, length(c) + 1), i ->\n" +
+      "  CASE WHEN substr(c, i, 4) = '<!--' THEN i - 1 ELSE NULL END),\n" +
+      "  x -> x IS NOT NULL)"
+
+  /** Greedy-cut selection: min over candidates of
+    * key = prio·10^10 + |p − ideal|·10^5 + p — decodes to the exact
+    * candidate Scala's minBy((priority, dist)) picks, including the
+    * first-on-tie rule (smallest position last in the key). */
+  private val nextCut: String =
+    "CASE WHEN len(cand_keys) > 0 THEN CAST(list_min(cand_keys) % 100000 AS BIGINT)\n" +
+      "     WHEN len(zone_cands) > 0 THEN CAST(list_min(zone_cands) AS BIGINT)\n" +
+      "     ELSE least(pos + 3200, length(c)) END"
+
+  /** CTE chain `secs, single, multi0, multi, g` — section contents →
+    * chunk cut positions via the T8 greedy loop (Chunker.Config defaults:
+    * min 500 / max 750 / hardMax 800 / 4 chars-per-token ⇒ window
+    * [pos+2000, pos+3200], ideal pos+2500). Requires a WITH RECURSIVE
+    * prefix. `g` rows carry cumulative cut positions; consecutive pairs
+    * are chunks. */
+  private val chunkerCtes: String =
+    "secs AS (\n" +
+      "  SELECT doc_id, i AS section_number, fs[i].c AS c,\n" +
+      s"    ${estB("fs[i].c")} AS total_tok\n" +
+      "  FROM fx_merged, UNNEST(generate_series(1, len(fs))) AS t(i)\n" +
+      "),\n" +
+      "single AS (\n" +
+      "  SELECT doc_id, section_number, 1 AS chunk_number,\n" +
+      "    total_tok AS chunk_token_count, length(c) AS n_chars\n" +
+      "  FROM secs WHERE total_tok <= 750\n" +
+      "),\n" +
+      "multi0 AS (\n" +
+      s"  SELECT doc_id, section_number, c, $breaksScan AS bks0, $zonesScan AS zs\n" +
+      "  FROM secs WHERE total_tok > 750\n" +
+      "),\n" +
+      "multi AS (\n" +
+      "  SELECT doc_id, section_number, c,\n" +
+      "    list_filter(bks0, b -> b.prio <> 2 OR\n" +
+      "      len(list_filter(bks0, h -> h.prio = 1 AND abs(h.p - b.p) < 10)) = 0)\n" +
+      "      AS bks,\n" +
+      "    zs\n" +
+      "  FROM multi0\n" +
+      "),\n" +
+      "g AS (\n" +
+      "  SELECT doc_id, section_number, c, bks, zs,\n" +
+      "    CAST(0 AS BIGINT) AS pos, 0 AS chunk_no, FALSE AS done\n" +
+      "  FROM multi\n" +
+      "  UNION ALL\n" +
+      "  SELECT doc_id, section_number, c, bks, zs,\n" +
+      "    CASE WHEN rem <= 750 THEN CAST(length(c) AS BIGINT) ELSE nxt END AS pos,\n" +
+      "    chunk_no + 1 AS chunk_no,\n" +
+      "    rem <= 750 AS done\n" +
+      "  FROM (\n" +
+      "    SELECT doc_id, section_number, c, bks, zs, pos, chunk_no, rem,\n" +
+      s"      $nextCut AS nxt\n" +
+      "    FROM (\n" +
+      "      SELECT doc_id, section_number, c, bks, zs, pos, chunk_no,\n" +
+      s"        ${estB("substr(c, CAST(pos AS BIGINT) + 1)")} AS rem,\n" +
+      "        list_transform(\n" +
+      "          list_filter(bks, b -> b.p >= pos + 2000\n" +
+      "            AND b.p <= least(pos + 3200, length(c)) AND b.p > pos),\n" +
+      "          b -> b.prio * 10000000000 + abs(b.p - (pos + 2500)) * 100000 + b.p)\n" +
+      "          AS cand_keys,\n" +
+      "        list_filter(zs, z -> z >= pos + 2000\n" +
+      "          AND z <= least(pos + 3200, length(c)) AND z > pos) AS zone_cands\n" +
+      "      FROM g WHERE NOT done AND pos < length(c)\n" +
+      "    )\n" +
+      "  )\n" +
+      ")"
+
+  /** Shared recursive prefix: pages + sections + the chunker loop. */
+  private val fxChunkPrefix: String =
+    s"WITH RECURSIVE fx AS ($pagesSelect),\nfx_body AS (SELECT doc_id, p, content FROM fx),\n$sectionsCtes,\n$chunkerCtes"
+
+  /** q_pipe_chunks: the T8 chunk inventory, value-exact — single-chunk
+    * sections pass through whole; multi-chunk sections replay the greedy
+    * priority-cut loop in a recursive CTE. */
+  val pipeChunks: String =
+    s"$fxChunkPrefix,\n" +
+      "chunks AS (\n" +
+      "  SELECT a.doc_id, a.section_number, a.chunk_no AS chunk_number,\n" +
+      "    substr(a.c, CAST(b.pos AS BIGINT) + 1, CAST(a.pos - b.pos AS BIGINT)) AS chunk\n" +
+      "  FROM g a JOIN g b\n" +
+      "    ON a.doc_id = b.doc_id AND a.section_number = b.section_number\n" +
+      "   AND a.chunk_no = b.chunk_no + 1\n" +
+      "),\n" +
+      "multirows AS (\n" +
+      "  SELECT doc_id, section_number, chunk_number,\n" +
+      s"    ${estB("chunk")} AS chunk_token_count, length(chunk) AS n_chars\n" +
+      "  FROM chunks\n" +
+      "),\n" +
+      "allrows AS (\n" +
+      "  SELECT * FROM single UNION ALL SELECT * FROM multirows\n" +
+      ")\n" +
+      "SELECT 'DOC_' || CAST(doc_id % 3 AS VARCHAR) AS document_id,\n" +
+      "  CAST(doc_id AS INTEGER) AS chapter_number,\n" +
+      "  CAST(section_number AS INTEGER) AS section_number,\n" +
+      "  CAST(chunk_number AS INTEGER) AS chunk_number,\n" +
+      "  CAST(chunk_token_count AS INTEGER) AS chunk_token_count,\n" +
+      "  CAST(n_chars AS INTEGER) AS n_chars\n" +
+      "FROM allrows\n" +
+      "ORDER BY document_id, chapter_number, section_number, chunk_number"
+
+  /** q_pipe_chunks_corrected: W7 span→page-range overlap assignment over
+    * the chapter's chunk concatenation. On this corpus every chunk span
+    * (≥2,000 chars) overlaps a page range, so the W8–W10 inference steps
+    * never fire, and consecutive chunks share boundary pages (the W11
+    * clamp is idle). Page ranges honor the W4 duplicate-header rule: a
+    * page's range opens at its FIRST header occurrence (the intro's
+    * embedded hdr(q) copy), and closes at its footer's '-->'. */
+  val pipeChunksCorrected: String =
+    s"$fxChunkPrefix,\n" +
+      "allchunks AS (\n" +
+      "  SELECT doc_id, section_number, 1 AS chunk_number,\n" +
+      "    CAST(0 AS BIGINT) AS off, length(c) AS len\n" +
+      "  FROM secs WHERE total_tok <= 750\n" +
+      "  UNION ALL\n" +
+      "  SELECT a.doc_id, a.section_number, a.chunk_no AS chunk_number,\n" +
+      "    b.pos AS off, a.pos - b.pos AS len\n" +
+      "  FROM g a JOIN g b\n" +
+      "    ON a.doc_id = b.doc_id AND a.section_number = b.section_number\n" +
+      "   AND a.chunk_no = b.chunk_no + 1\n" +
+      "),\n" +
+      "secoff AS (\n" +
+      "  SELECT doc_id, i AS section_number,\n" +
+      "    COALESCE(SUM(length(fs[i].c)) OVER (PARTITION BY doc_id ORDER BY i\n" +
+      "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS soff\n" +
+      "  FROM fx_merged, UNNEST(generate_series(1, len(fs))) AS t(i)\n" +
+      "),\n" +
+      "chapfull AS (\n" +
+      "  SELECT doc_id, array_to_string(list_transform(fs, s -> s.c), '') AS cc,\n" +
+      "    length(CAST(doc_id AS VARCHAR)) AS dlen\n" +
+      "  FROM fx_merged\n" +
+      "),\n" +
+      "tags AS (\n" +
+      "  SELECT doc_id,\n" +
+      "    unnest(list_filter(list_transform(range(1, length(cc) + 1), i ->\n" +
+      "      CASE WHEN substr(cc, i, 16) = '<!-- PageHeader '\n" +
+      "        THEN {'p0': i - 1, 'typ': 'h', 'pg': CAST(substr(cc, i + 28, 1) AS INTEGER)}\n" +
+      "      WHEN substr(cc, i, 16) = '<!-- PageFooter '\n" +
+      "        THEN {'p0': i - 1, 'typ': 'f', 'pg': CAST(substr(cc, i + 28, 1) AS INTEGER)}\n" +
+      "      ELSE NULL END), x -> x IS NOT NULL)) AS tg,\n" +
+      "    dlen\n" +
+      "  FROM chapfull\n" +
+      "),\n" +
+      "pranges AS (\n" +
+      "  SELECT doc_id, tg.pg AS pg,\n" +
+      "    MIN(CASE WHEN tg.typ = 'h' THEN tg.p0 END) AS rs,\n" +
+      "    MAX(CASE WHEN tg.typ = 'f' THEN tg.p0 + 52 + dlen END) AS re\n" +
+      "  FROM tags GROUP BY doc_id, tg.pg\n" +
+      "),\n" +
+      "spans AS (\n" +
+      "  SELECT ac.doc_id, ac.section_number, ac.chunk_number,\n" +
+      "    so.soff + ac.off AS s,\n" +
+      "    so.soff + ac.off + ac.len - 1 AS e\n" +
+      "  FROM allchunks ac JOIN secoff so\n" +
+      "    ON ac.doc_id = so.doc_id AND ac.section_number = so.section_number\n" +
+      "),\n" +
+      "assigned AS (\n" +
+      "  SELECT sp.doc_id, sp.section_number, sp.chunk_number,\n" +
+      "    MIN(pr.pg) AS sp_page, MAX(pr.pg) AS ep_page\n" +
+      "  FROM spans sp JOIN pranges pr\n" +
+      "    ON sp.doc_id = pr.doc_id AND sp.s <= pr.re AND sp.e >= pr.rs\n" +
+      "  GROUP BY 1, 2, 3\n" +
+      ")\n" +
+      "SELECT 'DOC_' || CAST(doc_id % 3 AS VARCHAR) AS document_id,\n" +
+      "  CAST(doc_id AS INTEGER) AS chapter_number,\n" +
+      "  CAST(section_number AS INTEGER) AS section_number,\n" +
+      "  CAST(chunk_number AS INTEGER) AS chunk_number,\n" +
+      "  CAST(sp_page AS INTEGER) AS chunk_start_page,\n" +
+      "  CAST(ep_page AS INTEGER) AS chunk_end_page,\n" +
+      "  CAST(doc_id AS VARCHAR) || '-' || CAST(sp_page AS VARCHAR) AS chunk_start_reference,\n" +
+      "  CAST(doc_id AS VARCHAR) || '-' || CAST(ep_page AS VARCHAR) AS chunk_end_reference,\n" +
+      "  FALSE AS overlap_violation,\n" +
+      "  FALSE AS unassigned\n" +
+      "FROM assigned\n" +
+      "ORDER BY document_id, chapter_number, section_number, chunk_number"
+
+  /** q_enrich_embedding_audit: chunk counts per document with blank
+    * chunks (tag-only content — the unmerged header-only intros — whose
+    * PageTags.clean is empty) embedding as null; dims and norms are
+    * deterministic-enricher invariants, violations identically zero. */
+  val enrichEmbeddingAudit: String =
+    s"$fxChunkPrefix,\n" +
+      "allchunktexts AS (\n" +
+      "  SELECT doc_id, c AS txt FROM secs WHERE total_tok <= 750\n" +
+      "  UNION ALL\n" +
+      "  SELECT a.doc_id, substr(a.c, CAST(b.pos AS BIGINT) + 1, CAST(a.pos - b.pos AS BIGINT)) AS txt\n" +
+      "  FROM g a JOIN g b\n" +
+      "    ON a.doc_id = b.doc_id AND a.section_number = b.section_number\n" +
+      "   AND a.chunk_no = b.chunk_no + 1\n" +
+      "),\n" +
+      "flags AS (\n" +
+      "  SELECT doc_id,\n" +
+      "    CASE WHEN trim(regexp_replace(txt,\n" +
+      "      '(?i)<!--\\s*Page(?:Header|Footer)[^>]*?-->', '', 'g')) = ''\n" +
+      "    THEN 1 ELSE 0 END AS blank\n" +
+      "  FROM allchunktexts\n" +
+      ")\n" +
+      "SELECT 'DOC_' || CAST(doc_id % 3 AS VARCHAR) AS document_id,\n" +
+      "  CAST(count(*) AS BIGINT) AS n_chunks,\n" +
+      "  CAST(count(*) - sum(blank) AS BIGINT) AS n_embedded,\n" +
+      "  CAST(0 AS BIGINT) AS dim_violations,\n" +
+      "  CAST(0 AS BIGINT) AS norm_violations\n" +
+      "FROM flags GROUP BY document_id ORDER BY document_id"
+
   /** q_catalog_page_sections: the char-split path of NaturalSections
     * (T10), including the dropped-gap quirk — section 1 ends at the
     * backtracked whitespace, section 2 still starts at len/2. */

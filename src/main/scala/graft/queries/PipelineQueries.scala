@@ -8,16 +8,16 @@ import graft.ops.DocPipeline
 import graft.text.{FixtureCorpus, Tokens}
 
 /** Document-pipeline queries: the synthetic corpus (FixtureCorpus) run
-  * through pages→sections→chunks. The page generator, hierarchical
-  * splitter + small-section merge, W5 correction, and the natural-section
-  * char split all collapse to closed form on this corpus (see
-  * FixtureOracleSql), so q_fixture_pages / q_pipe_sections /
-  * q_pipe_sections_corrected / q_catalog_page_sections are exact
-  * hash-checked oracles. The CHUNKER (T8) is genuinely sequential
-  * (greedy budget fill over priority boundaries), so the chunk queries
-  * stay rows-only with their contract pinned by the property specs AND by
-  * `q_pipe_chunk_audit`, whose violation counters must all be zero. The
-  * token-estimator query is oracle-checked (Catalyst vs DuckDB).
+  * through pages→sections→chunks — EVERY stage exact hash-checked against
+  * DuckDB (see FixtureOracleSql): the page generator, hierarchical
+  * splitter + small-section merge, W5 correction, the natural-section
+  * char split, and the T8 priority chunker itself (its greedy cut loop
+  * replayed in a recursive CTE; the corpus's pure-lowercase words close
+  * the comma-break and lookahead cases that would otherwise need
+  * positions regex SQL can't express). Only q_pipe_full_export remains
+  * rows-only here (its 28 columns embed float32 vector payloads); the
+  * reassembly contract also rides in `q_pipe_chunk_audit`, whose
+  * violation counters must all be zero.
   */
 object PipelineQueries extends QueryModule {
 
@@ -192,6 +192,8 @@ object PipelineQueries extends QueryModule {
     "q_fixture_pages" -> FixtureOracleSql.fixturePages,
     "q_pipe_sections" -> FixtureOracleSql.pipeSections,
     "q_pipe_sections_corrected" -> FixtureOracleSql.pipeSectionsCorrected,
+    "q_pipe_chunks" -> FixtureOracleSql.pipeChunks,
+    "q_pipe_chunks_corrected" -> FixtureOracleSql.pipeChunksCorrected,
     "q_catalog_page_sections" -> FixtureOracleSql.catalogPageSections,
     // The FixtureCorpus document list is recomputed (doc_id % 3 → DOC_n);
     // every violation counter is hard-asserted at zero.
