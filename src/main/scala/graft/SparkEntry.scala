@@ -25,7 +25,8 @@ object SparkEntry {
     EventsQueries,
     MultimodalQueries,
     PromptQueries,
-    CoverageQueries)
+    CoverageQueries,
+    CorpusQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for a training-data pipeline: repetition
+  * quality metrics (the Gopher/MassiveText rule family), n-gram
+  * benchmark decontamination, PII redaction, and deterministic
+  * hash-stratified sampling.
+  *
+  * These are pipeline additions beyond the reference's own operator set
+  * (the reference's closest analogues are the token estimators and
+  * content validators, SURVEY §2.6/§2.8); the rule shapes are public
+  * knowledge (Rae et al. 2021 "Scaling Language Models" appendix A1.1,
+  * Penedo et al. 2023 RefinedWeb §3).
+  *
+  * 100 TB posture: every metric is explode → groupBy(doc_id, unit) →
+  * groupBy(doc_id) — two map-side-combinable shuffles whose width is the
+  * token stream, never O(doc_len²) per row (the pure array-function
+  * alternative is shuffle-free but quadratic per doc, which a single
+  * 1 MB document would blow up; the explode path is robustly linear).
+  * Decontamination broadcasts the benchmark gram set (metadata-scale by
+  * construction). Sampling and redaction are stateless projections that
+  * run at scan speed under whole-stage codegen.
+  */
+object CorpusFilters {
+
+  /** Word n-gram array (space-joined), empty when the doc is shorter
+    * than n words. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val w = split(text, "\\s+")
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Break a single-line text into synthetic lines of `wordsPerLine`
+    * words (the fixture corpus has no newlines; real corpora keep their
+    * own). Non-overlapping left-to-right regex replacement — identical
+    * semantics in Java regex and RE2, so the DuckDB mirror agrees. */
+  def synthesizeLines(text: Column, wordsPerLine: Int): Column =
+    regexp_replace(text,
+      s"((?:\\S+ ){${wordsPerLine - 1}}\\S+) ", "$1\n")
+
+  /** Per-document duplicate-line metrics over newline-separated lines
+    * (Gopher A1.1 "duplicate line fraction" / "duplicate line character
+    * fraction"):
+    *   dup_line_frac      = Σ_{line value with count≥2} count / Σ count
+    *   dup_line_char_frac = Σ_{count≥2} count·len(line) / Σ count·len(line)
+    * Input: (docId, lines) where lines is the raw text (lines split on
+    * '\n' here). Output: docId, n_lines, dup_line_frac, dup_line_char_frac.
+    */
+  def duplicateLineStats(df: DataFrame, docId: String, textCol: String): DataFrame =
+    df.select(col(docId), explode(split(col(textCol), "\n")).as("line"))
+      .groupBy(col(docId), col("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(docId))
+      .agg(
+        sum(col("cnt")).as("n_lines"),
+        round(
+          sum(when(col("cnt") >= 2, col("cnt")).otherwise(0)).cast("double") /
+            sum(col("cnt")), 6).as("dup_line_frac"),
+        round(
+          sum(when(col("cnt") >= 2, col("cnt") * length(col("line"))).otherwise(0))
+            .cast("double") /
+            greatest(sum(col("cnt") * length(col("line"))), lit(1)), 6)
+          .as("dup_line_char_frac"))
+
+  /** Per-document top-n-gram concentration (Gopher A1.1 "top n-gram
+    * character fraction"): the most frequent word n-gram (ties broken by
+    * lexicographically smallest gram), its count, and
+    * count·len(gram)/len(text). Window tiebreak runs over the already
+    * gram-aggregated table (far smaller than the token stream). */
+  def topNgramStats(df: DataFrame, docId: String, textCol: String, n: Int): DataFrame = {
+    val grams = df
+      .select(col(docId), length(col(textCol)).as("n_chars_doc"),
+        explode(wordNgrams(col(textCol), n)).as("gram"))
+      .groupBy(col(docId), col("n_chars_doc"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(docId))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    grams.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(docId), col("gram").as("top_gram"),
+        col("cnt").as("top_gram_count"),
+        round(col("cnt") * length(col("gram")) /
+          greatest(col("n_chars_doc"), lit(1)).cast("double"), 6)
+          .as("top_gram_char_frac"))
+  }
+
+  /** Per-document duplicate-n-gram character fraction (Gopher A1.1):
+    *   Σ_{gram with count≥2} count·len(gram) / len(text).
+    * Documents shorter than n words report 0. */
+  def duplicateNgramStats(df: DataFrame, docId: String, textCol: String, n: Int): DataFrame =
+    df.select(col(docId), length(col(textCol)).as("n_chars_doc"),
+      explode(wordNgrams(col(textCol), n)).as("gram"))
+      .groupBy(col(docId), col("n_chars_doc"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(docId), col("n_chars_doc"))
+      .agg(sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))
+        .otherwise(0)).as("dup_chars"))
+      .select(col(docId),
+        round(col("dup_chars") / greatest(col("n_chars_doc"), lit(1))
+          .cast("double"), 6).as(s"dup_${n}gram_char_frac"))
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with the probe (benchmark) set — the n-gram-overlap
+    * decontamination step of a training pipeline (n=13 is the common
+    * production choice; fixtures use smaller n so the check has signal
+    * on a ~30-word vocabulary).
+    *
+    * Returns one row per contaminated document: docId, n_hits (distinct
+    * shared grams), n_grams (the doc's distinct grams), overlap_frac.
+    * The probe gram set is broadcast — benchmark suites are
+    * metadata-scale, so the corpus side stays a single scan. */
+  def decontaminate(corpus: DataFrame, probes: DataFrame,
+                    docId: String, textCol: String, n: Int): DataFrame = {
+    val probeGrams = probes
+      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
+    val docGrams = corpus
+      .select(col(docId), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = docGrams.join(broadcast(probeGrams), "gram")
+      .groupBy(col(docId)).agg(count(lit(1)).as("n_hits"))
+    val totals = docGrams.groupBy(col(docId)).agg(count(lit(1)).as("n_grams"))
+    hits.join(totals, docId)
+      .select(col(docId), col("n_hits"), col("n_grams"),
+        round(col("n_hits") / col("n_grams").cast("double"), 6)
+          .as("overlap_frac"))
+  }
+
+  /** Conservative PII patterns — expressible identically in Java regex
+    * and RE2 (no lookaround), so the DuckDB oracle can mirror them
+    * byte for byte. Applied in a fixed order (email → IPv4 → phone);
+    * order matters and is part of the contract. */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b555-\\d{4}\\b"
+
+  /** Count occurrences of a PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact email → <EMAIL>, IPv4 → <IP>, then phone → <PHONE>. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** 32-bit selector from the md5 of the document key's decimal string:
+    * the first 8 hex chars. Uniform on [0, 2^32), identical in any
+    * engine with md5 — the basis for deterministic sampling that two
+    * independent runs (or two engines) agree on exactly. */
+  def md5Selector(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 8)
+
+  /** Lowercase 8-hex threshold for a sampling rate k/outOf. Comparing
+    * the selector hex string `<=` this threshold is exactly the integer
+    * comparison (same-length lowercase hex is order-isomorphic to its
+    * value), so rate-1 keeps everything and rate-0 keeps nothing. */
+  def rateThresholdHex(k: Long, outOf: Long): String = {
+    require(k >= 0 && k <= outOf, s"rate $k/$outOf out of range")
+    if (k == 0) "" // below every 8-hex selector
+    else f"${(BigInt(2).pow(32) * k / outOf - 1).toLong}%08x"
+  }
+
+  /** Deterministic stratified Bernoulli sample: keep a row iff its md5
+    * selector is <= the per-stratum threshold. `rates` maps stratum
+    * value → (k, outOf). Rows in strata absent from `rates` are
+    * dropped. Pure projection + filter — scan-speed, no shuffle, and
+    * reproducible across engines and re-runs (no RNG). */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, (Long, Long)]): DataFrame = {
+    val sel = md5Selector(col(keyCol))
+    val threshold = rates.foldLeft(lit(null).cast("string")) {
+      case (acc, (stratum, (k, outOf))) =>
+        when(col(stratumCol) === stratum, lit(rateThresholdHex(k, outOf)))
+          .otherwise(acc)
+    }
+    df.withColumn("sel", sel)
+      .withColumn("thr", threshold)
+      .where(col("thr").isNotNull && col("sel") <= col("thr"))
+      .drop("thr")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** CorpusFilters unit battery: exact metric values on crafted docs (the
+  * registered q_corpus_* queries add the DuckDB cross-engine check on the
+  * fixture corpus; here we pin the semantics on inputs where the right
+  * answer is computable by hand). */
+class CorpusFiltersSpec extends SparkSpecBase {
+  import CorpusFilters._
+
+  test("wordNgrams builds space-joined grams and is empty below n words") {
+    val df = spark.range(1).select(lit("a b c d").as("t"))
+    val grams = df.select(wordNgrams(col("t"), 2).as("g")).head.getSeq[String](0)
+    assert(grams == Seq("a b", "b c", "c d"))
+    val short = df.select(wordNgrams(lit("solo"), 2).as("g")).head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("synthesizeLines groups words 3-per-line, remainder on last line") {
+    val out = spark.range(1)
+      .select(synthesizeLines(lit("a b c d e f g h"), 3).as("t"))
+      .head.getString(0)
+    assert(out == "a b c\nd e f\ng h")
+  }
+
+  test("duplicateLineStats: 3-of-5 duplicate lines") {
+    import spark.implicits._
+    // lines: a, b, a, c, a  -> dup group {a:3}; frac 3/5; chars 3*1/5*1
+    val df = Seq((1L, "a\nb\na\nc\na")).toDF("doc_id", "text")
+    val r = duplicateLineStats(df, "doc_id", "text").head
+    assert(r.getAs[Long]("n_lines") == 5L)
+    assert(r.getAs[Double]("dup_line_frac") == 0.6)
+    assert(r.getAs[Double]("dup_line_char_frac") == 0.6)
+  }
+
+  test("topNgramStats: deterministic lexicographic tiebreak") {
+    import spark.implicits._
+    // "x y x y x": 2-grams x y (2), y x (2) — tie broken to 'x y'
+    val df = Seq((1L, "x y x y x")).toDF("doc_id", "text")
+    val r = topNgramStats(df, "doc_id", "text", 2).head
+    assert(r.getAs[String]("top_gram") == "x y")
+    assert(r.getAs[Long]("top_gram_count") == 2L)
+    // 2 * len("x y") / len("x y x y x") = 6/9
+    assert(r.getAs[Double]("top_gram_char_frac") == math.rint(6.0 / 9.0 * 1e6) / 1e6)
+  }
+
+  test("duplicateNgramStats counts chars of grams occurring >= 2 times") {
+    import spark.implicits._
+    // grams: x y (2), y x (2) -> dup chars 4*3=12 over 9 chars (overlap
+    // makes the fraction exceed 1 by design, as in the Gopher metric)
+    val df = Seq((1L, "x y x y x"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val r = duplicateNgramStats(df, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("dup_2gram_char_frac") == math.rint(12.0 / 9.0 * 1e6) / 1e6)
+    assert(r(1).getAs[Double]("dup_2gram_char_frac") == 0.0)
+  }
+
+  test("decontaminate flags only docs sharing a probe n-gram") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),   // shares 'alpha beta gamma' + 'beta gamma delta'? probe has 'alpha beta gamma' only
+      (2L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val probes = Seq((99L, "alpha beta gamma")).toDF("doc_id", "text")
+    val r = decontaminate(corpus, probes, "doc_id", "text", 3).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("doc_id") == 1L)
+    assert(row.getAs[Long]("n_hits") == 1L)   // 'alpha beta gamma'
+    assert(row.getAs[Long]("n_grams") == 2L)  // + 'beta gamma delta'
+    assert(row.getAs[Double]("overlap_frac") == 0.5)
+  }
+
+  test("redactPii replaces email, IPv4, phone and counts each") {
+    val t = lit("mail me at bob.smith@corp.example.org from 192.168.1.1 or call 555-0142 now")
+    val r = spark.range(1).select(
+      piiCount(t, emailRe).as("e"), piiCount(t, ipv4Re).as("i"),
+      piiCount(t, phoneRe).as("p"), redactPii(t).as("red")).head
+    assert(r.getAs[Int]("e") == 1 && r.getAs[Int]("i") == 1 && r.getAs[Int]("p") == 1)
+    assert(r.getAs[String]("red") ==
+      "mail me at <EMAIL> from <IP> or call <PHONE> now")
+  }
+
+  test("rateThresholdHex endpoints and monotonicity") {
+    assert(rateThresholdHex(5, 5) == "ffffffff")
+    assert(rateThresholdHex(0, 5) == "")
+    val ts = (1L to 5L).map(rateThresholdHex(_, 5))
+    assert(ts == ts.sorted && ts.distinct == ts)
+  }
+
+  test("stratifiedSample: rate-1 keeps all, rate-0 keeps none, reruns agree") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    val all = stratifiedSample(df, "doc_id", "stratum",
+      Map("a" -> ((5L, 5L)), "b" -> ((0L, 5L))))
+    assert(all.count() == 100)
+    assert(all.select("stratum").distinct().head.getString(0) == "a")
+    val half = stratifiedSample(df, "doc_id", "stratum",
+      Map("a" -> ((2L, 5L)), "b" -> ((2L, 5L))))
+    val ids1 = half.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = half.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2) && ids1.nonEmpty && ids1.length < 200)
+  }
+}
