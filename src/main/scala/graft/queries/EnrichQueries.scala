@@ -12,10 +12,11 @@ import graft.text.FixtureCorpus
   * embedding audit are exact hash-checked oracles: DuckDB rebuilds the
   * fixture pages/sections/chunks (FixtureOracleSql) and recomputes the
   * enricher's extractive summaries — including the FNV-1a 64-bit tag in
-  * pure SQL — plus the blank-chunk null-embedding rule. Still rows-only:
-  * the full export (28 columns embedding float32 vector payloads) and the
-  * cost report (partition-layout-dependent `embed_calls`); their
-  * contracts are pinned by EnrichPropSpec and the chunk-audit zero
+  * pure SQL — plus the blank-chunk null-embedding rule, and the cost
+  * report (physical layout pinned by a deterministic repartition so the
+  * batch counts are data-derived — see costReport). Still rows-only:
+  * the full export (28 columns embedding float32 vector payloads); its
+  * contract is pinned by EnrichPropSpec and the chunk-audit zero
   * counters. */
 object EnrichQueries extends QueryModule {
 
@@ -74,10 +75,35 @@ object EnrichQueries extends QueryModule {
       .orderBy(col("document_id"))
   }
 
+  /** Partition count for the cost-report's pinned physical layout, and
+    * the data-independent group → partition map it induces: Spark's
+    * `repartition(P, expr)` places a row at pmod(murmur3_42(expr), P),
+    * so for expr = doc_id % P the map from g ∈ [0,P) to partition id is
+    * a constant — computable here once and embedded into the oracle SQL
+    * as literals. CostLayoutSpec pins this against a live repartition. */
+  private[queries] val costParts = 8
+  private[queries] val costPartOf: Map[Long, Long] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    (0L until costParts).map { g =>
+      val h = new Murmur3Hash(Seq(Literal(g))).eval(InternalRow.empty)
+        .asInstanceOf[Int]
+      g -> java.lang.Math.floorMod(h, costParts).toLong
+    }.toMap
+  }
+
   /** L9/S22: one-row cost report of a metered catalog enrichment pass —
     * the query runs the enrichment eagerly, then reports the accumulator
     * totals priced at the reference's constants. Deterministic enricher +
-    * estimator-A metering ⇒ identical numbers every run (spec-pinned). */
+    * estimator-A metering ⇒ identical numbers every run (spec-pinned).
+    *
+    * Oracle-checked: the docs are repartitioned on doc_id % P first, so
+    * the per-partition row counts — and with them `embed_calls` =
+    * 2·Σ_p ⌈n_p/50⌉ — are a pure function of the DATA rather than of the
+    * incoming file layout; DuckDB recomputes the same batch arithmetic
+    * through the constant group → partition map, the token totals via
+    * the estimator-A mirror over the rebuilt description/usage strings,
+    * and the exact integer cost in nano-USD alongside the double. */
   def costReport(spark: SparkSession, dir: String): DataFrame = {
     import graft.enrich.{CostMeter, MeteredEnricher}
     import spark.implicits._
@@ -85,14 +111,17 @@ object EnrichQueries extends QueryModule {
     val metered = new MeteredEnricher(enricher, meter)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(costParts, pmod(col("doc_id"), lit(costParts)))
     val nDocs = EnrichStages.describeDocuments(docs, metered).count()
+    val costNano = meter.promptTokens.value * 10000L +
+      meter.completionTokens.value * 30000L + meter.embedTokens.value * 130L
     Seq((nDocs, meter.chatCalls.value, meter.promptTokens.value,
       meter.completionTokens.value, meter.embedCalls.value,
       meter.embedTokens.value,
       BigDecimal(meter.costUsd).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble))
+        .toDouble, costNano))
       .toDF("n_docs", "chat_calls", "prompt_tokens", "completion_tokens",
-        "embed_calls", "embed_tokens", "cost_usd")
+        "embed_calls", "embed_tokens", "cost_usd", "cost_nano_usd")
   }
 
   /** Catalog stage-3 analog: description/usage + dual embeddings. */
@@ -194,10 +223,11 @@ object EnrichQueries extends QueryModule {
   // over segmented, tag-embedded text); q_catalog_master's mirror
   // reproduces the master/fresh split, the max(id) + rank-by-file_name
   // mint, and the union.
+  private val first3 =
+    "CASE WHEN regexp_extract(coll, '^(.*?[.!?] .*?[.!?] .*?[.!?])(?: |$)', 1) <> '' " +
+      "THEN regexp_extract(coll, '^(.*?[.!?] .*?[.!?] .*?[.!?])(?: |$)', 1) ELSE coll END"
+
   private val catalogDescSql: String = {
-    val first3 =
-      "CASE WHEN regexp_extract(coll, '^(.*?[.!?] .*?[.!?] .*?[.!?])(?: |$)', 1) <> '' " +
-        "THEN regexp_extract(coll, '^(.*?[.!?] .*?[.!?] .*?[.!?])(?: |$)', 1) ELSE coll END"
     s"""WITH c AS (
        |  SELECT doc_id, text,
        |    regexp_replace(trim(text), '\\s+', ' ', 'g') AS coll
@@ -213,7 +243,48 @@ object EnrichQueries extends QueryModule {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokens.estimateA over an expression (same arithmetic as the Scala
+    * side: trunc(n/3.5) clamped to [n//10, n//2]). */
+  private def estA(c: String): String =
+    s"GREATEST(length($c) // 10, LEAST(CAST(TRUNC(length($c) / 3.5) AS BIGINT), length($c) // 2))"
+
+  private val costReportSql: String = {
+    val partCase = (0L until costParts)
+      .map(g => s"WHEN $g THEN ${costPartOf(g)}").mkString(" ")
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(trim(text), '\\s+', ' ', 'g') AS coll
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, text,
+       |    'Description: ' || $first3 AS descr,
+       |    'Usage: reference document ' || substr(md5(text), 1, 8) AS usg
+       |  FROM c),
+       |t AS (
+       |  SELECT ${estA("text")} AS pt, ${estA("descr")} + ${estA("usg")} AS ct
+       |  FROM f),
+       |parts AS (
+       |  SELECT CASE doc_id % $costParts $partCase END AS part FROM documents),
+       |pc AS (SELECT part, COUNT(*) AS c FROM parts GROUP BY 1),
+       |b AS (SELECT CAST(2 * SUM(CAST(CEIL(c / 50.0) AS BIGINT)) AS BIGINT)
+       |        AS embed_calls FROM pc),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(pt) AS BIGINT) AS prompt_tokens,
+       |         CAST(SUM(ct) AS BIGINT) AS completion_tokens
+       |  FROM t)
+       |SELECT n_docs, n_docs AS chat_calls, prompt_tokens, completion_tokens,
+       |  (SELECT embed_calls FROM b) AS embed_calls,
+       |  completion_tokens AS embed_tokens,
+       |  ROUND(prompt_tokens * CAST(0.01 AS DOUBLE) / 1000
+       |      + completion_tokens * CAST(0.03 AS DOUBLE) / 1000
+       |      + completion_tokens * CAST(0.00013 AS DOUBLE) / 1000, 6) AS cost_usd,
+       |  prompt_tokens * 10000 + completion_tokens * 30000
+       |      + completion_tokens * 130 AS cost_nano_usd
+       |FROM agg""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q_enrich_cost_report" -> costReportSql,
     "q_enrich_pages" -> FixtureOracleSql.enrichPages,
     "q_enrich_section_summaries" -> FixtureOracleSql.enrichSectionSummaries,
     "q_enrich_embedding_audit" -> FixtureOracleSql.enrichEmbeddingAudit,
