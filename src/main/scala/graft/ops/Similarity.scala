@@ -268,6 +268,126 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Product-quantization (ADC) approximate top-k — the memory-scale ANN
+    * path: each 64-dim vector compresses to `numSubspaces` byte-sized
+    * codes (8 here → 32× smaller than the float payload), and query
+    * scoring scans the CODE table with per-query distance lookup tables
+    * instead of touching raw vectors. At 100 TB the code table is what
+    * fits a scan budget; raw vectors are read only to exact-rescore the
+    * reported top-k.
+    *
+    * Determinism recipe shared with `ivfTopK` so the DuckDB oracle
+    * rebuilds everything bit-for-bit: per-subspace codebooks seed from
+    * the first `codebookSize` vectors by id, refine with ONE Lloyd step
+    * whose means are exact decimal sums (order-independent), and every
+    * argmin ties to the lower code. Approximate distances fold
+    * per-subspace contributions in subspace order (left-to-right double
+    * sum) and are rounded before ranking, with vec_id tiebreaks.
+    * The ADC scan keeps the top k·`refine` candidates per query; only
+    * those touch raw vectors for the exact-cosine re-rank (the standard
+    * IVF-PQ refine step — 4-bit-per-subspace codes are too coarse to
+    * order top-k directly, and the refine step buys recall for a
+    * bounded number of exact distance evaluations).
+    * Output: (query_id, rk, neighbor_id, adist, cos) — rk ranks the
+    * re-scored cosine descending; adist is the candidate's ADC distance. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      numSubspaces: Int = 8, codebookSize: Int = 16, dims: Int = 64,
+      refine: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val subDims = dims / numSubspaces
+    require(subDims * numSubspaces == dims, "dims must split evenly")
+
+    def sub(v: IndexedSeq[Double], m: Int): Array[Double] =
+      Array.tabulate(subDims)(d => v(m * subDims + d))
+    def d2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    def argmin(cb: Array[Array[Double]], sv: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cb.length) {
+        val d = d2(cb(c), sv)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // seed codebooks: subvectors of the first codebookSize vectors by id
+    val seedVecs = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(codebookSize)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+    val seedCbs = Array.tabulate(numSubspaces, codebookSize)((m, c) =>
+      sub(seedVecs(c), m))
+
+    val encode0 = udf((v: Seq[Float]) => {
+      val dv = v.map(_.toDouble).toIndexedSeq
+      Array.tabulate(numSubspaces)(m => argmin(seedCbs(m), sub(dv, m)))
+    })
+    // one Lloyd step per subspace: exact decimal mean of each assigned
+    // subvector dimension (empty cells keep their seed)
+    val refined = emb
+      .select(col("vec_id"), encode0(col("embedding")).as("c0"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("m", (col("dim") / subDims).cast("int"))
+      .withColumn("d", col("dim") % subDims)
+      .withColumn("code", element_at(col("c0"), col("m") + 1))
+      .groupBy(col("m"), col("code"), col("d"))
+      .agg((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("mval"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (mc, rows) =>
+        mc -> rows.sortBy(_.getAs[Int]("d")).map(_.getAs[Double]("mval")).toArray
+      }
+    val cbs = Array.tabulate(numSubspaces, codebookSize)((m, c) =>
+      refined.getOrElse((m, c), seedCbs(m)(c)))
+
+    val encode = udf((v: Seq[Float]) => {
+      val dv = v.map(_.toDouble).toIndexedSeq
+      Array.tabulate(numSubspaces)(m => argmin(cbs(m), sub(dv, m)))
+    })
+
+    // per-query ADC lookup tables (queries are metadata-scale)
+    val dtables: Map[Long, Array[Array[Double]]] = queries
+      .select(col("vec_id"), col("embedding")).collect().map { r =>
+        val qv = r.getSeq[Float](1).map(_.toDouble).toIndexedSeq
+        r.getLong(0) -> Array.tabulate(numSubspaces, codebookSize)((m, c) =>
+          d2(cbs(m)(c), sub(qv, m)))
+      }.toMap
+    val adistU = udf((codes: Seq[Int], qid: Long) => {
+      val dt = dtables(qid)
+      var s = 0.0; var m = 0
+      while (m < codes.length) { s += dt(m)(codes(m)); m += 1 }
+      s
+    })
+
+    val codes = emb.select(col("vec_id"), encode(col("embedding")).as("codes"))
+    val qids = broadcast(queries.select(col("vec_id").as("query_id")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    val cand = codes.crossJoin(qids)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", round(adistU(col("codes"), col("query_id")), 6))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= k * refine)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
+    // exact rescore of the surviving candidates only, re-rank by cosine
+    val e = withNorm(emb, "vec_id", "embedding")
+    val q = withNorm(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(e.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+      .withColumn("rk", row_number().over(wC))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adist"), col("cos"))
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold — exact, all-pairs,
     * O(N²). Small-N TEST ORACLE ONLY: the production operator is
     * `cosinePairsBucketed`, which replaces the cross join with an LSH

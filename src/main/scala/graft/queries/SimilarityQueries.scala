@@ -38,6 +38,13 @@ object SimilarityQueries extends QueryModule {
       Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
       .orderBy(col("query_id"), col("rk"))
 
+  /** Product-quantization ADC top-5 (8 subspaces × 16 codes — vectors
+    * compressed 32×, queries scan the code table only). */
+  def knnPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(
+      Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
+      .orderBy(col("query_id"), col("rk"))
+
   /** Embedding near-dup candidate pairs at cosine ≥ 0.35: CORPUS-ADAPTIVE
     * LSH-bucketed candidates, exact-verified — the scale path (no
     * all-pairs cross join, no constant bucket count). Bucket depth b =
@@ -95,6 +102,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
+    "q_knn_pq" -> knnPq,
     "q_sim_cosine_pairs" -> cosinePairs,
     "q_sim_clusters" -> simClusters,
     "q_sim_label_centroids" -> labelCentroids)
@@ -214,6 +222,89 @@ object SimilarityQueries extends QueryModule {
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Mirror of pqTopK: per-subspace codebooks seeded from the first 16
+    * vectors, one exact-decimal Lloyd step, argmin encoding (ties to the
+    * lower code), per-query ADC lookup tables, and the approximate
+    * distance folded in subspace order (list(… ORDER BY m) → list_sum,
+    * matching the Scala m-ascending summation) rounded before ranking.
+    * The exact cosine of each reported neighbor is rescored at the end,
+    * exactly as the Spark side does. */
+  private def knnPqSql: String = {
+    val dist8 = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    normCte +
+      s""", ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m
+         |), sub AS (
+         |  SELECT vec_id, ms.m,
+         |    list_slice(v, ms.m*8 + 1, ms.m*8 + 8) AS sv
+         |  FROM n, ms
+         |), seedv AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, v
+         |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)
+         |), seeds AS (
+         |  SELECT s.code, ms.m, list_slice(s.v, ms.m*8 + 1, ms.m*8 + 8) AS sv
+         |  FROM seedv s, ms
+         |), a0 AS (
+         |  SELECT sub.vec_id, sub.m, s.code,
+         |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+         |      ORDER BY ${dist8("sub.sv", "s.sv")}, s.code) AS rk
+         |  FROM sub JOIN seeds s ON s.m = sub.m
+         |), c0 AS (SELECT vec_id, m, code FROM a0 WHERE rk = 1
+         |), xs AS (
+         |  SELECT c.m, c.code, dd.d, sub.sv[dd.d] AS x
+         |  FROM c0 c
+         |  JOIN sub ON sub.vec_id = c.vec_id AND sub.m = c.m,
+         |  (SELECT CAST(unnest(range(1, 9)) AS INT) AS d) dd
+         |), refined AS (
+         |  SELECT m, code, d,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mval
+         |  FROM xs GROUP BY m, code, d
+         |), cb0 AS (SELECT m, code, list(mval ORDER BY d) AS cv
+         |           FROM refined GROUP BY m, code
+         |), cb AS (
+         |  SELECT s.m, s.code, COALESCE(c.cv, s.sv) AS cv
+         |  FROM seeds s LEFT JOIN cb0 c ON c.m = s.m AND c.code = s.code
+         |), a1 AS (
+         |  SELECT sub.vec_id, sub.m, b.code,
+         |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+         |      ORDER BY ${dist8("sub.sv", "b.cv")}, b.code) AS rk
+         |  FROM sub JOIN cb b ON b.m = sub.m
+         |), codes AS (SELECT vec_id, m, code FROM a1 WHERE rk = 1
+         |), dt AS (
+         |  SELECT q.vec_id AS query_id, b.m, b.code,
+         |    ${dist8("q.sv", "b.cv")} AS dist
+         |  FROM sub q JOIN cb b ON b.m = q.m
+         |  WHERE q.vec_id % 100 = 0
+         |), adc AS (
+         |  SELECT dt.query_id, c.vec_id,
+         |    ROUND(list_sum(list(dt.dist ORDER BY dt.m)), 6) AS adist
+         |  FROM codes c JOIN dt ON dt.m = c.m AND dt.code = c.code
+         |  WHERE c.vec_id <> dt.query_id
+         |  GROUP BY dt.query_id, c.vec_id
+         |), cand AS (
+         |  SELECT query_id, vec_id AS neighbor_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adist, vec_id) AS ark
+         |  FROM adc
+         |), rescored AS (
+         |  SELECT c.query_id, c.neighbor_id, c.adist,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM cand c JOIN n a ON a.vec_id = c.neighbor_id
+         |    JOIN n q ON q.vec_id = c.query_id
+         |  WHERE c.ark <= $K * $PqRefine
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, adist, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM rescored)
+         |SELECT query_id, rk, neighbor_id, adist, cos FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** ADC refine factor mirrored between Similarity.pqTopK's default and
+    * the generated SQL. */
+  private val PqRefine = 5
+
   /** Adaptive-parameter CTEs + masked per-table bucket legs, mirroring
     * `cosinePairsAdaptive` exactly:
     *  - `nn.b` is the bucket depth ⌈log₂(n/64)⌉ clamped to [4, MaxB] —
@@ -305,6 +396,7 @@ object SimilarityQueries extends QueryModule {
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin),
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
+    "q_knn_pq" -> knnPqSql,
     "q_sim_cosine_pairs" -> cosinePairsSql(Threshold),
     "q_sim_label_centroids" ->
       """WITH dims AS (

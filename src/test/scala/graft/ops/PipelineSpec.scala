@@ -211,6 +211,31 @@ class PipelineSpec extends SparkSpecBase {
     assert(lsh.nonEmpty)
   }
 
+  test("PQ top-k recall against brute force is useful; planted duplicate ranks first") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.3, s"PQ recall $recall too low")
+    // an exact duplicate vector encodes to the same codes -> ADC distance
+    // equals the query's own self-distance, the minimum possible -> rank 1
+    val rng = new scala.util.Random(11)
+    val base = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val planted = (base :+ ((100L, base.head._2))).toDF("vec_id", "embedding")
+    val q = planted.filter(col("vec_id") === 100L)
+    val top = Similarity.pqTopK(planted, q, 1).collect()
+    assert(top.length == 1)
+    assert(top.head.getLong(2) == 0L,
+      s"exact duplicate must be the rank-1 PQ neighbor, got ${top.head}")
+    assert(top.head.getDouble(4) == 1.0, "rescored cosine of the duplicate must be 1")
+  }
+
   test("bucketed cosine pairs: subset of all-pairs, full recall on planted near-dups") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
