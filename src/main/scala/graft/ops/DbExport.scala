@@ -31,19 +31,33 @@ object DbExport {
   val emptyColumns: Seq[String] =
     Seq("id", "extra1", "extra2", "extra3", "created_at", "last_modified")
 
-  /** pgvector literal `[x,y,...]` from a float array; empty string for
-    * null (stage_05_csv_export.py:444-454 — this is NOT json). */
-  /** pgvector text literal. Deliberate divergence from the reference's
-    * `str(float(x))` (stage_05_csv_export.py:444-453): the reference holds
-    * python doubles, this engine stores float32 arrays, so digits differ
-    * (and Java renders exponents as `1.0E-5` vs python's `1e-05`) — both
-    * are valid vector literals and land identically in the float4-backed
-    * vector column. */
+  /** pgvector text literal `[x,y,...]`; empty string for null
+    * (stage_05_csv_export.py:444-454 — this is NOT json). Deliberate
+    * divergence from the reference's `str(float(x))`: the reference
+    * holds python doubles, this engine stores float32 arrays — and the
+    * component rendering here is ENGINE-PORTABLE fixed-point at scale
+    * 15: u = round(x·10¹⁵) computed in double (IEEE multiply is
+    * correctly rounded, so any engine lands on the identical integer;
+    * half-away-from-zero ties agree between BigDecimal HALF_UP and
+    * C-family round()), then the digits are assembled with pure
+    * integer/string ops. 15 fractional digits round-trip every float32
+    * component this pipeline can produce (|x| ≥ 2⁻²⁶ after unit
+    * normalization), and the DuckDB oracle rebuilds the literal
+    * byte-for-byte — which a shortest-repr float→string cast cannot
+    * (Java and other engines disagree on exponent forms and digits). */
   def embeddingLiteral(embedding: Column): Column =
     when(embedding.isNull || size(embedding) === 0, lit(""))
       .otherwise(concat(lit("["),
-        array_join(transform(embedding, _.cast("float").cast("string")), ","),
+        array_join(transform(embedding, componentLiteral(_)), ","),
         lit("]")))
+
+  /** One component at fixed scale 15 via exact integer assembly. */
+  private def componentLiteral(x: Column): Column = {
+    val u = round(x.cast("double") * lit(1.0e15)).cast("long")
+    val pad = lpad(abs(u).cast("string"), 16, "0")
+    concat(when(u < 0, lit("-")).otherwise(lit("")),
+      substring(pad, 1, 1), lit("."), substring(pad, 2, 15))
+  }
 
   /** Project any chunk-shaped frame onto the 28 columns in fixed order,
     * serializing `embedding` and nulling the auto columns. Source columns

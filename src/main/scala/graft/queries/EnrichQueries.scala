@@ -12,12 +12,14 @@ import graft.text.FixtureCorpus
   * embedding audit are exact hash-checked oracles: DuckDB rebuilds the
   * fixture pages/sections/chunks (FixtureOracleSql) and recomputes the
   * enricher's extractive summaries — including the FNV-1a 64-bit tag in
-  * pure SQL — plus the blank-chunk null-embedding rule, and the cost
+  * pure SQL — plus the blank-chunk null-embedding rule, the cost
   * report (physical layout pinned by a deterministic repartition so the
-  * batch counts are data-derived — see costReport). Still rows-only:
-  * the full export (28 columns embedding float32 vector payloads); its
-  * contract is pinned by EnrichPropSpec and the chunk-audit zero
-  * counters. */
+  * batch counts are data-derived — see costReport), and the capstone
+  * full export: all 28 columns value-exact INCLUDING the float32
+  * embedding payload (FixtureOracleSql.fullExport replays the
+  * FNV-derived embedding in single-precision FLOAT and rebuilds the
+  * scale-15 vector literal byte-for-byte). Nothing in this module is
+  * rows-only. */
 object EnrichQueries extends QueryModule {
 
   private val enricher = new DeterministicEnricher(64)
@@ -284,6 +286,7 @@ object EnrichQueries extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q_pipe_full_export" -> FixtureOracleSql.fullExport,
     "q_enrich_cost_report" -> costReportSql,
     "q_enrich_pages" -> FixtureOracleSql.enrichPages,
     "q_enrich_section_summaries" -> FixtureOracleSql.enrichSectionSummaries,

@@ -537,6 +537,216 @@ private[queries] object FixtureOracleSql {
       "  CAST(0 AS BIGINT) AS norm_violations\n" +
       "FROM flags GROUP BY document_id ORDER BY document_id"
 
+  // ---- the 28-column full export ----------------------------------
+
+  /** FNV-1a 64-bit limbs over an arbitrary string expression (same limb
+    * recurrence as `fnvTag8`, which is fixed to column `ct`). */
+  private def fnvLimbs(expr: String): String =
+    "list_reduce(\n" +
+      "  list_prepend({'h': CAST(3421674724 AS BIGINT), 'l': CAST(2216829733 AS BIGINT)},\n" +
+      s"    list_transform(CASE WHEN length($expr) = 0 THEN [] ELSE string_split($expr, '') END,\n" +
+      "      c -> {'h': CAST(0 AS BIGINT), 'l': CAST(unicode(c) AS BIGINT)})),\n" +
+      "  (a, x) -> {'h': ((xor(a.l, x.l) * 435) // 4294967296\n" +
+      "                 + (a.h * 435) % 4294967296\n" +
+      "                 + (xor(a.l, x.l) % 16777216) * 256) % 4294967296,\n" +
+      "             'l': (xor(a.l, x.l) * 435) % 4294967296})"
+
+  /** Scale-15 fixed-point component rendering — the exact integer
+    * assembly DbExport.componentLiteral uses, so the literal text is
+    * engine-identical by construction (u = round(x·10¹⁵) of the same
+    * IEEE double; both engines round half away from zero). */
+  private def comp15(x: String): String = {
+    val u = s"CAST(ROUND(CAST($x AS DOUBLE) * 1000000000000000.0) AS BIGINT)"
+    s"(CASE WHEN $u < 0 THEN '-' ELSE '' END" +
+      s" || substr(lpad(CAST(abs($u) AS VARCHAR), 16, '0'), 1, 1)" +
+      s" || '.' || substr(lpad(CAST(abs($u) AS VARCHAR), 16, '0'), 2, 15))"
+  }
+
+  /** q_pipe_full_export: the capstone — all 28 DB columns value-exact,
+    * INCLUDING the float32 embedding payload. The DeterministicEnricher
+    * embedding is md5-free but FNV-derived: base = FNV64(cleaned chunk),
+    * dim d = FNV64('base:d') >>> 40 mapped to [-1,1) in float32, then
+    * unit-normalized in float32 (norm summed in double, subspace order).
+    * DuckDB replays every step — FNV limbs, the exact float ops (FLOAT
+    * arithmetic in DuckDB is true single precision; the decimal cast
+    * detour is avoided because DuckDB scales floats in float), and the
+    * scale-15 literal. Blank chunks (tag-only, clean() empty) export the
+    * empty-string literal, mirroring the P9 null-embedding rule. */
+  // Assembled from section-sized vals: one monolithic +-chain of this
+  // length blows the compiler's expression-tree stack.
+  private val feChunkCtes: String =
+    s"$fxChunkPrefix,\n" +
+      "chunktexts AS (\n" +
+      "  SELECT doc_id, section_number, 1 AS chunk_number,\n" +
+      "    CAST(0 AS BIGINT) AS off, CAST(length(c) AS BIGINT) AS len, c AS txt\n" +
+      "  FROM secs WHERE total_tok <= 750\n" +
+      "  UNION ALL\n" +
+      "  SELECT a.doc_id, a.section_number, a.chunk_no AS chunk_number,\n" +
+      "    b.pos AS off, a.pos - b.pos AS len,\n" +
+      "    substr(a.c, CAST(b.pos AS BIGINT) + 1, CAST(a.pos - b.pos AS BIGINT)) AS txt\n" +
+      "  FROM g a JOIN g b\n" +
+      "    ON a.doc_id = b.doc_id AND a.section_number = b.section_number\n" +
+      "   AND a.chunk_no = b.chunk_no + 1\n" +
+      "),\n" +
+      "secoff AS (\n" +
+      "  SELECT doc_id, i AS section_number,\n" +
+      "    COALESCE(SUM(length(fs[i].c)) OVER (PARTITION BY doc_id ORDER BY i\n" +
+      "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS soff\n" +
+      "  FROM fx_merged, UNNEST(generate_series(1, len(fs))) AS t(i)\n" +
+      "),\n" +
+      "chapfull AS (\n" +
+      "  SELECT doc_id, array_to_string(list_transform(fs, s -> s.c), '') AS cc,\n" +
+      "    length(CAST(doc_id AS VARCHAR)) AS dlen\n" +
+      "  FROM fx_merged\n" +
+      "),\n" +
+      "tags AS (\n" +
+      "  SELECT doc_id,\n" +
+      "    unnest(list_filter(list_transform(range(1, length(cc) + 1), i ->\n" +
+      "      CASE WHEN substr(cc, i, 16) = '<!-- PageHeader '\n" +
+      "        THEN {'p0': i - 1, 'typ': 'h', 'pg': CAST(substr(cc, i + 28, 1) AS INTEGER)}\n" +
+      "      WHEN substr(cc, i, 16) = '<!-- PageFooter '\n" +
+      "        THEN {'p0': i - 1, 'typ': 'f', 'pg': CAST(substr(cc, i + 28, 1) AS INTEGER)}\n" +
+      "      ELSE NULL END), x -> x IS NOT NULL)) AS tg,\n" +
+      "    dlen\n" +
+      "  FROM chapfull\n" +
+      "),\n" +
+      "pranges AS (\n" +
+      "  SELECT doc_id, tg.pg AS pg,\n" +
+      "    MIN(CASE WHEN tg.typ = 'h' THEN tg.p0 END) AS rs,\n" +
+      "    MAX(CASE WHEN tg.typ = 'f' THEN tg.p0 + 52 + dlen END) AS re\n" +
+      "  FROM tags GROUP BY doc_id, tg.pg\n" +
+      "),\n" +
+      "assigned AS (\n" +
+      "  SELECT ct.doc_id, ct.section_number, ct.chunk_number,\n" +
+      "    MIN(pr.pg) AS sp_page, MAX(pr.pg) AS ep_page\n" +
+      "  FROM chunktexts ct\n" +
+      "  JOIN secoff so ON ct.doc_id = so.doc_id AND ct.section_number = so.section_number\n" +
+      "  JOIN pranges pr ON ct.doc_id = pr.doc_id\n" +
+      "    AND so.soff + ct.off <= pr.re AND so.soff + ct.off + ct.len - 1 >= pr.rs\n" +
+      "  GROUP BY 1, 2, 3\n" +
+      ")"
+
+  private val feSummaryCtes: String =
+    "chap AS (\n" +
+      "  SELECT doc_id, list(content ORDER BY p) AS cl, count(*) AS np\n" +
+      "  FROM fx GROUP BY doc_id\n" +
+      "),\n" +
+      "summ AS (\n" +
+      s"  SELECT doc_id, np, '[FINAL ' || $fnvTag8 || '] ' || $first2 AS summary\n" +
+      "  FROM (\n" +
+      "    SELECT doc_id, np, ct, regexp_replace(trim(ct), '\\s+', ' ', 'g') AS coll\n" +
+      "    FROM (SELECT doc_id, np, array_to_string(cl, chr(10) || chr(10)) AS ct FROM chap))\n" +
+      "),\n" +
+      "secrows AS (\n" +
+      "  SELECT doc_id, i, fs[i].title AS title, fs[i].sp AS sp, fs[i].ep AS ep,\n" +
+      "    regexp_replace(trim(fs[i].c), '\\s+', ' ', 'g') AS coll\n" +
+      "  FROM fx_merged, UNNEST(generate_series(1, len(fs))) AS t(i)\n" +
+      "),\n" +
+      "fullsum AS (\n" +
+      "  SELECT doc_id, i,\n" +
+      s"    title || chr(10) || chr(10) || '(' || CAST(i - 1 AS VARCHAR) || ' prior) ' || $first2 AS s,\n" +
+      "    sp, ep\n" +
+      "  FROM secrows\n" +
+      ")"
+
+  private val feEmbedCtes: String =
+    "cleaned AS (\n" +
+      "  SELECT doc_id, section_number, chunk_number, txt,\n" +
+      "    trim(regexp_replace(\n" +
+      "      regexp_replace(\n" +
+      "        regexp_replace(txt, '(?i)<!--\\s*PageHeader[^>]*?-->', '', 'g'),\n" +
+      "        '(?i)<!--\\s*PageFooter[^>]*?-->', '', 'g'),\n" +
+      "      chr(10) || chr(10) || chr(10) || '+', chr(10) || chr(10), 'g'),\n" +
+      "      ' ' || chr(10) || chr(9) || chr(13)) AS ct\n" +
+      "  FROM chunktexts\n" +
+      "),\n" +
+      "ebase AS (\n" +
+      s"  SELECT doc_id, section_number, chunk_number, ${fnvLimbs("ct")} AS hb\n" +
+      "  FROM cleaned WHERE ct <> ''\n" +
+      "),\n" +
+      "esgn AS (\n" +
+      "  SELECT doc_id, section_number, chunk_number,\n" +
+      "    (CASE WHEN hb.h >= 2147483648 THEN hb.h - 4294967296 ELSE hb.h END)\n" +
+      "      * 4294967296 + hb.l AS sgn\n" +
+      "  FROM ebase\n" +
+      "),\n" +
+      "edims AS (\n" +
+      "  SELECT doc_id, section_number, chunk_number, sgn,\n" +
+      "    CAST(unnest(range(0, 64)) AS INT) AS dim\n" +
+      "  FROM esgn\n" +
+      "),\n" +
+      "ehd AS (\n" +
+      "  SELECT doc_id, section_number, chunk_number, dim,\n" +
+      s"    ${fnvLimbs("CAST(sgn AS VARCHAR) || ':' || CAST(dim AS VARCHAR)")} AS hb\n" +
+      "  FROM edims\n" +
+      "),\n" +
+      "exf AS (\n" +
+      "  SELECT doc_id, section_number, chunk_number, dim,\n" +
+      "    CAST(CAST(hb.h // 256 AS FLOAT) / CAST(8388608 AS FLOAT)\n" +
+      "      - CAST(1 AS FLOAT) AS FLOAT) AS x\n" +
+      "  FROM ehd\n" +
+      "),\n" +
+      "evf AS (\n" +
+      "  SELECT doc_id, section_number, chunk_number, list(x ORDER BY dim) AS v\n" +
+      "  FROM exf GROUP BY 1, 2, 3\n" +
+      "),\n" +
+      "enrm AS (\n" +
+      "  SELECT doc_id, section_number, chunk_number, v,\n" +
+      "    CAST(sqrt(list_sum(list_transform(v,\n" +
+      "      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS FLOAT) AS nf\n" +
+      "  FROM evf\n" +
+      "),\n" +
+      "elit AS (\n" +
+      "  SELECT doc_id, section_number, chunk_number,\n" +
+      "    '[' || array_to_string(list_transform(\n" +
+      "      CASE WHEN nf = 0 THEN v\n" +
+      "           ELSE list_transform(v, e -> CAST(e / nf AS FLOAT)) END,\n" +
+      s"      e -> ${comp15("e")}), ',') || ']' AS emb\n" +
+      "  FROM enrm\n" +
+      ")"
+
+  private val feSelect: String =
+    "SELECT\n" +
+      "  CAST(NULL AS VARCHAR) AS id,\n" +
+      "  'DOC_' || CAST(ct.doc_id % 3 AS VARCHAR) AS document_id,\n" +
+      "  'doc_' || CAST(ct.doc_id AS VARCHAR) || '.pdf' AS filename,\n" +
+      "  '/corpus/doc_' || CAST(ct.doc_id AS VARCHAR) || '.pdf' AS filepath,\n" +
+      "  'source_' || CAST(ct.doc_id % 3 AS VARCHAR) || '.pdf' AS source_filename,\n" +
+      "  CAST(ct.doc_id AS INTEGER) AS chapter_number,\n" +
+      "  'Chapter ' || CAST(ct.doc_id AS VARCHAR) AS chapter_name,\n" +
+      "  sm.summary AS chapter_summary,\n" +
+      "  CAST(sm.np AS INTEGER) AS chapter_page_count,\n" +
+      "  CAST(ct.section_number AS INTEGER) AS section_number,\n" +
+      "  fsu.s AS section_summary,\n" +
+      "  CAST(fsu.sp AS INTEGER) AS section_start_page,\n" +
+      "  CAST(fsu.ep AS INTEGER) AS section_end_page,\n" +
+      "  CAST(fsu.ep - fsu.sp + 1 AS INTEGER) AS section_page_count,\n" +
+      "  CAST(NULL AS VARCHAR) AS section_start_reference,\n" +
+      "  CAST(NULL AS VARCHAR) AS section_end_reference,\n" +
+      "  CAST(ct.chunk_number AS INTEGER) AS chunk_number,\n" +
+      "  ct.txt AS chunk_content,\n" +
+      "  CAST(asg.sp_page AS INTEGER) AS chunk_start_page,\n" +
+      "  CAST(asg.ep_page AS INTEGER) AS chunk_end_page,\n" +
+      "  CAST(ct.doc_id AS VARCHAR) || '-' || CAST(asg.sp_page AS VARCHAR) AS chunk_start_reference,\n" +
+      "  CAST(ct.doc_id AS VARCHAR) || '-' || CAST(asg.ep_page AS VARCHAR) AS chunk_end_reference,\n" +
+      "  COALESCE(el.emb, '') AS embedding,\n" +
+      "  CAST(NULL AS VARCHAR) AS extra1,\n" +
+      "  CAST(NULL AS VARCHAR) AS extra2,\n" +
+      "  CAST(NULL AS VARCHAR) AS extra3,\n" +
+      "  CAST(NULL AS VARCHAR) AS created_at,\n" +
+      "  CAST(NULL AS VARCHAR) AS last_modified\n" +
+      "FROM chunktexts ct\n" +
+      "JOIN assigned asg ON asg.doc_id = ct.doc_id\n" +
+      "  AND asg.section_number = ct.section_number AND asg.chunk_number = ct.chunk_number\n" +
+      "JOIN summ sm ON sm.doc_id = ct.doc_id\n" +
+      "JOIN fullsum fsu ON fsu.doc_id = ct.doc_id AND fsu.i = ct.section_number\n" +
+      "LEFT JOIN elit el ON el.doc_id = ct.doc_id\n" +
+      "  AND el.section_number = ct.section_number AND el.chunk_number = ct.chunk_number\n" +
+      "ORDER BY document_id, chapter_number, section_number, chunk_number"
+
+  val fullExport: String =
+    s"$feChunkCtes,\n$feSummaryCtes,\n$feEmbedCtes\n$feSelect"
+
   /** q_catalog_page_sections: the char-split path of NaturalSections
     * (T10), including the dropped-gap quirk — section 1 ends at the
     * backtracked whitespace, section 2 still starts at len/2. */

@@ -14,8 +14,9 @@ import graft.text.{FixtureCorpus, Tokens}
   * char split, and the T8 priority chunker itself (its greedy cut loop
   * replayed in a recursive CTE; the corpus's pure-lowercase words close
   * the comma-break and lookahead cases that would otherwise need
-  * positions regex SQL can't express). Only q_pipe_full_export remains
-  * rows-only here (its 28 columns embed float32 vector payloads); the
+  * positions regex SQL can't express). q_pipe_full_export (registered in
+  * EnrichQueries) is oracle-checked too — float32 embedding payload
+  * included — so NOTHING in the pipe family is rows-only; the
   * reassembly contract also rides in `q_pipe_chunk_audit`, whose
   * violation counters must all be zero.
   */

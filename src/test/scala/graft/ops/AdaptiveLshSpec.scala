@@ -59,6 +59,33 @@ class AdaptiveLshSpec extends SparkSpecBase {
       s"candidate growth $rowsS -> $rowsL (${ratio}x) at ${nL / nS}x corpus")
   }
 
+  test("deep-depth branch (b=7): adaptive pairs stay exact on planted near-dups") {
+    // the fixture embedding tables stop at 2,000 vectors, so the b=6..7
+    // legs of the adaptive generator were previously reasoned about but
+    // never executed; this synthetic 4,200-vector corpus (> 64·2^6)
+    // forces b=7 and proves the deep branch end to end: depth choice,
+    // table compensation, and full recall on planted near-identical pairs
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val base = (0 until 2100).map { i =>
+      (i.toLong * 2, Seq.fill(64)(rng.nextGaussian().toFloat))
+    }
+    val planted = base.flatMap { case (id, v) =>
+      val dup = v.map(x => x + 0.001f * rng.nextGaussian().toFloat)
+      Seq((id, v), (id + 1, dup))
+    }.toDF("vec_id", "embedding")
+    val (_, b, t, n) = Similarity.adaptiveCandidateStats(planted, 0.9)
+    assert(n == 4200 && b == 7, s"n=$n must select b=7, got b=$b")
+    assert(Similarity.achievedRecall(0.9, b, t) >= 0.99)
+    val pairs = Similarity.cosinePairsAdaptive(planted, 0.9)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (2i, 2i+1) duplicate pair is cos ≈ 1 and must be found
+    val wanted = base.map { case (id, _) => (id, id + 1) }.toSet
+    val missed = wanted -- pairs
+    assert(missed.isEmpty, s"b=7 run missed ${missed.size} planted pairs")
+  }
+
   test("simhash banded candidates are output-bound, not bucket-bound") {
     // the sf0.1 documents corpus has a genuinely dense near-dup structure
     // (planted duplicate clusters), so the TRUE pair count grows
