@@ -130,6 +130,67 @@ object StreamingRefresh {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming NEAR-dup candidate pairs: the incremental form of
+    * `Dedup.minhashSignature` + `Dedup.lshPairs` for a document feed.
+    * Each arriving doc's per-row MinHash signature (native expression —
+    * a pure projection, no shuffle) is split into LSH bands; per
+    * (band, band-values) bucket, `flatMapGroupsWithState` keeps the ids
+    * already seen and emits a candidate pair for every (new doc, seen
+    * doc) in the bucket — so near-dups are detected ACROSS micro-batches,
+    * not just within one, and each doc is compared only against its own
+    * buckets, never the corpus.
+    *
+    * State bound: a bucket retains at most `maxBucket` ids. A doc landing
+    * in a full bucket still pairs against the retained ids but is not
+    * retained itself (documented recall trade on pathological hot
+    * buckets — the same hot-bucket shape the batch side caps with
+    * df-capped shingles / adaptive band cardinality). State is therefore
+    * ≤ maxBucket longs per DISTINCT bucket ever touched; with 2^64-value
+    * band keys, bucket count tracks corpus structure, not band
+    * saturation. Candidates repeat when a pair shares several bands —
+    * consumers dedup (exactly as the batch `lshPairs` groupBy does);
+    * StreamingDedupSpec pins set-equality against the batch operator over
+    * a multi-batch drain. */
+  def nearDupStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numPerms: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numBands = numPerms / rowsPerBand
+    val sig = graft.ops.Dedup.minhashSignature(docs, idCol, textCol, numPerms)
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").as(s"v$r")): _*)
+    }
+    sig
+      .select(col(idCol).cast("long").as("id"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"),
+        concat_ws(":", col("bs.band") +:
+          (0 until rowsPerBand).map(r => col(s"bs.v$r")): _*).as("bucket"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: String, rows: Iterator[(Long, String)],
+            state: GroupState[Seq[Long]]) =>
+          var seen = state.getOption.getOrElse(Seq.empty[Long]).toVector
+          val out = Vector.newBuilder[(Long, Long, String)]
+          rows.map(_._1).toSeq.distinct.sorted.foreach { id =>
+            if (!seen.contains(id)) {
+              seen.foreach { other =>
+                val (a, b) = if (other < id) (other, id) else (id, other)
+                out += ((a, b, bucket))
+              }
+              if (seen.size < maxBucket) seen = seen :+ id
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("id_a", "id_b", "bucket")
+  }
+
   /** Run a streaming DataFrame to completion with AvailableNow into an
     * in-memory table; returns after all available data is processed. */
   def runAvailableNowToMemory(df: DataFrame, queryName: String,
