@@ -388,6 +388,29 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adist"), col("cos"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * path that cuts a float32 vector store 4× (and pairs with the PQ
+    * codes for coarse+fine search). Per vector: scale = max |x_i|,
+    * code_i = round(x_i/scale · 127) ∈ [-127, 127], plus the max
+    * absolute reconstruction error as a self-audit. All math is double
+    * (deterministic IEEE on any engine) with half-away-from-zero
+    * rounding, so the DuckDB oracle rebuilds codes and errors exactly.
+    * Pure projection — scan speed, no shuffle. */
+  def int8Quantize(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val scale = array_max(transform(v, x => abs(x)))
+    val codes = transform(v, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(round(x / scale * 127.0).cast("int")))
+    val err = array_max(zip_with(v, codes,
+      (x, c) => abs(x - c.cast("double") * scale / 127.0)))
+    emb.select(col(idCol), round(scale, 9).as("scale"),
+      size(codes).as("n_dims"),
+      md5(array_join(transform(codes, _.cast("string")), ",")).as("codes_fp"),
+      round(err, 9).as("max_err"))
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold — exact, all-pairs,
     * O(N²). Small-N TEST ORACLE ONLY: the production operator is
     * `cosinePairsBucketed`, which replaces the cross join with an LSH

@@ -71,6 +71,13 @@ object SimilarityQueries extends QueryModule {
     * 5,000). The Spark side passes the same cap so both saturate alike. */
   private val MaxB = 7
 
+  /** Symmetric int8 quantization audit: per-vector scale, code
+    * fingerprint, and max reconstruction error — the 4× storage
+    * compression path next to PQ's 32×. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.int8Quantize(Tables.embeddings(spark, dir))
+      .orderBy(col("vec_id"))
+
   /** Label-centroid similarity: mean vector per label, then each label's
     * nearest other centroid — a coarse IVF-style structure report. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
@@ -103,6 +110,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
     "q_knn_pq" -> knnPq,
+    "q_sim_quantize" -> quantizeInt8,
     "q_sim_cosine_pairs" -> cosinePairs,
     "q_sim_clusters" -> simClusters,
     "q_sim_label_centroids" -> labelCentroids)
@@ -397,6 +405,29 @@ object SimilarityQueries extends QueryModule {
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_pq" -> knnPqSql,
+    "q_sim_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e
+        |), c AS (
+        |  SELECT vec_id, scale, v,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(ROUND(x / scale * 127.0) AS INT) END) AS codes
+        |  FROM q
+        |), r AS (
+        |  SELECT vec_id, scale, codes,
+        |    list_max(list_transform(range(1, len(v) + 1), i ->
+        |      abs(v[CAST(i AS INT)]
+        |        - CAST(codes[CAST(i AS INT)] AS DOUBLE) * scale / 127.0))) AS err
+        |  FROM c)
+        |SELECT vec_id, ROUND(scale, 9) AS scale,
+        |  CAST(len(codes) AS INT) AS n_dims,
+        |  md5(array_to_string(codes, ',')) AS codes_fp,
+        |  ROUND(err, 9) AS max_err
+        |FROM r ORDER BY vec_id""".stripMargin,
     "q_sim_cosine_pairs" -> cosinePairsSql(Threshold),
     "q_sim_label_centroids" ->
       """WITH dims AS (

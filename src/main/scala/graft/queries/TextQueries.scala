@@ -98,7 +98,7 @@ object TextQueries extends QueryModule {
     s"""CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN ($list))) AS DOUBLE)
        | / GREATEST(len(regexp_split_to_array(text, '\\s+')), 1)""".stripMargin.replace("\n", "")
 
-  private val qualitySql: String = {
+  private[queries] val qualitySql: String = {
     val n = "CAST(length(text) AS DOUBLE)"
     val punct = "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)"
     val digit = "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)"

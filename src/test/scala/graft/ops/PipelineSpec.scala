@@ -211,6 +211,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(lsh.nonEmpty)
   }
 
+  test("int8 quantize: exact codes, scale, and reconstruction error") {
+    import spark.implicits._
+    // scale = 1.0; 0.5·127 = 63.5 -> HALF_UP 64; 0.25·127 = 31.75 -> 32
+    val df = Seq((7L, Seq(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")
+    val r = Similarity.int8Quantize(df).head
+    assert(r.getAs[Double]("scale") == 1.0)
+    assert(r.getAs[Int]("n_dims") == 3)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("64,-127,32".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(r.getAs[String]("codes_fp") == md5)
+    // worst component: |0.5 - 64/127| = 0.003937008 (round 9)
+    assert(r.getAs[Double]("max_err") == 0.003937008)
+  }
+
   test("PQ top-k recall against brute force is useful; planted duplicate ranks first") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
