@@ -30,9 +30,20 @@ object Bench {
     "q_events_windowed", "q_events_sessions",
     "q_pipe_chunks")
 
-  /** Time the headline set at one scale dir: name → seconds (-1 = fail). */
-  private def timeSet(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
-    headline.flatMap { name =>
+  /** Round-5 additions, timed as a SEPARATE labeled section so the
+    * frozen headline `total` stays comparable round-over-round: the new
+    * ANN/compression paths, the corpus-hygiene battery, and the capstone
+    * full export (now oracle-checked, worth a perf trendline). */
+  private val extras = Seq(
+    "q_knn_pq", "q_sim_quantize",
+    "q_corpus_repetition", "q_corpus_decontaminate", "q_corpus_pii_redact",
+    "q_corpus_sample", "q_corpus_quota", "q_corpus_mix",
+    "q_pipe_full_export", "q_enrich_cost_report")
+
+  /** Time a query set at one scale dir: name → seconds (-1 = fail). */
+  private def timeSet(spark: SparkSession, sfDir: String,
+      names: Seq[String] = headline): Seq[(String, Double)] =
+    names.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         val ok =
@@ -110,7 +121,12 @@ object Bench {
         s""","sf_small":"$smallDir","queries_small":${jsonNum(timeSet(spark, smallDir))}"""
       else ""
 
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonNum(results)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"r4-cold+steady","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-state"},"rows":$rows,"sf":"$sfDir"$small}"""
+    // round-5 extras: steady-state (post-warm JVM) at the primary scale,
+    // in their own keys — NOT folded into the frozen `total`
+    val extraResults = timeSet(spark, sfDir, extras)
+    val totalExtra = extraResults.collect { case (_, v) if v >= 0 => v }.sum
+
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonNum(results)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"r4-cold+steady","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-state"},"rows":$rows,"queries_extra":${jsonNum(extraResults)},"total_extra":${f3(totalExtra)},"extras_note":"r5 additions, steady-state, excluded from the frozen total","sf":"$sfDir"$small}"""
     println(line)
     // belt-and-braces against stdout tail truncation (BENCH_r04's
     // steady-state total was clipped by the capture): the same line is
