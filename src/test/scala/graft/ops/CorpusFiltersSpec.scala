@@ -89,6 +89,35 @@ class CorpusFiltersSpec extends SparkSpecBase {
     assert(ts == ts.sorted && ts.distinct == ts)
   }
 
+  test("keep-list cascade: every branch fires on a planted corpus") {
+    import spark.implicits._
+    val stops = Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+    // good doc: long, varied, stopword-rich — survives every gate
+    val good = (0 until 120).map(i =>
+      if (i % 3 == 0) stops((i / 3) % 10) else s"word$i").mkString(" ")
+    // block repeated once: every 3-gram duplicates (dup3 high) while the
+    // top 2-gram occurs only twice (top2 frac low)
+    val block = (0 until 60).map(i =>
+      if (i % 6 == 0) stops((i / 6) % 10) else s"uniq$i").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                    // keep
+      (2L, good),                                    // exact_dup (survivor 1)
+      (3L, Array.fill(60)("spam").mkString(" ")),    // top_gram_repetition
+      (4L, "x y"),                                   // low_quality
+      (5L, block + " " + block))                     // dup_ngram_repetition
+      .map { case (id, t) => (id, t, "en", s"src${id % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("keeplist").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CorpusQueries.keepList(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(1L) == ((true, "")), s"good doc: ${out(1L)}")
+    assert(out(2L) == ((false, "exact_dup")), s"dup doc: ${out(2L)}")
+    assert(out(3L) == ((false, "top_gram_repetition")), s"spam doc: ${out(3L)}")
+    assert(out(4L) == ((false, "low_quality")), s"short doc: ${out(4L)}")
+    assert(out(5L) == ((false, "dup_ngram_repetition")), s"block doc: ${out(5L)}")
+  }
+
   test("stratifiedSample: rate-1 keeps all, rate-0 keeps none, reruns agree") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
