@@ -35,7 +35,7 @@ object Bench {
     * ANN/compression paths, the corpus-hygiene battery, and the capstone
     * full export (now oracle-checked, worth a perf trendline). */
   private val extras = Seq(
-    "q_knn_pq", "q_sim_quantize",
+    "q_knn_pq", "q_knn_ivfpq", "q_sim_quantize",
     "q_corpus_repetition", "q_corpus_decontaminate", "q_corpus_pii_redact",
     "q_corpus_sample", "q_corpus_quota", "q_corpus_mix",
     "q_pipe_full_export", "q_enrich_cost_report")

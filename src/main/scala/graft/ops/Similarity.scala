@@ -193,41 +193,32 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
-  /** IVF-style approximate top-k: a coarse quantizer (deterministic
-    * one-iteration Lloyd refinement of the first `numCells` vectors as
-    * seeds) buckets vectors into inverted cells; a query scans only its
-    * `nProbe` nearest cells. Centroids are metadata-scale (C×dims doubles)
-    * and legitimately live on the driver; the scan side never shuffles —
-    * candidates come from an equi-join on the cell id.
-    * Scale: candidates/query ≈ N·nProbe/C, tunable independently of N. */
-  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
-      numCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
+  private def nearestCell(cs: Array[Array[Double]])(v: Seq[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
 
+  /** Deterministic coarse quantizer shared by ivfTopK and ivfPqTopK:
+    * seeds = first `numCells` vectors by id, then ONE Lloyd iteration
+    * whose means are exact decimal sums divided by counts —
+    * order-independent, so the centroids (and every argmin computed from
+    * them) are bit-identical across partitionings, runs, and engines
+    * (the DuckDB mirror). Centroids are metadata-scale (C×dims doubles)
+    * and legitimately live on the driver. */
+  private def ivfCentroids(emb: DataFrame, numCells: Int): Array[Array[Double]] = {
     def toDoubles(row: org.apache.spark.sql.Row): Array[Double] =
       row.getSeq[Float](1).map(_.toDouble).toArray
-    def nearest(cs: Array[Array[Double]])(v: Seq[Float]): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        val cv = cs(c)
-        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
-    // seeds: the first numCells vectors by id (deterministic)
     val seeds = emb.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(numCells)
       .collect().map(toDoubles)
-    // one Lloyd iteration: mean of each seed-assigned cell. The mean is an
-    // exact decimal sum divided by the count — order-independent, so the
-    // centroids (and every argmin computed from them) are bit-identical
-    // across partitionings, runs, and engines (the DuckDB mirror).
-    val assign0 = udf((v: Seq[Float]) => nearest(seeds)(v))
+    val assign0 = udf((v: Seq[Float]) => nearestCell(seeds)(v))
     val refined = emb
       .select(assign0(col("embedding")).as("cell"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -239,10 +230,20 @@ object Similarity {
       .map { case (cell, rows) =>
         cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
       }
-    val centroids = (0 until numCells)
-      .map(c => refined.getOrElse(c, seeds(c))).toArray
+    (0 until numCells).map(c => refined.getOrElse(c, seeds(c))).toArray
+  }
 
-    val assign = udf((v: Seq[Float]) => nearest(centroids)(v))
+  /** IVF-style approximate top-k: a coarse quantizer (deterministic
+    * one-iteration Lloyd refinement of the first `numCells` vectors as
+    * seeds) buckets vectors into inverted cells; a query scans only its
+    * `nProbe` nearest cells. The scan side never shuffles — candidates
+    * come from an equi-join on the cell id.
+    * Scale: candidates/query ≈ N·nProbe/C, tunable independently of N. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = ivfCentroids(emb, numCells)
+    val assign = udf((v: Seq[Float]) => nearestCell(centroids)(v))
     val probes = udf((v: Seq[Float]) => {
       val ds = centroids.zipWithIndex.map { case (cv, c) =>
         var d = 0.0; var i = 0
@@ -290,44 +291,41 @@ object Similarity {
     * bounded number of exact distance evaluations).
     * Output: (query_id, rk, neighbor_id, adist, cos) — rk ranks the
     * re-scored cosine descending; adist is the candidate's ADC distance. */
-  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
-      numSubspaces: Int = 8, codebookSize: Int = 16, dims: Int = 64,
-      refine: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
-    val subDims = dims / numSubspaces
-    require(subDims * numSubspaces == dims, "dims must split evenly")
+  private def pqSub(subDims: Int)(v: IndexedSeq[Double], m: Int): Array[Double] =
+    Array.tabulate(subDims)(d => v(m * subDims + d))
 
-    def sub(v: IndexedSeq[Double], m: Int): Array[Double] =
-      Array.tabulate(subDims)(d => v(m * subDims + d))
-    def d2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
-      s
-    }
-    def argmin(cb: Array[Array[Double]], sv: Array[Double]): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cb.length) {
-        val d = d2(cb(c), sv)
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
+  private def pqD2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+    s
+  }
 
-    // seed codebooks: subvectors of the first codebookSize vectors by id
+  private def pqArgmin(cb: Array[Array[Double]], sv: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cb.length) {
+      val d = pqD2(cb(c), sv)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic per-subspace PQ codebooks shared by pqTopK and
+    * ivfPqTopK: seeds = subvectors of the first `codebookSize` vectors
+    * by id, then one exact-decimal Lloyd step per (subspace, code);
+    * empty cells keep their seed. Metadata-scale (M×C×subDims). */
+  private def pqCodebooks(emb: DataFrame, numSubspaces: Int,
+      codebookSize: Int, subDims: Int): Array[Array[Array[Double]]] = {
+    val sub = pqSub(subDims) _
     val seedVecs = emb.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(codebookSize)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
     val seedCbs = Array.tabulate(numSubspaces, codebookSize)((m, c) =>
       sub(seedVecs(c), m))
-
     val encode0 = udf((v: Seq[Float]) => {
       val dv = v.map(_.toDouble).toIndexedSeq
-      Array.tabulate(numSubspaces)(m => argmin(seedCbs(m), sub(dv, m)))
+      Array.tabulate(numSubspaces)(m => pqArgmin(seedCbs(m), sub(dv, m)))
     })
-    // one Lloyd step per subspace: exact decimal mean of each assigned
-    // subvector dimension (empty cells keep their seed)
     val refined = emb
       .select(col("vec_id"), encode0(col("embedding")).as("c0"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -342,21 +340,35 @@ object Similarity {
       .map { case (mc, rows) =>
         mc -> rows.sortBy(_.getAs[Int]("d")).map(_.getAs[Double]("mval")).toArray
       }
-    val cbs = Array.tabulate(numSubspaces, codebookSize)((m, c) =>
+    Array.tabulate(numSubspaces, codebookSize)((m, c) =>
       refined.getOrElse((m, c), seedCbs(m)(c)))
+  }
 
+  /** Per-query ADC lookup tables (queries are metadata-scale). */
+  private def pqDtables(queries: DataFrame, cbs: Array[Array[Array[Double]]],
+      numSubspaces: Int, codebookSize: Int,
+      subDims: Int): Map[Long, Array[Array[Double]]] = {
+    val sub = pqSub(subDims) _
+    queries.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toIndexedSeq
+      r.getLong(0) -> Array.tabulate(numSubspaces, codebookSize)((m, c) =>
+        pqD2(cbs(m)(c), sub(qv, m)))
+    }.toMap
+  }
+
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      numSubspaces: Int = 8, codebookSize: Int = 16, dims: Int = 64,
+      refine: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subDims = dims / numSubspaces
+    require(subDims * numSubspaces == dims, "dims must split evenly")
+    val sub = pqSub(subDims) _
+    val cbs = pqCodebooks(emb, numSubspaces, codebookSize, subDims)
     val encode = udf((v: Seq[Float]) => {
       val dv = v.map(_.toDouble).toIndexedSeq
-      Array.tabulate(numSubspaces)(m => argmin(cbs(m), sub(dv, m)))
+      Array.tabulate(numSubspaces)(m => pqArgmin(cbs(m), sub(dv, m)))
     })
-
-    // per-query ADC lookup tables (queries are metadata-scale)
-    val dtables: Map[Long, Array[Array[Double]]] = queries
-      .select(col("vec_id"), col("embedding")).collect().map { r =>
-        val qv = r.getSeq[Float](1).map(_.toDouble).toIndexedSeq
-        r.getLong(0) -> Array.tabulate(numSubspaces, codebookSize)((m, c) =>
-          d2(cbs(m)(c), sub(qv, m)))
-      }.toMap
+    val dtables = pqDtables(queries, cbs, numSubspaces, codebookSize, subDims)
     val adistU = udf((codes: Seq[Int], qid: Long) => {
       val dt = dtables(qid)
       var s = 0.0; var m = 0
@@ -375,6 +387,77 @@ object Similarity {
       .filter(col("ark") <= k * refine)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
     // exact rescore of the surviving candidates only, re-rank by cosine
+    val e = withNorm(emb, "vec_id", "embedding")
+    val q = withNorm(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(e.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+      .withColumn("rk", row_number().over(wC))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adist"), col("cos"))
+  }
+
+  /** IVF-PQ approximate top-k — the billion-scale production composition
+    * (FAISS's IndexIVFPQ shape): the coarse quantizer routes each vector
+    * to one inverted cell, a query probes only its `nProbe` nearest
+    * cells, and WITHIN the probed cells scoring runs over the 8-byte PQ
+    * codes via the query's ADC lookup tables; only the top k·refine ADC
+    * candidates touch raw vectors for the exact-cosine re-rank.
+    * Candidates/query ≈ N·nProbe/C scanned as compressed codes — both
+    * knobs independent of N, and the scan is over bytes, not floats.
+    *
+    * Both quantizers reuse the deterministic recipes of their standalone
+    * operators (ivfCentroids, pqCodebooks), so the DuckDB oracle rebuilds
+    * the composition from the same CTE fragments that already verify
+    * q_knn_ivf and q_knn_pq. */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 16, nProbe: Int = 4, numSubspaces: Int = 8,
+      codebookSize: Int = 16, dims: Int = 64, refine: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subDims = dims / numSubspaces
+    require(subDims * numSubspaces == dims, "dims must split evenly")
+    val sub = pqSub(subDims) _
+    val centroids = ivfCentroids(emb, numCells)
+    val assign = udf((v: Seq[Float]) => nearestCell(centroids)(v))
+    val probesU = udf((v: Seq[Float]) => {
+      val ds = centroids.zipWithIndex.map { case (cv, c) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        (c, d)
+      }
+      ds.sortBy(_._2).take(nProbe).map(_._1)
+    })
+    val cbs = pqCodebooks(emb, numSubspaces, codebookSize, subDims)
+    val encode = udf((v: Seq[Float]) => {
+      val dv = v.map(_.toDouble).toIndexedSeq
+      Array.tabulate(numSubspaces)(m => pqArgmin(cbs(m), sub(dv, m)))
+    })
+    val dtables = pqDtables(queries, cbs, numSubspaces, codebookSize, subDims)
+    val adistU = udf((codes: Seq[Int], qid: Long) => {
+      val dt = dtables(qid)
+      var s = 0.0; var m = 0
+      while (m < codes.length) { s += dt(m)(codes(m)); m += 1 }
+      s
+    })
+
+    val codes = emb.select(col("vec_id"),
+      assign(col("embedding")).as("cell"),
+      encode(col("embedding")).as("codes"))
+    val qcells = broadcast(queries
+      .select(col("vec_id").as("query_id"),
+        explode(probesU(col("embedding"))).as("cell")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    // a vector lives in exactly ONE cell, so the probe join is dup-free
+    val cand = codes.join(qcells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", round(adistU(col("codes"), col("query_id")), 6))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= k * refine)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
     val e = withNorm(emb, "vec_id", "embedding")
     val q = withNorm(queries, "vec_id", "embedding")
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))

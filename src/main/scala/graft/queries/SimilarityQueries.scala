@@ -71,6 +71,13 @@ object SimilarityQueries extends QueryModule {
     * 5,000). The Spark side passes the same cap so both saturate alike. */
   private val MaxB = 7
 
+  /** IVF-PQ composed top-5: probe 4 of 16 cells, ADC over 8×16 codes
+    * within them, exact re-rank — the billion-scale production shape. */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(
+      Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
+      .orderBy(col("query_id"), col("rk"))
+
   /** Symmetric int8 quantization audit: per-vector scale, code
     * fingerprint, and max reconstruction error — the 4× storage
     * compression path next to PQ's 32×. */
@@ -110,6 +117,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
     "q_knn_pq" -> knnPq,
+    "q_knn_ivfpq" -> knnIvfPq,
     "q_sim_quantize" -> quantizeInt8,
     "q_sim_cosine_pairs" -> cosinePairs,
     "q_sim_clusters" -> simClusters,
@@ -176,44 +184,52 @@ object SimilarityQueries extends QueryModule {
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
   }
 
-  /** Mirror of ivfTopK: first-16 seeds, one exact-decimal Lloyd step,
-    * argmin assignment (ties to the lower cell, as the Scala loop keeps
-    * the first minimum), 4-cell probes, rounded-cosine ranking. */
+  private val distSql = (a: String, b: String) =>
+    s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** IVF cell CTE block (expects `n` from normCte): first-16 seeds, one
+    * exact-decimal Lloyd step, argmin assignment (ties to the lower
+    * cell, as the Scala loop keeps the first minimum). Exposes `ecell`
+    * (vector → its cell) and `qprobe` (query → its 4 probed cells).
+    * Shared verbatim by the IVF and IVF-PQ mirrors. */
+  private def ivfCellCtes: String =
+    s"""iseeds AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v
+       |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)
+       |), ixs AS (
+       |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS dim,
+       |         unnest(embedding) AS x
+       |  FROM embeddings
+       |), ia0 AS (
+       |  SELECT e.vec_id, s.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${distSql("e.v", "s.v")}, s.cell) AS rk
+       |  FROM n e CROSS JOIN iseeds s
+       |), icell0 AS (SELECT vec_id, cell FROM ia0 WHERE rk = 1
+       |), irefined AS (
+       |  SELECT c.cell, ixs.dim,
+       |    CAST(SUM(CAST(CAST(ixs.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM icell0 c JOIN ixs ON ixs.vec_id = c.vec_id
+       |  GROUP BY c.cell, ixs.dim
+       |), icents0 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM irefined GROUP BY cell
+       |), icents AS (
+       |  SELECT s.cell, COALESCE(c0.cv, s.v) AS cv
+       |  FROM iseeds s LEFT JOIN icents0 c0 ON c0.cell = s.cell
+       |), ia1 AS (
+       |  SELECT e.vec_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${distSql("e.v", "c.cv")}, c.cell) AS rk
+       |  FROM n e CROSS JOIN icents c
+       |), ecell AS (SELECT vec_id, cell FROM ia1 WHERE rk = 1
+       |), qprobe AS (SELECT vec_id, cell FROM ia1 WHERE vec_id % 100 = 0 AND rk <= 4
+       |)""".stripMargin
+
+  /** Mirror of ivfTopK: the cell block + exact-cosine ranking over the
+    * probed-cell candidates. */
   private def knnIvfSql: String = {
-    val dist = (a: String, b: String) =>
-      s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-    normCte +
-      s""", seeds AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v
-         |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)
-         |), a0 AS (
-         |  SELECT e.vec_id, s.cell,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${dist("e.v", "s.v")}, s.cell) AS rk
-         |  FROM n e CROSS JOIN seeds s
-         |), cell0 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1
-         |), xs AS (
-         |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS dim,
-         |         unnest(embedding) AS x
-         |  FROM embeddings
-         |), refined AS (
-         |  SELECT c.cell, xs.dim,
-         |    CAST(SUM(CAST(CAST(xs.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-         |      / COUNT(*) AS m
-         |  FROM cell0 c JOIN xs ON xs.vec_id = c.vec_id
-         |  GROUP BY c.cell, xs.dim
-         |), cents0 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM refined GROUP BY cell
-         |), cents AS (
-         |  SELECT s.cell, COALESCE(c0.cv, s.v) AS cv
-         |  FROM seeds s LEFT JOIN cents0 c0 ON c0.cell = s.cell
-         |), a1 AS (
-         |  SELECT e.vec_id, c.cell,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${dist("e.v", "c.cv")}, c.cell) AS rk
-         |  FROM n e CROSS JOIN cents c
-         |), ecell AS (SELECT vec_id, cell FROM a1 WHERE rk = 1
-         |), qprobe AS (SELECT vec_id, cell FROM a1 WHERE vec_id % 100 = 0 AND rk <= 4
-         |), cand AS (
+    normCte + ", " + ivfCellCtes +
+      s""", cand AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
          |  FROM qprobe q JOIN ecell e ON e.cell = q.cell AND e.vec_id <> q.vec_id
          |), scored AS (
@@ -230,60 +246,67 @@ object SimilarityQueries extends QueryModule {
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
   }
 
-  /** Mirror of pqTopK: per-subspace codebooks seeded from the first 16
-    * vectors, one exact-decimal Lloyd step, argmin encoding (ties to the
-    * lower code), per-query ADC lookup tables, and the approximate
-    * distance folded in subspace order (list(… ORDER BY m) → list_sum,
-    * matching the Scala m-ascending summation) rounded before ranking.
-    * The exact cosine of each reported neighbor is rescored at the end,
-    * exactly as the Spark side does. */
+  private val dist8Sql = (a: String, b: String) =>
+    s"list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** PQ code CTE block (expects `n` from normCte): per-subspace
+    * codebooks seeded from the first 16 vectors, one exact-decimal Lloyd
+    * step, argmin encoding (ties to the lower code), and per-query ADC
+    * lookup tables. Exposes `codes` (vector × subspace → code) and `dt`
+    * (query × subspace × code → distance). Shared verbatim by the PQ
+    * and IVF-PQ mirrors. */
+  private def pqCodeCtes: String =
+    s"""ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m
+       |), sub AS (
+       |  SELECT vec_id, ms.m,
+       |    list_slice(v, ms.m*8 + 1, ms.m*8 + 8) AS sv
+       |  FROM n, ms
+       |), pseedv AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, v
+       |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)
+       |), pseeds AS (
+       |  SELECT s.code, ms.m, list_slice(s.v, ms.m*8 + 1, ms.m*8 + 8) AS sv
+       |  FROM pseedv s, ms
+       |), pa0 AS (
+       |  SELECT sub.vec_id, sub.m, s.code,
+       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY ${dist8Sql("sub.sv", "s.sv")}, s.code) AS rk
+       |  FROM sub JOIN pseeds s ON s.m = sub.m
+       |), pc0 AS (SELECT vec_id, m, code FROM pa0 WHERE rk = 1
+       |), pxs AS (
+       |  SELECT c.m, c.code, dd.d, sub.sv[dd.d] AS x
+       |  FROM pc0 c
+       |  JOIN sub ON sub.vec_id = c.vec_id AND sub.m = c.m,
+       |  (SELECT CAST(unnest(range(1, 9)) AS INT) AS d) dd
+       |), prefined AS (
+       |  SELECT m, code, d,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mval
+       |  FROM pxs GROUP BY m, code, d
+       |), pcb0 AS (SELECT m, code, list(mval ORDER BY d) AS cv
+       |           FROM prefined GROUP BY m, code
+       |), pcb AS (
+       |  SELECT s.m, s.code, COALESCE(c.cv, s.sv) AS cv
+       |  FROM pseeds s LEFT JOIN pcb0 c ON c.m = s.m AND c.code = s.code
+       |), pa1 AS (
+       |  SELECT sub.vec_id, sub.m, b.code,
+       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY ${dist8Sql("sub.sv", "b.cv")}, b.code) AS rk
+       |  FROM sub JOIN pcb b ON b.m = sub.m
+       |), codes AS (SELECT vec_id, m, code FROM pa1 WHERE rk = 1
+       |), dt AS (
+       |  SELECT q.vec_id AS query_id, b.m, b.code,
+       |    ${dist8Sql("q.sv", "b.cv")} AS dist
+       |  FROM sub q JOIN pcb b ON b.m = q.m
+       |  WHERE q.vec_id % 100 = 0
+       |)""".stripMargin
+
+  /** Mirror of pqTopK: the code block + the approximate distance folded
+    * in subspace order (list(… ORDER BY m) → list_sum, matching the
+    * Scala m-ascending summation) rounded before ranking, ADC refine,
+    * exact-cosine re-rank — exactly as the Spark side does. */
   private def knnPqSql: String = {
-    val dist8 = (a: String, b: String) =>
-      s"list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-    normCte +
-      s""", ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m
-         |), sub AS (
-         |  SELECT vec_id, ms.m,
-         |    list_slice(v, ms.m*8 + 1, ms.m*8 + 8) AS sv
-         |  FROM n, ms
-         |), seedv AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, v
-         |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)
-         |), seeds AS (
-         |  SELECT s.code, ms.m, list_slice(s.v, ms.m*8 + 1, ms.m*8 + 8) AS sv
-         |  FROM seedv s, ms
-         |), a0 AS (
-         |  SELECT sub.vec_id, sub.m, s.code,
-         |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
-         |      ORDER BY ${dist8("sub.sv", "s.sv")}, s.code) AS rk
-         |  FROM sub JOIN seeds s ON s.m = sub.m
-         |), c0 AS (SELECT vec_id, m, code FROM a0 WHERE rk = 1
-         |), xs AS (
-         |  SELECT c.m, c.code, dd.d, sub.sv[dd.d] AS x
-         |  FROM c0 c
-         |  JOIN sub ON sub.vec_id = c.vec_id AND sub.m = c.m,
-         |  (SELECT CAST(unnest(range(1, 9)) AS INT) AS d) dd
-         |), refined AS (
-         |  SELECT m, code, d,
-         |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mval
-         |  FROM xs GROUP BY m, code, d
-         |), cb0 AS (SELECT m, code, list(mval ORDER BY d) AS cv
-         |           FROM refined GROUP BY m, code
-         |), cb AS (
-         |  SELECT s.m, s.code, COALESCE(c.cv, s.sv) AS cv
-         |  FROM seeds s LEFT JOIN cb0 c ON c.m = s.m AND c.code = s.code
-         |), a1 AS (
-         |  SELECT sub.vec_id, sub.m, b.code,
-         |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
-         |      ORDER BY ${dist8("sub.sv", "b.cv")}, b.code) AS rk
-         |  FROM sub JOIN cb b ON b.m = sub.m
-         |), codes AS (SELECT vec_id, m, code FROM a1 WHERE rk = 1
-         |), dt AS (
-         |  SELECT q.vec_id AS query_id, b.m, b.code,
-         |    ${dist8("q.sv", "b.cv")} AS dist
-         |  FROM sub q JOIN cb b ON b.m = q.m
-         |  WHERE q.vec_id % 100 = 0
-         |), adc AS (
+    normCte + ", " + pqCodeCtes +
+      s""", adc AS (
          |  SELECT dt.query_id, c.vec_id,
          |    ROUND(list_sum(list(dt.dist ORDER BY dt.m)), 6) AS adist
          |  FROM codes c JOIN dt ON dt.m = c.m AND dt.code = c.code
@@ -312,6 +335,41 @@ object SimilarityQueries extends QueryModule {
   /** ADC refine factor mirrored between Similarity.pqTopK's default and
     * the generated SQL. */
   private val PqRefine = 5
+
+  /** Mirror of ivfPqTopK: the IVF cell block and the PQ code block —
+    * the SAME fragment texts that verify q_knn_ivf and q_knn_pq —
+    * composed: ADC runs only over (query, vector) pairs whose cells
+    * meet in the probe set, then the refine re-rank. */
+  private def knnIvfPqSql: String = {
+    normCte + ", " + ivfCellCtes + ", " + pqCodeCtes +
+      s""", adc AS (
+         |  SELECT dt.query_id, c.vec_id,
+         |    ROUND(list_sum(list(dt.dist ORDER BY dt.m)), 6) AS adist
+         |  FROM codes c
+         |  JOIN ecell ec ON ec.vec_id = c.vec_id
+         |  JOIN qprobe qp ON qp.cell = ec.cell
+         |  JOIN dt ON dt.query_id = qp.vec_id AND dt.m = c.m AND dt.code = c.code
+         |  WHERE c.vec_id <> qp.vec_id
+         |  GROUP BY dt.query_id, c.vec_id
+         |), cand AS (
+         |  SELECT query_id, vec_id AS neighbor_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adist, vec_id) AS ark
+         |  FROM adc
+         |), rescored AS (
+         |  SELECT c.query_id, c.neighbor_id, c.adist,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM cand c JOIN n a ON a.vec_id = c.neighbor_id
+         |    JOIN n q ON q.vec_id = c.query_id
+         |  WHERE c.ark <= $K * $PqRefine
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, adist, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM rescored)
+         |SELECT query_id, rk, neighbor_id, adist, cos FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+  }
 
   /** Adaptive-parameter CTEs + masked per-table bucket legs, mirroring
     * `cosinePairsAdaptive` exactly:
@@ -405,6 +463,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_pq" -> knnPqSql,
+    "q_knn_ivfpq" -> knnIvfPqSql,
     "q_sim_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

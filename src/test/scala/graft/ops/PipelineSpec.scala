@@ -251,6 +251,31 @@ class PipelineSpec extends SparkSpecBase {
     assert(top.head.getDouble(4) == 1.0, "rescored cosine of the duplicate must be 1")
   }
 
+  test("IVF-PQ top-k: candidates within probed cells, planted duplicate ranks first") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // composed recall is bounded by the IVF probe recall; still useful
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF-PQ recall $recall too low")
+    assert(ivfpq.nonEmpty)
+    // an identical duplicate lands in the query's own cell with the
+    // query's own codes -> minimal ADC -> survives refine -> rank 1
+    val rng = new scala.util.Random(31)
+    val base = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val planted = (base :+ ((100L, base.head._2))).toDF("vec_id", "embedding")
+    val q = planted.filter(col("vec_id") === 100L)
+    val top = Similarity.ivfPqTopK(planted, q, 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 0L, s"got ${top.toSeq}")
+    assert(top.head.getDouble(4) == 1.0)
+  }
+
   test("bucketed cosine pairs: subset of all-pairs, full recall on planted near-dups") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
