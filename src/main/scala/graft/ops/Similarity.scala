@@ -219,9 +219,14 @@ object Similarity {
       .orderBy(col("vec_id")).limit(numCells)
       .collect().map(toDoubles)
     val assign0 = udf((v: Seq[Float]) => nearestCell(seeds)(v))
-    val refined = emb
-      .select(assign0(col("embedding")).as("cell"),
-        posexplode(col("embedding")).as(Seq("dim", "x")))
+    // UDF evaluated BELOW the generator (localCheckpoint would be
+    // overkill; the distinct Dataset boundary keeps the projection from
+    // collapsing into the Generate) — in one projection with posexplode
+    // the assignment re-runs once per EXPLODED row, a silent 64× blowup
+    val assigned = emb
+      .select(assign0(col("embedding")).as("cell"), col("embedding"))
+    val refined = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
       .agg((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double") /
         count(lit(1))).as("m"))
@@ -328,6 +333,8 @@ object Similarity {
     })
     val refined = emb
       .select(col("vec_id"), encode0(col("embedding")).as("c0"),
+        col("embedding"))
+      .select(col("vec_id"), col("c0"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .withColumn("m", (col("dim") / subDims).cast("int"))
       .withColumn("d", col("dim") % subDims)
