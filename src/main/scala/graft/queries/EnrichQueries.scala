@@ -82,8 +82,16 @@ object EnrichQueries extends QueryModule {
     * `repartition(P, expr)` places a row at pmod(murmur3_42(expr), P),
     * so for expr = doc_id % P the map from g ∈ [0,P) to partition id is
     * a constant — computable here once and embedded into the oracle SQL
-    * as literals. CostLayoutSpec pins this against a live repartition. */
-  private[queries] val costParts = 8
+    * as literals. CostLayoutSpec pins this against a live repartition.
+    *
+    * Scale note: the pin CAPS the metered pass at P-way parallelism —
+    * the price of a cross-engine-checkable `embed_calls`. 64 holds a
+    * verification corpus comfortably; a PRODUCTION metering run should
+    * drop the repartition entirely (physical batching is whatever the
+    * cluster gives; the accumulator totals stay correct — only their
+    * exact batch count becomes layout-dependent, which production does
+    * not need to replay in SQL). */
+  private[queries] val costParts = 64
   private[queries] val costPartOf: Map[Long, Long] = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}

@@ -6,11 +6,13 @@ import graft.Tables
 import graft.ops.Similarity
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
-  * exact brute-force cosine top-k, LSH-bucketed near-dup pairs and top-k,
-  * and IVF cell-probe top-k. EVERY variant is oracle-checked: the
-  * md5-derived hyperplanes and the exact-decimal Lloyd step are
-  * deterministic, so DuckDB rebuilds the buckets/centroids bit-for-bit
-  * (recall quality is separately pinned by the ScalaTest recall specs).
+  * exact brute-force cosine top-k, LSH-bucketed near-dup pairs and
+  * top-k, IVF cell-probe top-k, PQ ADC top-k with exact refine, the
+  * IVF-PQ composition, and int8 storage quantization. EVERY variant is
+  * oracle-checked: the md5-derived hyperplanes, the exact-decimal Lloyd
+  * steps, and the subspace-ordered ADC folds are deterministic, so
+  * DuckDB rebuilds buckets/centroids/codebooks bit-for-bit (recall
+  * quality is separately pinned by the ScalaTest recall specs).
   */
 object SimilarityQueries extends QueryModule {
 
