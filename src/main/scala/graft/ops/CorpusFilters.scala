@@ -119,13 +119,18 @@ object CorpusFilters {
                     docId: String, textCol: String, n: Int): DataFrame = {
     val probeGrams = probes
       .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
-    val docGrams = corpus
+      .withColumn("hit", lit(1))
+    // ONE pass over the doc grams: the broadcast left join marks hits,
+    // a single groupBy counts both totals and hits (a separate totals
+    // aggregation would re-run the explode+distinct subtree — Spark
+    // does not share unreferenced subtrees between two aggregations)
+    corpus
       .select(col(docId), explode(wordNgrams(col(textCol), n)).as("gram"))
       .distinct()
-    val hits = docGrams.join(broadcast(probeGrams), "gram")
-      .groupBy(col(docId)).agg(count(lit(1)).as("n_hits"))
-    val totals = docGrams.groupBy(col(docId)).agg(count(lit(1)).as("n_grams"))
-    hits.join(totals, docId)
+      .join(broadcast(probeGrams), Seq("gram"), "left")
+      .groupBy(col(docId))
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_grams"))
+      .filter(col("n_hits") > 0)
       .select(col(docId), col("n_hits"), col("n_grams"),
         round(col("n_hits") / col("n_grams").cast("double"), 6)
           .as("overlap_frac"))
