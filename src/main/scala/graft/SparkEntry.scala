@@ -26,7 +26,8 @@ object SparkEntry {
     MultimodalQueries,
     PromptQueries,
     CoverageQueries,
-    CorpusQueries)
+    CorpusQueries,
+    SearchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -191,4 +191,36 @@ object CorpusFilters {
       .where(col("thr").isNotNull && col("sel") <= col("thr"))
       .drop("thr")
   }
+
+  /** GPT-style sequence packing: within each stratum (source/shard),
+    * documents are conceptually concatenated in id order and the token
+    * stream is cut into fixed-`budget` training sequences. Emits, per
+    * document, the half-open token span [cum_start, cum_end) it occupies
+    * and the derived placement: first/last sequence index, offset within
+    * the first sequence, and how many sequence boundaries cut through
+    * the document (each boundary is a doc split in the packed output).
+    *
+    * All integer arithmetic (cumulative sums, DIV, MOD) — exact in any
+    * engine. Scale: one shuffle (the per-stratum window); strata pack
+    * independently and in parallel, which is also the semantics real
+    * pipelines want (packing never crosses a shard). A single global
+    * pack would serialize the prefix sum — that is the reason the
+    * stratum key is required, not optional. */
+  def packSequences(df: DataFrame, idCol: String, stratumCol: String,
+                    textCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(stratumCol), col(idCol),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_toks"))
+      .withColumn("cum_end", sum(col("n_toks")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_toks"))
+      .withColumn("first_seq", expr(s"cum_start DIV $budget"))
+      .withColumn("last_seq",
+        expr(s"GREATEST(cum_end - 1, cum_start) DIV $budget"))
+      .select(col(stratumCol), col(idCol), col("n_toks"),
+        col("cum_start"), col("first_seq"), col("last_seq"),
+        expr(s"cum_start % $budget").as("seq_offset"),
+        (col("last_seq") - col("first_seq")).as("n_splits"))
+  }
 }

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval and statistical language-model scoring over a
+  * document corpus: BM25 ranking (the inverted-index scoring function a
+  * lexical search engine runs) and unigram-LM negative log-likelihood
+  * (the CCNet-style "how surprising is this document under the corpus
+  * distribution" quality signal).
+  *
+  * Cross-engine determinism contract (these queries are DuckDB
+  * hash-checked): every transcendental (ln) is rounded to 9 decimals the
+  * moment it is computed, per-row score components are summed as
+  * DECIMAL(28,12) — exact and order-independent — and only the final
+  * per-doc score is rounded to 6 and cast back to DOUBLE. Raw double
+  * aggregation never crosses an engine boundary.
+  *
+  * Scale posture (100 TB corpus):
+  *   - BM25: tokens are filtered to the query's terms BEFORE the explode,
+  *     so the shuffled volume is O(matches), not O(tokens); the
+  *     document-frequency and corpus-stats sides are |terms|-row and
+  *     1-row frames, joined broadcast. One wide shuffle total (the
+  *     per-doc tf groupBy).
+  *   - Unigram LM: the vocabulary frame is groupBy(word) over the scan —
+  *     for natural text it is millions of rows vs trillions of tokens,
+  *     so the count join back to tokens defaults to broadcast; pass
+  *     `broadcastVocab = false` for open vocabularies (shuffle join on
+  *     the word key, still one pass).
+  */
+object KeywordSearch {
+
+  /** Whitespace tokens — matches TextAnalysis.tokens. */
+  private def toks(text: Column): Column = split(text, "\\s+")
+
+  /** ln rounded to 9 decimals: libm implementations agree to well under
+    * 1e-12 relative, so the rounded value is engine-stable. */
+  private def ln9(x: Column): Column = round(log(x), 9)
+
+  /** Per-document term frequencies for the given term set. The term
+    * filter runs inside the array BEFORE the generator, so the exploded
+    * (and shuffled) rows are only the matches. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val termList = terms.map(x => x: Any)
+    docs.select(col(idCol),
+        filter(toks(col(textCol)), t => t.isin(termList: _*)).as("ts"))
+      .select(col(idCol), explode(col("ts")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** BM25 (Lucene/ATIRE idf variant: ln(1 + (N - df + 0.5)/(df + 0.5)))
+    * top-k documents for a bag-of-terms query.
+    *
+    * Emits (id, rk, score, n_terms_matched, dl); score is the
+    * DECIMAL-summed per-term contribution rounded to 6. Ranking is
+    * rank-stable across engines: the rounded score orders first, the id
+    * breaks ties.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(col(idCol), size(toks(col(textCol))).as("dl"))
+    // 1-row corpus stats: N and avgdl (exact integer sum / count).
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = termFrequencies(docs, idCol, textCol, terms)
+    val dfs = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val idf = ln9(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = round(
+      col("idf") * (col("tf") * (lit(k1) + 1)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl") / col("avgdl"))), 9)
+    val scored = tf
+      .join(broadcast(dfs.crossJoin(stats).withColumn("idf", idf)), "term")
+      .join(lens, idCol)
+      .withColumn("contrib", contrib.cast("decimal(28,12)"))
+      .groupBy(col(idCol), col("dl"))
+      .agg(round(sum(col("contrib")).cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+    // Top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    // partial top-k, no global shuffle of the scored set); the ranking
+    // window then runs over k rows only.
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    top.withColumn("rk", row_number().over(w))
+      .select(col(idCol), col("rk"), col("score"),
+        col("n_terms_matched"), col("dl"))
+  }
+
+  /** Corpus unigram counts: (word, cnt) plus the implied total. */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-document mean negative log-likelihood (nats/token) under the
+    * corpus's own unigram distribution — perplexity = exp(nll). Low =
+    * stereotypical text, high = surprising; both tails are quality
+    * signals. No OOV handling is needed when the vocabulary comes from
+    * the same corpus.
+    *
+    * nll(D) = ln(total) - mean over tokens of ln(cnt(w)); each ln is
+    * rounded to 9, token sums run in DECIMAL, final value rounded to 6.
+    */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val vocabRaw = unigramCounts(docs, textCol)
+      .withColumn("lncnt", ln9(col("cnt")).cast("decimal(28,12)"))
+    val vocab = if (broadcastVocab) broadcast(vocabRaw) else vocabRaw
+    val total = vocabRaw.agg(sum(col("cnt")).as("total"))
+    val words = docs.select(col(idCol), explode(toks(col(textCol))).as("word"))
+    words.join(vocab, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lncnt")).as("sum_ln"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_toks"),
+        round(ln9(col("total")) -
+          col("sum_ln").cast("double") / col("n_toks"), 6).as("nll_nats"))
+  }
+}

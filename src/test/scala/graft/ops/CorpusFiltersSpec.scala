@@ -132,4 +132,50 @@ class CorpusFiltersSpec extends SparkSpecBase {
     val ids2 = half.select("doc_id").collect().map(_.getLong(0)).sorted
     assert(ids1.sameElements(ids2) && ids1.nonEmpty && ids1.length < 200)
   }
+
+  test("packSequences: hand-checked placement on a crafted stratum") {
+    import spark.implicits._
+    // budget 10; stream: 4 + 8 + 10 + 3 tokens
+    //   doc 1: [0,4)   seq 0..0, offset 0, splits 0
+    //   doc 2: [4,12)  seq 0..1, offset 4, splits 1  (cut at 10)
+    //   doc 3: [12,22) seq 1..2, offset 2, splits 1  (cut at 20)
+    //   doc 4: [22,25) seq 2..2, offset 2, splits 0
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val df = Seq((1L, "s", words(4)), (2L, "s", words(8)),
+      (3L, "s", words(10)), (4L, "s", words(3)))
+      .toDF("doc_id", "source", "text")
+    val out = packSequences(df, "doc_id", "source", "text", 10)
+      .orderBy("doc_id")
+      .select("doc_id", "cum_start", "first_seq", "last_seq", "seq_offset",
+        "n_splits")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out === Seq(
+      (1L, 0L, 0L, 0L, 0L, 0L),
+      (2L, 4L, 0L, 1L, 4L, 1L),
+      (3L, 12L, 1L, 2L, 2L, 1L),
+      (4L, 22L, 2L, 2L, 2L, 0L)))
+  }
+
+  test("packSequences: spans tile each stratum's stream with no gaps") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = packSequences(docs, "doc_id", "source", "text", 256)
+    // within each source, next doc's cum_start == this doc's cum_end
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val gaps = out
+      .withColumn("cum_end", col("cum_start") + col("n_toks"))
+      .withColumn("next_start", lead(col("cum_start"), 1).over(w))
+      .filter(col("next_start").isNotNull &&
+        col("next_start") =!= col("cum_end"))
+      .count()
+    assert(gaps === 0)
+    // first doc of every source starts at offset 0 of sequence 0
+    val badFirst = out
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 &&
+        (col("cum_start") =!= 0 || col("first_seq") =!= 0))
+      .count()
+    assert(badFirst === 0)
+  }
 }

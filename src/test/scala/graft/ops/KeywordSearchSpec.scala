@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** BM25 + unigram-LM scoring: hand-computed values on a tiny corpus,
+  * invariants on the fixture corpus. */
+class KeywordSearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tiny = Seq(
+    (1L, "cat sat on the mat"),        // 5 tokens, one 'cat'
+    (2L, "cat cat dog"),               // 3 tokens, two 'cat'
+    (3L, "dog runs far away today"),   // 5 tokens, no 'cat'
+    (4L, "the mat sat still here")     // 5 tokens, no 'cat'
+  ).toDF("doc_id", "text")
+
+  test("bm25: hand-computed score for a single-term query") {
+    val out = KeywordSearch.bm25TopK(tiny, "doc_id", "text", Seq("cat"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // N=4, avgdl=4.5, df(cat)=2 → idf = ln(1 + 2.5/2.5) = ln 2 ≈ 0.693147181
+    // doc2: tf=2, dl=3 → ln2·2·2.2/(2+1.2·(0.25+0.75·3/4.5)) = ln2·4.4/2.9 ≈ 1.051672
+    // doc1: tf=1, dl=5 → ln2·2.2/(1+1.2·(0.25+0.75·5/4.5)) = ln2·2.2/2.3 ≈ 0.663010
+    assert(out.length === 2)
+    assert(out(0)._1 === 2L && out(0)._2 === 1)
+    assert(math.abs(out(0)._3 - 1.051672) < 1e-5)
+    assert(out(1)._1 === 1L && out(1)._2 === 2)
+    assert(math.abs(out(1)._3 - 0.663010) < 1e-5)
+  }
+
+  test("bm25: rarer term dominates ranking on the fixture corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = KeywordSearch.bm25TopK(docs, "doc_id", "text",
+      Seq("dup", "spark", "merge"), k = 10).collect()
+    assert(out.length === 10)
+    // every top-10 doc must contain the rare term: its idf dwarfs the
+    // common terms', so no dup-less doc can outscore a dup-bearing one
+    val dupDocs = docs.filter(col("text").rlike("(^| )dup( |$)"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.forall(r => dupDocs.contains(r.getLong(0))))
+    // ranks dense from 1, scores non-increasing
+    assert(out.map(_.getInt(1)).toSeq === (1 to 10))
+    val scores = out.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("unigram nll: hand-computed values on the tiny corpus") {
+    val out = KeywordSearch.unigramNll(tiny, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // total=18 tokens; counts: cat=3 dog=2 the=2 sat=2 mat=2 on=1 runs=1
+    // far=1 away=1 today=1 still=1 here=1
+    def nll(cnts: Seq[Int]): Double = {
+      def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val s = cnts.map(c => r9(math.log(c))).sum
+      (BigDecimal(math.log(18)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        - s / cnts.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(out(0)._2 === 5L)
+    assert(math.abs(out(0)._3 - nll(Seq(3, 2, 1, 2, 2))) < 1e-9)  // cat sat on the mat
+    assert(math.abs(out(1)._3 - nll(Seq(3, 3, 2))) < 1e-9)        // cat cat dog
+  }
+
+  test("unigram nll: a repeated-word doc scores lower than a diverse one") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha alpha alpha alpha alpha"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val out = KeywordSearch.unigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    assert(out(0) < out(1))
+  }
+
+  test("unigram nll: shuffle-join path agrees with broadcast path") {
+    val docs = graft.Tables.documents(spark, sfDir).limit(200)
+    val a = KeywordSearch.unigramNll(docs, "doc_id", "text",
+      broadcastVocab = true).orderBy("doc_id").collect().toSeq
+    val b = KeywordSearch.unigramNll(docs, "doc_id", "text",
+      broadcastVocab = false).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
