@@ -212,30 +212,65 @@ object Similarity {
     * them) are bit-identical across partitionings, runs, and engines
     * (the DuckDB mirror). Centroids are metadata-scale (C×dims doubles)
     * and legitimately live on the driver. */
-  private def ivfCentroids(emb: DataFrame, numCells: Int): Array[Array[Double]] = {
+  private def ivfCentroids(emb: DataFrame, numCells: Int): Array[Array[Double]] =
+    lloydCentroids(emb, numCells, iters = 1)
+
+  /** `iters` exact-decimal Lloyd iterations from first-`k`-by-id seeds.
+    * A cell that loses all members keeps its PREVIOUS centroid (the
+    * COALESCE in the mirror SQL). Each iteration is one distributed
+    * assign + one (cell, dim) mean aggregation; only the k×dims centroid
+    * matrix ever reaches the driver. */
+  private[graft] def lloydCentroids(emb: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
     def toDoubles(row: org.apache.spark.sql.Row): Array[Double] =
       row.getSeq[Float](1).map(_.toDouble).toArray
     val seeds = emb.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(numCells)
+      .orderBy(col("vec_id")).limit(k)
       .collect().map(toDoubles)
-    val assign0 = udf((v: Seq[Float]) => nearestCell(seeds)(v))
-    // UDF evaluated BELOW the generator (localCheckpoint would be
-    // overkill; the distinct Dataset boundary keeps the projection from
-    // collapsing into the Generate) — in one projection with posexplode
-    // the assignment re-runs once per EXPLODED row, a silent 64× blowup
-    val assigned = emb
-      .select(assign0(col("embedding")).as("cell"), col("embedding"))
-    val refined = assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim"))
-      .agg((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double") /
-        count(lit(1))).as("m"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val assign = udf((v: Seq[Float]) => nearestCell(cents)(v))
+      // UDF evaluated BELOW the generator (localCheckpoint would be
+      // overkill; the distinct Dataset boundary keeps the projection from
+      // collapsing into the Generate) — in one projection with posexplode
+      // the assignment re-runs once per EXPLODED row, a silent 64× blowup
+      val assigned = emb
+        .select(assign(col("embedding")).as("cell"), col("embedding"))
+      val refined = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      (0 until k).map(c => refined.getOrElse(c, cents(c))).toArray
+    }
+  }
+
+  /** Full k-means clustering report: per-vector cluster assignment and
+    * squared distance after `iters` deterministic Lloyd iterations.
+    * Same argmin convention as IVF (ties to the lower cell); d2 summed
+    * in dimension order on both engines, rounded to 6 for the compare.
+    * Scale: the assignment is a scan-side projection against a
+    * broadcast k×dims matrix — no shuffle at all in the final pass. */
+  def kMeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = lloydCentroids(emb, k, iters)
+    val assign = udf((v: Seq[Float]) => {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        val cv = cents(c)
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
       }
-    (0 until numCells).map(c => refined.getOrElse(c, seeds(c))).toArray
+      (best, bestD)
+    })
+    emb.select(col("vec_id"), assign(col("embedding")).as("a"))
+      .select(col("vec_id"), col("a._1").as("cluster"),
+        round(col("a._2"), 6).as("d2"))
   }
 
   /** IVF-style approximate top-k: a coarse quantizer (deterministic
@@ -598,6 +633,47 @@ object Similarity {
     val rows = a.join(bb, Seq("table", "bucket"))
       .filter(col("vec_a") < col("vec_b")).count()
     (rows, b, t, n)
+  }
+
+  /** SemDeDup-style semantic dedup: k-means-cluster the corpus, then
+    * within each cluster mark every vector that has a smaller-id
+    * neighbor at cosine ≥ threshold; vectors with none are the keepers.
+    * The cluster key bounds the pair join to within-cluster candidates —
+    * an equi-join on the cell id, never a global cross join, so the
+    * quadratic term is (cluster size)², controlled by k. Emits
+    * (vec_id, cluster, keep, n_dups). */
+  def semDedup(emb: DataFrame, threshold: Double, k: Int = 16,
+      iters: Int = 2, cosRound: Int = 4): DataFrame = {
+    val cents = lloydCentroids(emb, k, iters)
+    val assignD = udf((v: Seq[Double]) => {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        val cv = cents(c)
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+    val asg = withNorm(emb, "vec_id", "embedding")
+      .withColumn("cell", assignD(col("v")))
+    val a = asg.select(col("vec_id"), col("cell"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("vec_id").as("vec_b"), col("cell"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), cosRound))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    asg.select(col("vec_id"), col("cell").as("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("n_dups").isNull.as("keep"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
   }
 
   private def cosinePairsCore(emb: DataFrame, threshold: Double,

@@ -114,7 +114,29 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** Full k-means clustering report (k=8, 3 exact-decimal Lloyd
+    * iterations): per-vector cluster + squared distance. The mirror
+    * unrolls the same three assign/mean steps as CTEs. */
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kMeans(Tables.embeddings(spark, dir), KmK, KmIters)
+      .orderBy(col("vec_id"))
+
+  private val KmK = 8
+  private val KmIters = 3
+
+  /** SemDeDup: within-k-means-cluster cosine near-dup marking, min-id
+    * survivors keep (k=16, 2 Lloyd iterations, cosine ≥ 0.35). */
+  def semdedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(spark, dir), Threshold,
+      SemK, SemIters)
+      .orderBy(col("vec_id"))
+
+  private val SemK = 16
+  private val SemIters = 2
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_kmeans" -> kmeans,
+    "q_sim_semdedup" -> semdedup,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
@@ -447,7 +469,78 @@ object SimilarityQueries extends QueryModule {
       .replaceFirst("WITH ", "WITH RECURSIVE ")
   }
 
+  /** Unrolled Lloyd CTE chain (expects `n` from normCte): seeds =
+    * first `k` by vec_id, `iters` assign/mean steps with DECIMAL(28,12)
+    * exact means and COALESCE previous-centroid fallback for emptied
+    * cells — the literal SQL restatement of Similarity.lloydCentroids.
+    * Exposes `${p}asg` (vec_id, cell, d2 under the final centroids). */
+  private def lloydCtes(k: Int, iters: Int, p: String): String = {
+    val dims =
+      s"""${p}xs AS (
+         |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         |         unnest(embedding) AS x
+         |  FROM embeddings),
+         |${p}cents0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         |    v AS cv
+         |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |${p}a$i AS (
+         |  SELECT e.vec_id, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${distSql("e.v", "c.cv")}, c.cell) AS rk
+         |  FROM n e CROSS JOIN ${p}cents${i - 1} c),
+         |${p}m$i AS (
+         |  SELECT a.cell, x.dim,
+         |    CAST(SUM(CAST(CAST(x.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM (SELECT vec_id, cell FROM ${p}a$i WHERE rk = 1) a
+         |  JOIN ${p}xs x USING (vec_id) GROUP BY 1, 2),
+         |${p}cl$i AS (
+         |  SELECT cell, list(m ORDER BY dim) AS cv FROM ${p}m$i GROUP BY cell),
+         |${p}cents$i AS (
+         |  SELECT pv.cell, COALESCE(cc.cv, pv.cv) AS cv
+         |  FROM ${p}cents${i - 1} pv LEFT JOIN ${p}cl$i cc USING (cell))""".stripMargin
+    }.mkString
+    val fin =
+      s""",
+         |${p}fin AS (
+         |  SELECT e.vec_id, c.cell, ${distSql("e.v", "c.cv")} AS d2,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${distSql("e.v", "c.cv")}, c.cell) AS rk
+         |  FROM n e CROSS JOIN ${p}cents$iters c),
+         |${p}asg AS (SELECT vec_id, cell, d2 FROM ${p}fin WHERE rk = 1)""".stripMargin
+    dims + steps + fin
+  }
+
+  private def kmeansSql: String =
+    normCte + ", " + lloydCtes(KmK, KmIters, "k") +
+      """
+        |SELECT vec_id, cell AS cluster, ROUND(d2, 6) AS d2
+        |FROM kasg ORDER BY vec_id""".stripMargin
+
+  private def semdedupSql: String =
+    normCte + ", " + lloydCtes(SemK, SemIters, "s") +
+      s""", sdup AS (
+         |  SELECT a.vec_id, COUNT(*) AS n_dups
+         |  FROM sasg a
+         |  JOIN sasg b ON b.cell = a.cell AND b.vec_id < a.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id
+         |  JOIN n nb ON nb.vec_id = b.vec_id
+         |  WHERE ROUND(
+         |    list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i]))
+         |      / (na.nrm * nb.nrm), 4) >= $Threshold
+         |  GROUP BY a.vec_id)
+         |SELECT s.vec_id, s.cell AS cluster,
+         |  d.n_dups IS NULL AS keep,
+         |  COALESCE(d.n_dups, 0) AS n_dups
+         |FROM sasg s LEFT JOIN sdup d USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q_sim_kmeans" -> kmeansSql,
+    "q_sim_semdedup" -> semdedupSql,
     "q_sim_clusters" -> simClustersSql(Threshold),
     "q_knn_brute" -> (normCte +
       s""", scored AS (
