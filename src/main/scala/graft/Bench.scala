@@ -38,7 +38,9 @@ object Bench {
     "q_knn_pq", "q_knn_ivfpq", "q_sim_quantize",
     "q_corpus_repetition", "q_corpus_decontaminate", "q_corpus_pii_redact",
     "q_corpus_sample", "q_corpus_quota", "q_corpus_mix",
-    "q_pipe_full_export", "q_enrich_cost_report")
+    "q_pipe_full_export", "q_enrich_cost_report",
+    "q_search_bm25", "q_corpus_unigram_nll", "q_corpus_pack",
+    "q_sim_kmeans", "q_sim_semdedup")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

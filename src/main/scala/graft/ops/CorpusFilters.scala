@@ -192,6 +192,38 @@ object CorpusFilters {
       .drop("thr")
   }
 
+  /** Temperature-scaled mixture weights (the multilingual-corpus
+    * sampling rule: p_s ∝ tokens_s^α, α < 1 upsamples the tail): per
+    * stratum, the natural token share, the temperature share, and the
+    * implied upsample factor. One groupBy over the scan + a broadcast
+    * 1-row totals join — metadata-scale output.
+    *
+    * Determinism: pow is rounded to 9 decimals at the source, the share
+    * denominators are DECIMAL sums of those rounded values (exact,
+    * order-independent), and every emitted ratio is a single
+    * double-division rounded to 6 — the same contract as the rest of
+    * the corpus battery. */
+  def temperatureMix(df: DataFrame, stratumCol: String, textCol: String,
+                     alpha: Double): DataFrame = {
+    val toks = size(split(col(textCol), "\\s+")).cast("long")
+    val perStratum = df.select(col(stratumCol), toks.as("n_toks"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("w",
+        round(pow(col("n_tokens").cast("double"), alpha), 9)
+          .cast("decimal(28,12)"))
+    val totals = perStratum.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("w")).as("total_w"))
+    val nat = col("n_tokens").cast("double") / col("total_tokens").cast("double")
+    val temp = col("w").cast("double") / col("total_w").cast("double")
+    perStratum.crossJoin(broadcast(totals))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        round(nat, 6).as("nat_share"),
+        round(temp, 6).as("temp_share"),
+        round(temp / nat, 6).as("upsample"))
+  }
+
   /** GPT-style sequence packing: within each stratum (source/shard),
     * documents are conceptually concatenated in id order and the token
     * stream is cut into fixed-`budget` training sequences. Emits, per

@@ -90,13 +90,43 @@ object Relational extends QueryModule {
       .orderBy(col("p_brand"))
   }
 
+  /** Grouping-set aggregation: revenue by (returnflag, linestatus) with
+    * ROLLUP subtotals and grand total in ONE pass — Spark expands the
+    * grouping sets inside a single HashAggregate (no multi-scan union).
+    * `gid` (grouping_id) disambiguates real NULL keys from subtotal
+    * rows; both engines use the first-arg-is-MSB bitmask convention. */
+  def pricingRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(col("l_extendedprice").cast(D) *
+          (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+          .cast("double").as("revenue"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("revenue"), col("sum_qty"), col("n_rows"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_rollup" -> pricingRollup,
     "q_rel_pricing_summary" -> pricingSummary,
     "q_rel_revenue_by_nation" -> revenueByNation,
     "q_rel_top_customers" -> topCustomers,
     "q_rel_part_stats" -> partStats)
 
   override def oracle: Map[String, String] = Map(
+    "q_rel_rollup" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -43,12 +43,22 @@ class PlanGuardSpec extends SparkSpecBase {
 
   test("no single-partition window stages anywhere in the query surface") {
     import org.apache.spark.sql.execution.window.WindowExec
+    // A global window is a scale hazard only when its input is unbounded.
+    // A WindowExec sitting above a limit (the top-k-then-rank idiom:
+    // TakeOrderedAndProject pushes the heavy work distributed, the window
+    // ranks ≤ k rows) is bounded by construction and allowed.
+    def bounded(p: SparkPlan): Boolean = nodes(p).exists { n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.GlobalLimitExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.CollectLimitExec]
+    }
     graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val unpartitioned = nodes(planOf(q)).collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.children.exists(bounded) => w
       }
       assert(unpartitioned.isEmpty,
-        s"$q has a global (single-partition) WindowExec")
+        s"$q has an unbounded global (single-partition) WindowExec")
     }
   }
 
