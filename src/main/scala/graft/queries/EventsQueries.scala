@@ -58,10 +58,33 @@ object EventsQueries extends QueryModule {
       .orderBy(col("day"))
   }
 
+  /** As-of join: each click matched to the user's latest view at or
+    * before it (left semantics — view-less clicks keep nulls). The
+    * oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
+    * implementation, not a restatement of our window formulation, so
+    * agreement is a real semantic check. Timestamps travel as exact
+    * epoch-microsecond longs. */
+  def asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.AsofJoin.asofJoin(clicks, views, "user_id", "ts",
+      Seq("event_id", "ts"), "event_id", suffix = "view_")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("view_event_id"),
+        unix_micros(col("view_ts")).as("view_ts_us"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_windowed" -> windowed,
     "q_events_sessions" -> sessions,
-    "q_events_type_pivot" -> typePivot)
+    "q_events_type_pivot" -> typePivot,
+    "q_events_asof" -> asof)
 
   override def oracle: Map[String, String] = Map(
     "q_events_windowed" ->
@@ -96,5 +119,15 @@ object EventsQueries extends QueryModule {
         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_asof" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        |  r.event_id AS view_event_id, epoch_us(r.ts) AS view_ts_us,
+        |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin)
 }
