@@ -97,6 +97,25 @@ object KeywordSearch {
     docs.select(explode(toks(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
+  /** Corpus-level unigram distribution report: vocabulary size, token
+    * count, and Shannon entropy in nats (H = ln(total) − Σ cnt·ln(cnt) /
+    * total — the expected value of `unigramNll` over the corpus). The
+    * per-word ln·cnt products are rounded to 6 then DECIMAL-summed, so
+    * the single emitted double is engine-stable. One groupBy + one
+    * 1-row aggregate: metadata-scale output at any corpus size. */
+  def vocabEntropy(docs: DataFrame, textCol: String): DataFrame =
+    unigramCounts(docs, textCol)
+      .select(col("word"), col("cnt"),
+        round(col("cnt") * ln9(col("cnt")), 6)
+          .cast("decimal(28,12)").as("clc"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("cnt")).as("total_tokens"),
+        sum(col("clc")).as("sum_clc"))
+      .select(col("vocab_size"), col("total_tokens"),
+        round(ln9(col("total_tokens")) -
+          col("sum_clc").cast("double") / col("total_tokens"), 6)
+          .as("entropy_nats"))
+
   /** Per-document mean negative log-likelihood (nats/token) under the
     * corpus's own unigram distribution — perplexity = exp(nll). Low =
     * stereotypical text, high = surprising; both tails are quality

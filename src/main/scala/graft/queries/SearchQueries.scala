@@ -33,9 +33,32 @@ object SearchQueries extends QueryModule {
     KeywordSearch.unigramNll(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Corpus unigram-entropy report (1 row). */
+  def vocabEntropy(spark: SparkSession, dir: String): DataFrame =
+    KeywordSearch.vocabEntropy(Tables.documents(spark, dir), "text")
+
+  /** Per-source token-length distribution: exact interpolated
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both
+    * rank = p·(n−1) linear interpolation). At 100 TB the same report
+    * runs on `approx_percentile` sketches; the exact form is the oracle
+    * surface. */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(col("text"), "\\s+")).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), toks.as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(percentile(col("n_toks"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("n_toks"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("n_toks"), lit(0.99)), 6).as("p99"))
+      .orderBy(col("source"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_bm25" -> bm25,
-    "q_corpus_unigram_nll" -> unigramNll)
+    "q_corpus_unigram_nll" -> unigramNll,
+    "q_corpus_vocab_entropy" -> vocabEntropy,
+    "q_corpus_length_pctl" -> lengthPercentiles)
 
   private val termList = Terms.map(t => s"'$t'").mkString(", ")
 
@@ -90,7 +113,35 @@ object SearchQueries extends QueryModule {
       |    - CAST(SUM(lncnt) AS DOUBLE) / COUNT(*), 6) AS nll_nats
       |FROM j, tot GROUP BY doc_id, total ORDER BY doc_id""".stripMargin
 
+  private val entropySql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+      |  FROM documents),
+      |vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |agg AS (
+      |  SELECT COUNT(*) AS vocab_size, SUM(cnt) AS total_tokens,
+      |    SUM(CAST(ROUND(cnt * ROUND(ln(cnt), 9), 6) AS DECIMAL(28,12)))
+      |      AS sum_clc
+      |  FROM vocab)
+      |SELECT vocab_size, CAST(total_tokens AS BIGINT) AS total_tokens,
+      |  ROUND(ROUND(ln(total_tokens), 9)
+      |    - CAST(sum_clc AS DOUBLE) / total_tokens, 6) AS entropy_nats
+      |FROM agg""".stripMargin
+
+  private val pctlSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(quantile_cont(n_toks, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(n_toks, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(n_toks, 0.99), 6) AS p99
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "q_search_bm25" -> bm25Sql,
-    "q_corpus_unigram_nll" -> nllSql)
+    "q_corpus_unigram_nll" -> nllSql,
+    "q_corpus_vocab_entropy" -> entropySql,
+    "q_corpus_length_pctl" -> pctlSql)
 }

@@ -72,6 +72,16 @@ class KeywordSearchSpec extends SparkSpecBase {
     assert(out(0) < out(1))
   }
 
+  test("vocab entropy: ln(k) for a uniform corpus, 0 for a constant one") {
+    val uniform = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val u = KeywordSearch.vocabEntropy(uniform, "text").head
+    assert(u.getLong(0) === 4L && u.getLong(1) === 4L)
+    assert(math.abs(u.getDouble(2) - math.log(4)) < 1e-6)
+    val const = Seq((1L, "a a a a a a")).toDF("doc_id", "text")
+    val c = KeywordSearch.vocabEntropy(const, "text").head
+    assert(c.getLong(0) === 1L && math.abs(c.getDouble(2)) < 1e-6)
+  }
+
   test("unigram nll: shuffle-join path agrees with broadcast path") {
     val docs = graft.Tables.documents(spark, sfDir).limit(200)
     val a = KeywordSearch.unigramNll(docs, "doc_id", "text",
