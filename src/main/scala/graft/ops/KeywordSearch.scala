@@ -66,7 +66,9 @@ object KeywordSearch {
     // 1-row corpus stats: N and avgdl (exact integer sum / count).
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = termFrequencies(docs, idCol, textCol, terms)
+    // tf feeds both the df aggregation and the scoring join; checkpoint
+    // so the corpus explode runs once (tf is O(matches), tiny vs the scan)
+    val tf = termFrequencies(docs, idCol, textCol, terms).localCheckpoint(true)
     val dfs = tf.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df"))
     val idf = ln9(lit(1.0) +
@@ -127,8 +129,11 @@ object KeywordSearch {
     */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String,
       broadcastVocab: Boolean = true): DataFrame = {
+    // vocab feeds the token join AND the total; checkpoint = one corpus
+    // explode, not two
     val vocabRaw = unigramCounts(docs, textCol)
       .withColumn("lncnt", ln9(col("cnt")).cast("decimal(28,12)"))
+      .localCheckpoint(true)
     val vocab = if (broadcastVocab) broadcast(vocabRaw) else vocabRaw
     val total = vocabRaw.agg(sum(col("cnt")).as("total"))
     val words = docs.select(col(idCol), explode(toks(col(textCol))).as("word"))

@@ -656,8 +656,12 @@ object Similarity {
       }
       best
     })
+    // the assignment subtree feeds BOTH join sides and the final
+    // projection — localCheckpoint computes the UDF pass once instead
+    // of 3x (the winnow-fps precedent)
     val asg = withNorm(emb, "vec_id", "embedding")
       .withColumn("cell", assignD(col("v")))
+      .localCheckpoint(true)
     val a = asg.select(col("vec_id"), col("cell"),
       col("v").as("va"), col("nrm").as("na"))
     val b = asg.select(col("vec_id").as("vec_b"), col("cell"),
