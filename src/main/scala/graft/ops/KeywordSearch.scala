@@ -62,13 +62,24 @@ object KeywordSearch {
       terms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lens = docs.select(col(idCol), size(toks(col(textCol))).as("dl"))
+    val termList = terms.map(x => x: Any)
+    val toksArr = toks(col(textCol))
+    // ONE corpus text scan: per doc, its token length and its matching
+    // tokens — a frame orders of magnitude narrower than the text.
+    // Checkpointed because it feeds the corpus stats, the tf table, and
+    // (via tf) the scoring join; without it the text would be re-read
+    // and re-tokenized for each consumer.
+    val base = docs.select(col(idCol), size(toksArr).as("dl"),
+        filter(toksArr, t => t.isin(termList: _*)).as("ts"))
+      .localCheckpoint(true)
     // 1-row corpus stats: N and avgdl (exact integer sum / count).
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
+    val stats = base.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // tf feeds both the df aggregation and the scoring join; checkpoint
-    // so the corpus explode runs once (tf is O(matches), tiny vs the scan)
-    val tf = termFrequencies(docs, idCol, textCol, terms).localCheckpoint(true)
+    // dl rides through the tf groupBy, so no second join against a
+    // lengths table is needed downstream
+    val tf = base.select(col(idCol), col("dl"), explode(col("ts")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df"))
     val idf = ln9(lit(1.0) +
@@ -79,7 +90,6 @@ object KeywordSearch {
           lit(b) * col("dl") / col("avgdl"))), 9)
     val scored = tf
       .join(broadcast(dfs.crossJoin(stats).withColumn("idf", idf)), "term")
-      .join(lens, idCol)
       .withColumn("contrib", contrib.cast("decimal(28,12)"))
       .groupBy(col(idCol), col("dl"))
       .agg(round(sum(col("contrib")).cast("double"), 6).as("score"),
