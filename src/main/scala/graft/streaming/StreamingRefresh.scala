@@ -191,6 +191,50 @@ object StreamingRefresh {
       .toDF("id_a", "id_b", "bucket")
   }
 
+  /** Streaming as-of join: the incremental form of `ops.AsofJoin`. Input
+    * is one pre-tagged feed of (key, ts_us, side, id) rows — side 0 =
+    * right/reference stream, side 1 = left/probe stream; each left row is
+    * emitted with the latest right row for its key at or before its
+    * event time. State per key is TWO longs (the best right (ts_us, id)),
+    * regardless of history length — the streaming win over re-scanning
+    * history each refresh.
+    *
+    * Semantics: within a micro-batch, rows are processed in
+    * (ts_us, side, id) order, so the inclusive boundary (a right row AT
+    * the left ts matches) and the greatest-id-on-equal-ts tie rule are
+    * IDENTICAL to the batch operator; across micro-batches, matches
+    * reflect arrival order (a late right row never retro-matches an
+    * already-emitted left row — inherent to append-mode streaming).
+    * Under Trigger.AvailableNow (one batch) the drain therefore equals
+    * the batch `asofJoin` row-for-row; AsofStreamSpec pins both the
+    * equality and the cross-batch arrival semantics. */
+  def asofStream(tagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged
+      .select(col("key").cast("long"), col("ts_us").cast("long"),
+        col("side").cast("int"), col("id").cast("long"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Int, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var cur = state.getOption
+          val out = Vector.newBuilder[(Long, Long, Long, Option[Long], Option[Long])]
+          rows.toSeq.sortBy(r => (r._2, r._3, r._4)).foreach {
+            case (_, ts, 0, id) =>
+              if (cur.forall(c => c._1 < ts || (c._1 == ts && c._2 < id)))
+                cur = Some((ts, id))
+            case (_, ts, _, id) =>
+              out += ((id, key, ts, cur.map(_._2), cur.map(_._1)))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("id", "key", "ts_us", "r_id", "r_ts_us")
+  }
+
   /** Run a streaming DataFrame to completion with AvailableNow into an
     * in-memory table; returns after all available data is processed. */
   def runAvailableNowToMemory(df: DataFrame, queryName: String,
