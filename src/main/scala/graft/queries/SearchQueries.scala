@@ -54,11 +54,55 @@ object SearchQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Zipf-law fit over the frequency head: least-squares slope and
+    * intercept of ln(freq) on ln(rank) for the top-1000 words (natural
+    * text → slope ≈ −1; a badly skewed or synthetic corpus shows up as
+    * a large deviation — a one-row corpus-health indicator).
+    *
+    * Determinism: rank comes from orderBy+limit (TakeOrderedAndProject —
+    * bounded, so the rank window runs over ≤1000 rows); the four
+    * regression sums are DECIMAL sums of 9-rounded ln values; the
+    * closed-form slope/intercept are computed in double at the end and
+    * rounded to 6. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = KeywordSearch.unigramCounts(
+      Tables.documents(spark, dir), "text")
+    val top = vocab.orderBy(col("cnt").desc, col("word")).limit(1000)
+    // products taken in DOUBLE then rounded before the DECIMAL cast:
+    // decimal*decimal type-widening rules differ between engines, but a
+    // 9-rounded double product is the same bits everywhere
+    val ranked = top.withColumn("rn",
+      row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+      .select(
+        round(log(col("rn")), 9).as("x"),
+        round(log(col("cnt")), 9).as("y"))
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,12)")).as("sx"),
+        sum(col("y").cast("decimal(28,12)")).as("sy"),
+        sum(round(col("x") * col("y"), 9).cast("decimal(28,12)")).as("sxy"),
+        sum(round(col("x") * col("x"), 9).cast("decimal(28,12)")).as("sxx"))
+      .select(col("n"),
+        round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("slope"),
+        round((col("sy").cast("double") -
+          ((col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))) *
+            col("sx").cast("double")) / col("n"), 6).as("intercept"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_bm25" -> bm25,
     "q_corpus_unigram_nll" -> unigramNll,
     "q_corpus_vocab_entropy" -> vocabEntropy,
-    "q_corpus_length_pctl" -> lengthPercentiles)
+    "q_corpus_length_pctl" -> lengthPercentiles,
+    "q_corpus_zipf" -> zipfFit)
 
   private val termList = Terms.map(t => s"'$t'").mkString(", ")
 
@@ -139,9 +183,37 @@ object SearchQueries extends QueryModule {
       |  ROUND(quantile_cont(n_toks, 0.99), 6) AS p99
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  private val zipfSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+      |  FROM documents),
+      |vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |top AS (SELECT word, cnt FROM vocab ORDER BY cnt DESC, word LIMIT 1000),
+      |ranked AS (
+      |  SELECT ROUND(ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, word)), 9) AS x,
+      |    ROUND(ln(cnt), 9) AS y
+      |  FROM top),
+      |sums AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+      |    SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,12))) AS sxy,
+      |    SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,12))) AS sxx
+      |  FROM ranked)
+      |SELECT n,
+      |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |    AS slope,
+      |  ROUND((CAST(sy AS DOUBLE)
+      |    - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |      * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+      |FROM sums""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "q_search_bm25" -> bm25Sql,
     "q_corpus_unigram_nll" -> nllSql,
     "q_corpus_vocab_entropy" -> entropySql,
-    "q_corpus_length_pctl" -> pctlSql)
+    "q_corpus_length_pctl" -> pctlSql,
+    "q_corpus_zipf" -> zipfSql)
 }

@@ -133,6 +133,22 @@ class CorpusFiltersSpec extends SparkSpecBase {
     assert(ids1.sameElements(ids2) && ids1.nonEmpty && ids1.length < 200)
   }
 
+  test("3-way split: ~98/1/1 proportions, stable under corpus growth") {
+    val full = graft.queries.CorpusQueries.split3(spark, "/root/testdata/sf0.01")
+    val counts = full.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.93 && counts("train") / n < 1.0)
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
+    // hash-stability: the sf0.001 subset's assignments agree with the
+    // same doc_ids' assignments in the larger corpus
+    val small = graft.queries.CorpusQueries.split3(spark, sfDir)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val big = full.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (id, s) => big.get(id).forall(_ == s) })
+  }
+
   test("packSequences: hand-checked placement on a crafted stratum") {
     import spark.implicits._
     // budget 10; stream: 4 + 8 + 10 + 3 tokens

@@ -82,6 +82,19 @@ class KeywordSearchSpec extends SparkSpecBase {
     assert(c.getLong(0) === 1L && math.abs(c.getDouble(2)) < 1e-6)
   }
 
+  test("zipf fit: negative slope on the fixture, near -1 on a zipfian corpus") {
+    val fixture = graft.queries.SearchQueries.zipfFit(spark, sfDir).head
+    assert(fixture.getDouble(1) < 0.0)
+    // crafted corpus with freq(rank r) = round(1000/r): slope ~ -1
+    val words = (1 to 50).flatMap(r =>
+      Seq.fill(math.max(1000 / r, 1))(s"w$r")).mkString(" ")
+    val df = Seq((1L, words)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("zipf").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fit = graft.queries.SearchQueries.zipfFit(spark, tmp).head
+    assert(math.abs(fit.getDouble(1) - (-1.0)) < 0.05, s"slope=${fit.getDouble(1)}")
+  }
+
   test("unigram nll: shuffle-join path agrees with broadcast path") {
     val docs = graft.Tables.documents(spark, sfDir).limit(200)
     val a = KeywordSearch.unigramNll(docs, "doc_id", "text",
