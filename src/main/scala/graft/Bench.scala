@@ -40,7 +40,10 @@ object Bench {
     "q_corpus_sample", "q_corpus_quota", "q_corpus_mix",
     "q_pipe_full_export", "q_enrich_cost_report",
     "q_search_bm25", "q_corpus_unigram_nll", "q_corpus_pack",
-    "q_sim_kmeans", "q_sim_semdedup")
+    "q_sim_kmeans", "q_sim_semdedup",
+    "q_events_asof", "q_rel_rollup", "q_corpus_temperature",
+    "q_corpus_length_pctl", "q_corpus_vocab_entropy",
+    "q_corpus_split", "q_corpus_zipf", "q_corpus_line_dedup")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

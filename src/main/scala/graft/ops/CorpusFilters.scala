@@ -192,6 +192,40 @@ object CorpusFilters {
       .drop("thr")
   }
 
+  /** C4-style cross-corpus line dedup: every line value is kept only at
+    * its FIRST occurrence corpus-wide (first = smallest (docId, position));
+    * each document is then rebuilt from its surviving lines in order.
+    * Complements the within-doc repetition metrics: this is the step that
+    * actually strips boilerplate (headers, cookie banners) repeated
+    * across pages.
+    *
+    * Emits per doc: n_lines, n_kept, and the md5 of the rebuilt text —
+    * value-checkable without shipping the full text through the compare.
+    * Scale: one shuffle on the line value (the first-occurrence window),
+    * one on docId (the ordered rebuild) — the same two-exchange shape at
+    * any corpus size; line values could be pre-hashed to fixed width for
+    * the first shuffle without changing semantics. */
+  def lineDedup(df: DataFrame, docId: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(docId),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val firstWin = Window.partitionBy(col("line"))
+      .orderBy(col(docId), col("pos"))
+    val docWin = Window.partitionBy(col(docId)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lines
+      .withColumn("keep", row_number().over(firstWin) === 1)
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("keep"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n")).as("kept_fp"))
+  }
+
   /** Temperature-scaled mixture weights (the multilingual-corpus
     * sampling rule: p_s ∝ tokens_s^α, α < 1 upsamples the tail): per
     * stratum, the natural token share, the temperature share, and the

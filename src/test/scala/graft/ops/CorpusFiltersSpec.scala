@@ -133,6 +133,25 @@ class CorpusFiltersSpec extends SparkSpecBase {
     assert(ids1.sameElements(ids2) && ids1.nonEmpty && ids1.length < 200)
   }
 
+  test("lineDedup: first corpus-wide occurrence survives, docs rebuilt in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nboiler\nbeta"),   // all first occurrences
+      (2L, "boiler\ngamma\nboiler"), // 'boiler' seen in doc 1 -> both dropped
+      (3L, "delta\ngamma")           // 'gamma' seen in doc 2 -> dropped
+    ).toDF("doc_id", "text")
+    val out = lineDedup(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    def m(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    assert(out === Seq(
+      (1L, 3L, 3L, m("alpha\nboiler\nbeta")),
+      (2L, 3L, 1L, m("gamma")),
+      (3L, 2L, 1L, m("delta"))))
+  }
+
   test("3-way split: ~98/1/1 proportions, stable under corpus growth") {
     val full = graft.queries.CorpusQueries.split3(spark, "/root/testdata/sf0.01")
     val counts = full.groupBy("split").count().collect()
