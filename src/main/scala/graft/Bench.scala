@@ -43,7 +43,8 @@ object Bench {
     "q_sim_kmeans", "q_sim_semdedup",
     "q_events_asof", "q_rel_rollup", "q_corpus_temperature",
     "q_corpus_length_pctl", "q_corpus_vocab_entropy",
-    "q_corpus_split", "q_corpus_zipf", "q_corpus_line_dedup")
+    "q_corpus_split", "q_corpus_zipf", "q_corpus_line_dedup",
+    "q_corpus_bigram_nll")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

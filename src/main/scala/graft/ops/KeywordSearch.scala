@@ -128,6 +128,46 @@ object KeywordSearch {
           col("sum_clc").cast("double") / col("total_tokens"), 6)
           .as("entropy_nats"))
 
+  /** Per-document bigram negative log-likelihood (nats/bigram) under the
+    * corpus's own bigram distribution: mean of −ln(c(prev,w)/c(prev·)),
+    * where c(prev·) is the CONTEXT count (Σ over following words — i.e.
+    * the bigram-table marginal, so probabilities per context sum to 1).
+    * Self-scoring needs no smoothing: every doc bigram exists in the
+    * table. The unigram/bigram NLL gap is the mutual-information signal
+    * (how much local word order explains) — low gap flags bag-of-words
+    * spam, near-zero bigram NLL flags templated text.
+    *
+    * Same determinism contract as `unigramNll`: ln rounded to 9 at the
+    * source, DECIMAL partial sums, one 6-rounded double out. Scale: one
+    * explode + two groupBys; the bigram table joins back broadcast (or
+    * shuffle for open vocabularies via `broadcastVocab = false`). */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val w = toks(col(textCol))
+    val pairsArr = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("prev"),
+          element_at(w, i + 2).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    val docPairs = docs
+      .select(col(idCol), explode(pairsArr).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    // bigram table with its context marginal; ln terms pre-rounded
+    val table = docPairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
+      .withColumn("term",
+        (ln9(col("c1")) - ln9(col("c2"))).cast("decimal(28,12)"))
+      .localCheckpoint(true)
+    val t = if (broadcastVocab) broadcast(table) else table
+    docPairs.join(t, Seq("prev", "cur"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 6)
+          .as("bigram_nll"))
+  }
+
   /** Per-document mean negative log-likelihood (nats/token) under the
     * corpus's own unigram distribution — perplexity = exp(nll). Low =
     * stereotypical text, high = surprising; both tails are quality

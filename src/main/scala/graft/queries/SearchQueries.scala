@@ -97,9 +97,15 @@ object SearchQueries extends QueryModule {
             col("sx").cast("double")) / col("n"), 6).as("intercept"))
   }
 
+  /** Per-doc bigram NLL (nats/bigram) under the corpus bigram LM. */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame =
+    KeywordSearch.bigramNll(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_bm25" -> bm25,
     "q_corpus_unigram_nll" -> unigramNll,
+    "q_corpus_bigram_nll" -> bigramNll,
     "q_corpus_vocab_entropy" -> vocabEntropy,
     "q_corpus_length_pctl" -> lengthPercentiles,
     "q_corpus_zipf" -> zipfFit)
@@ -210,9 +216,30 @@ object SearchQueries extends QueryModule {
       |      * CAST(sx AS DOUBLE)) / n, 6) AS intercept
       |FROM sums""".stripMargin
 
+  private val bigramSql: String =
+    """WITH tw AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+      |  FROM documents WHERE len(regexp_split_to_array(text, '\s+')) >= 2),
+      |dp AS (
+      |  SELECT doc_id,
+      |    unnest(list_slice(w, 1, len(w) - 1)) AS prev,
+      |    unnest(list_slice(w, 2, len(w))) AS cur
+      |  FROM tw),
+      |tab AS (SELECT prev, cur, COUNT(*) AS c2 FROM dp GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT prev, cur,
+      |    CAST(ROUND(ln(SUM(c2) OVER (PARTITION BY prev)), 9)
+      |      - ROUND(ln(c2), 9) AS DECIMAL(28,12)) AS term
+      |  FROM tab)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS bigram_nll
+      |FROM dp JOIN terms USING (prev, cur)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "q_search_bm25" -> bm25Sql,
     "q_corpus_unigram_nll" -> nllSql,
+    "q_corpus_bigram_nll" -> bigramSql,
     "q_corpus_vocab_entropy" -> entropySql,
     "q_corpus_length_pctl" -> pctlSql,
     "q_corpus_zipf" -> zipfSql)

@@ -82,6 +82,17 @@ class KeywordSearchSpec extends SparkSpecBase {
     assert(c.getLong(0) === 1L && math.abs(c.getDouble(2)) < 1e-6)
   }
 
+  test("bigram nll: zero for deterministic order, positive for mixed order") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"),  // after 'a' always 'b'; after 'b' always 'a'
+      (2L, "c d d c c d c c")   // mixed continuations
+    ).toDF("doc_id", "text")
+    val out = KeywordSearch.bigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    assert(math.abs(out(0)) < 1e-9)
+    assert(out(1) > 0.1)
+  }
+
   test("zipf fit: negative slope on the fixture, near -1 on a zipfian corpus") {
     val fixture = graft.queries.SearchQueries.zipfFit(spark, sfDir).head
     assert(fixture.getDouble(1) < 0.0)
