@@ -143,13 +143,18 @@ object KeywordSearch {
     * shuffle for open vocabularies via `broadcastVocab = false`). */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
       broadcastVocab: Boolean = true): DataFrame = {
-    val w = toks(col(textCol))
+    // tokenize into a COLUMN first: higher-order functions are
+    // interpreted, and an element_at over the raw split() expression
+    // would re-split the text once per element — O(n²) per document.
+    // Over an attribute the array is computed once per row.
+    val w = col("w")
     val pairsArr = when(size(w) >= 2,
       transform(sequence(lit(0), size(w) - 2),
         i => struct(element_at(w, i + 1).as("prev"),
           element_at(w, i + 2).as("cur"))))
       .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
     val docPairs = docs
+      .select(col(idCol), toks(col(textCol)).as("w"))
       .select(col(idCol), explode(pairsArr).as("p"))
       .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
     // bigram table with its context marginal; ln terms pre-rounded
