@@ -133,6 +133,37 @@ class CorpusFiltersSpec extends SparkSpecBase {
     assert(ids1.sameElements(ids2) && ids1.nonEmpty && ids1.length < 200)
   }
 
+  test("soft filter: keep rate tracks mean quality; reruns agree") {
+    val out = graft.queries.CorpusQueries.softFilter(spark, "/root/testdata/sf0.01")
+    val stats = out.agg(avg(col("quality")), avg(col("keep").cast("double")))
+      .head
+    // uniform draws: E[keep] = E[quality]; 500 docs → ±~0.07 at 3σ
+    assert(math.abs(stats.getDouble(0) - stats.getDouble(1)) < 0.1,
+      s"mean quality ${stats.getDouble(0)} vs keep rate ${stats.getDouble(1)}")
+    val a = out.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.queries.CorpusQueries.softFilter(spark, "/root/testdata/sf0.01")
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.nonEmpty && a.size < 500)
+  }
+
+  test("budget select: inclusive boundary, per-source budget respected") {
+    val out = graft.queries.CorpusQueries.budgetSelect(spark, sfDir)
+    // every non-taken doc's predecessor set already filled the budget:
+    // cum_toks - n_toks >= budget for all taken=false rows
+    assert(out.filter(!col("taken") &&
+      col("cum_toks") - col("n_toks") < 2000).count() === 0)
+    // the last taken doc per source may cross the budget (inclusive);
+    // all earlier taken rows are strictly inside
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val bad = out.withColumn("nxt", lead(col("taken"), 1).over(w))
+      .filter(col("taken") && col("nxt") === true &&
+        col("cum_toks") - col("n_toks") >= 2000)
+      .count()
+    assert(bad === 0)
+    assert(out.filter(col("taken")).count() > 0)
+  }
+
   test("lineDedup: first corpus-wide occurrence survives, docs rebuilt in order") {
     import spark.implicits._
     val docs = Seq(
