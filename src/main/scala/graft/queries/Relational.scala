@@ -96,14 +96,21 @@ object Relational extends QueryModule {
     * `gid` (grouping_id) disambiguates real NULL keys from subtotal
     * rows; both engines use the first-arg-is-MSB bitmask convention. */
   def pricingRollup(spark: SparkSession, dir: String): DataFrame = {
+    // decimal terms are projected BELOW the grouping-set Expand: the
+    // Expand copies every input row once per grouping set, and Spark
+    // does not hoist agg-input expressions on its own — without this
+    // the revenue multiply would run 3x per row
     val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_extendedprice").cast(D) *
+          (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+          .as("rev_term"),
+        col("l_quantity").cast(D).as("qty_term"))
     li.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping_id().as("gid"),
-        sum(col("l_extendedprice").cast(D) *
-          (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
-          .cast("double").as("revenue"),
-        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum(col("rev_term")).cast("double").as("revenue"),
+        sum(col("qty_term")).cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
         col("revenue"), col("sum_qty"), col("n_rows"))
