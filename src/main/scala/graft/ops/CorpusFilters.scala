@@ -26,15 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object CorpusFilters {
 
-  /** Word n-gram array (space-joined), empty when the doc is shorter
-    * than n words. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val w = split(text, "\\s+")
+  /** Word n-gram array (space-joined) from an ALREADY-projected token
+    * array. Pass an attribute column, not a raw split() expression:
+    * higher-order functions run interpreted, and a captured non-attribute
+    * expression re-evaluates once per ELEMENT — an O(n²)-per-document
+    * trap (the same class as the hoisted bigram/codebook fixes). */
+  def wordNgramsOf(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),
         i => array_join(slice(w, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience form for single-expression use (tests, tiny frames).
+    * Scan-side callers should project the split into a column and use
+    * `wordNgramsOf` — see the trap note there. */
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsOf(split(text, "\\s+"), n)
 
   /** Break a single-line text into synthetic lines of `wordsPerLine`
     * words (the fixture corpus has no newlines; real corpora keep their
@@ -76,7 +83,9 @@ object CorpusFilters {
   def topNgramStats(df: DataFrame, docId: String, textCol: String, n: Int): DataFrame = {
     val grams = df
       .select(col(docId), length(col(textCol)).as("n_chars_doc"),
-        explode(wordNgrams(col(textCol), n)).as("gram"))
+        split(col(textCol), "\\s+").as("_w"))
+      .select(col(docId), col("n_chars_doc"),
+        explode(wordNgramsOf(col("_w"), n)).as("gram"))
       .groupBy(col(docId), col("n_chars_doc"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col(docId))
@@ -95,7 +104,9 @@ object CorpusFilters {
     * Documents shorter than n words report 0. */
   def duplicateNgramStats(df: DataFrame, docId: String, textCol: String, n: Int): DataFrame =
     df.select(col(docId), length(col(textCol)).as("n_chars_doc"),
-      explode(wordNgrams(col(textCol), n)).as("gram"))
+        split(col(textCol), "\\s+").as("_w"))
+      .select(col(docId), col("n_chars_doc"),
+        explode(wordNgramsOf(col("_w"), n)).as("gram"))
       .groupBy(col(docId), col("n_chars_doc"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col(docId), col("n_chars_doc"))
@@ -118,14 +129,16 @@ object CorpusFilters {
   def decontaminate(corpus: DataFrame, probes: DataFrame,
                     docId: String, textCol: String, n: Int): DataFrame = {
     val probeGrams = probes
-      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
+      .select(split(col(textCol), "\\s+").as("_w"))
+      .select(explode(wordNgramsOf(col("_w"), n)).as("gram")).distinct()
       .withColumn("hit", lit(1))
     // ONE pass over the doc grams: the broadcast left join marks hits,
     // a single groupBy counts both totals and hits (a separate totals
     // aggregation would re-run the explode+distinct subtree — Spark
     // does not share unreferenced subtrees between two aggregations)
     corpus
-      .select(col(docId), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .select(col(docId), split(col(textCol), "\\s+").as("_w"))
+      .select(col(docId), explode(wordNgramsOf(col("_w"), n)).as("gram"))
       .distinct()
       .join(broadcast(probeGrams), Seq("gram"), "left")
       .groupBy(col(docId))
