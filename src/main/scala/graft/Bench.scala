@@ -45,7 +45,8 @@ object Bench {
     "q_corpus_length_pctl", "q_corpus_vocab_entropy",
     "q_corpus_split", "q_corpus_zipf", "q_corpus_line_dedup",
     "q_corpus_bigram_nll",
-      "q_corpus_soft_filter", "q_corpus_budget_select")
+      "q_corpus_soft_filter", "q_corpus_budget_select",
+      "q_corpus_curate")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,
