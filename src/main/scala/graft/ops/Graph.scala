@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over similarity/dedup graphs. PageRank
+  * picks REPRESENTATIVE documents: in a near-dup cluster the member
+  * most connected to everything else is the one to keep for training,
+  * and centrality over the similarity graph is that signal.
+  *
+  * Determinism contract (the q_sim_pagerank oracle unrolls the same
+  * steps as CTEs): ranks are rounded to 9 decimals after EVERY update,
+  * per-vertex contribution sums run in DECIMAL(28,12) over 9-rounded
+  * terms, so both engines walk identical values. Dangling-mass
+  * redistribution is deliberately omitted (isolated vertices keep the
+  * teleport term only) — fine for ranking, and it keeps the recurrence
+  * local: each iteration is ONE equi-join on the edge list + ONE
+  * groupBy, no global exchange beyond them.
+  *
+  * Scale: per iteration the shuffle volume is |E| (the contribution
+  * join) — the standard distributed PageRank shape; `iters` bounds the
+  * round count explicitly (no convergence loop to run away). */
+object Graph {
+
+  /** Undirected PageRank: `pairs` lists each edge once (a, b); both
+    * directions are materialized internally. Emits
+    * (id, degree, pagerank) for every vertex in `vertices`. */
+  def pageRank(vertices: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val n = vertices.count()
+    // plain IEEE divide — the same operation the mirror SQL performs
+    val teleport = (1 - damping) / n
+    val sym = pairs.select(col(aCol).as("_s"), col(bCol).as("_d"))
+      .union(pairs.select(col(bCol).as("_s"), col(aCol).as("_d")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+    val ids = vertices.select(col(idCol).as("_id"))
+      .join(deg, col("_id") === col("_s"), "left")
+      .select(col("_id"), coalesce(col("_deg"), lit(0L)).as("_deg"))
+      .localCheckpoint(true)
+    val r0 = round(lit(1.0) / n, 9)
+    val init = ids.withColumn("_r", r0)
+    val ranked = (1 to iters).foldLeft(init) { (ranks, _) =>
+      val contribs = ranks
+        .join(sym, col("_id") === col("_s"))
+        .select(col("_d"),
+          round(col("_r") / col("_deg"), 9)
+            .cast("decimal(28,12)").as("_c"))
+        .groupBy(col("_d"))
+        .agg(sum(col("_c")).as("_in"))
+      ranks.join(contribs, col("_id") === col("_d"), "left")
+        .select(col("_id"), col("_deg"),
+          round(lit(teleport) +
+            lit(damping) * coalesce(col("_in").cast("double"), lit(0.0)), 9)
+            .as("_r"))
+        .localCheckpoint(true)
+    }
+    ranked.select(col("_id").as(idCol), col("_deg").as("degree"),
+      round(col("_r"), 6).as("pagerank"))
+  }
+}

@@ -134,7 +134,28 @@ object SimilarityQueries extends QueryModule {
   private val SemK = 16
   private val SemIters = 2
 
+  /** PageRank over the cosine-pair graph (3 power iterations, d = 0.85):
+    * centrality = representativeness for cluster-survivor selection.
+    * The registered demo derives edges from the EXACT pair set so the
+    * mirror stays a lean O(n²) CTE at oracle scale (the adaptive-leg
+    * CTE block pushed DuckDB past its file-handle budget when composed
+    * with three unrolled iterations); at corpus scale the same
+    * Graph.pageRank runs over `cosinePairsAdaptive` edges — the
+    * operator never sees where its edge list came from. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.cosinePairs(emb, Threshold)
+      .select(col("vec_a"), col("vec_b"))
+    graft.ops.Graph.pageRank(emb.select(col("vec_id")), "vec_id",
+      pairs, "vec_a", "vec_b", PrIters, PrDamping)
+      .orderBy(col("vec_id"))
+  }
+
+  private val PrIters = 3
+  private val PrDamping = 0.85
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_pagerank" -> pagerank,
     "q_sim_kmeans" -> kmeans,
     "q_sim_semdedup" -> semdedup,
     "q_knn_brute" -> knnBrute,
@@ -538,7 +559,44 @@ object SimilarityQueries extends QueryModule {
          |FROM sasg s LEFT JOIN sdup d USING (vec_id)
          |ORDER BY vec_id""".stripMargin
 
+  /** Mirror of Graph.pageRank over the adaptive pair graph: same edge
+    * CTE as the cluster mirror, then `PrIters` unrolled contribution/
+    * update steps (9-rounded terms, DECIMAL sums — the Graph.scala
+    * contract restated in SQL). */
+  private def pagerankSql: String = {
+    val d = PrDamping
+    val steps = (1 to PrIters).map { i =>
+      s""", c$i AS (
+         |  SELECT e.d AS id,
+         |    SUM(CAST(ROUND(p.r / p.deg, 9) AS DECIMAL(28,12))) AS cin
+         |  FROM pr${i - 1} p JOIN gsym e ON e.s = p.id GROUP BY e.d
+         |), pr$i AS (
+         |  SELECT v.id, v.deg,
+         |    ROUND((1 - $d) / nv.cnt
+         |      + $d * COALESCE(CAST(c$i.cin AS DOUBLE), 0.0), 9) AS r
+         |  FROM pr${i - 1} v LEFT JOIN c$i ON c$i.id = v.id, nv)""".stripMargin
+    }.mkString
+    normCte +
+      s""", gpr AS (
+         |  SELECT a.vec_id AS va, q.vec_id AS vb
+         |  FROM n a, n q
+         |  WHERE a.vec_id < q.vec_id
+         |    AND ROUND($dotSql / (a.nrm * q.nrm), 4) >= $Threshold
+         |), gsym AS (SELECT va AS s, vb AS d FROM gpr
+         |            UNION ALL SELECT vb, va FROM gpr),
+         |gdeg AS (SELECT s, COUNT(*) AS deg FROM gsym GROUP BY s),
+         |nv AS (SELECT COUNT(*) AS cnt FROM n),
+         |pr0 AS (
+         |  SELECT n.vec_id AS id, COALESCE(gdeg.deg, 0) AS deg,
+         |    ROUND(1.0 / nv.cnt, 9) AS r
+         |  FROM n LEFT JOIN gdeg ON gdeg.s = n.vec_id, nv)$steps
+         |SELECT id AS vec_id, CAST(deg AS BIGINT) AS degree,
+         |  ROUND(r, 6) AS pagerank
+         |FROM pr$PrIters ORDER BY vec_id""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q_sim_pagerank" -> pagerankSql,
     "q_sim_kmeans" -> kmeansSql,
     "q_sim_semdedup" -> semdedupSql,
     "q_sim_clusters" -> simClustersSql(Threshold),
