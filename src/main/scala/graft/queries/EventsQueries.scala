@@ -80,11 +80,40 @@ object EventsQueries extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Funnel analysis: users converting view → click (at or after their
+    * first view) → purchase (at or after that click). Each stage anchors
+    * on the EARLIEST qualifying event, so the funnel is order-correct,
+    * not a bag-of-types count. Three filtered aggregate+join passes —
+    * each an equi-join on user_id, no window, no state. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    val n1 = v.agg(count(lit(1)).as("n_view")) // 1-row frames; crossJoins are 1x1
+    val n2 = c.agg(count(lit(1)).as("n_click_after_view"))
+    val n3 = p.agg(count(lit(1)).as("n_purchase_after_click"))
+    n1.crossJoin(n2).crossJoin(n3)
+      .select(col("n_view"), col("n_click_after_view"),
+        col("n_purchase_after_click"),
+        round(col("n_click_after_view") / col("n_view").cast("double"), 6)
+          .as("view_to_click"),
+        round(col("n_purchase_after_click") /
+          col("n_click_after_view").cast("double"), 6).as("click_to_purchase"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_windowed" -> windowed,
     "q_events_sessions" -> sessions,
     "q_events_type_pivot" -> typePivot,
-    "q_events_asof" -> asof)
+    "q_events_asof" -> asof,
+    "q_events_funnel" -> funnel)
 
   override def oracle: Map[String, String] = Map(
     "q_events_windowed" ->
@@ -129,5 +158,27 @@ object EventsQueries extends QueryModule {
         |  r.event_id AS view_event_id, epoch_us(r.ts) AS view_ts_us,
         |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY l.event_id""".stripMargin)
+        |ORDER BY l.event_id""".stripMargin,
+    "q_events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t1
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t2
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_click_after_view,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+        |  ROUND((SELECT COUNT(*) FROM c)
+        |    / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS view_to_click,
+        |  ROUND((SELECT COUNT(*) FROM p)
+        |    / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6) AS click_to_purchase""".stripMargin)
 }
