@@ -214,20 +214,26 @@ object CorpusFilters {
     *
     * Emits per doc: n_lines, n_kept, and the md5 of the rebuilt text —
     * value-checkable without shipping the full text through the compare.
-    * Scale: one shuffle on the line value (the first-occurrence window),
-    * one on docId (the ordered rebuild) — the same two-exchange shape at
-    * any corpus size; line values could be pre-hashed to fixed width for
-    * the first shuffle without changing semantics. */
+    *
+    * Scale/skew: the hot line values (boilerplate, near-empty lines) are
+    * exactly the duplicated ones, so a `row_number() OVER (PARTITION BY
+    * line)` would sort every occurrence of a hot line in ONE task. The
+    * first occurrence only needs `min(struct(docId, pos))` per line —
+    * a hash aggregate with map-side partial combine (each input task
+    * reduces its own occurrences to one candidate before the exchange),
+    * joined back on the line value. The join is an equi-join AQE can
+    * skew-split; a window partition it cannot. Two exchanges total:
+    * line (agg+join) and docId (the ordered rebuild) — same shape at
+    * any corpus size. */
   def lineDedup(df: DataFrame, docId: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = df.select(col(docId),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val firstWin = Window.partitionBy(col("line"))
-      .orderBy(col(docId), col("pos"))
-    val docWin = Window.partitionBy(col(docId)).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    lines
-      .withColumn("keep", row_number().over(firstWin) === 1)
+    val firstSeen = lines
+      .groupBy(col("line"))
+      .agg(min(struct(col(docId).as("d"), col("pos").as("p"))).as("first_at"))
+    lines.join(firstSeen, Seq("line"))
+      .withColumn("keep",
+        struct(col(docId).as("d"), col("pos").as("p")) === col("first_at"))
       .groupBy(col(docId))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),

@@ -456,8 +456,9 @@ private[queries] object FixtureOracleSql {
       "),\n" +
       "secoff AS (\n" +
       "  SELECT doc_id, i AS section_number,\n" +
-      "    COALESCE(SUM(length(fs[i].c)) OVER (PARTITION BY doc_id ORDER BY i\n" +
-      "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS soff\n" +
+      "    COALESCE(CAST(SUM(length(fs[i].c)) OVER (PARTITION BY doc_id\n" +
+      "      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)\n" +
+      "      AS BIGINT), 0) AS soff\n" +
       "  FROM fx_merged, UNNEST(generate_series(1, len(fs))) AS t(i)\n" +
       "),\n" +
       "chapfull AS (\n" +
@@ -590,8 +591,9 @@ private[queries] object FixtureOracleSql {
       "),\n" +
       "secoff AS (\n" +
       "  SELECT doc_id, i AS section_number,\n" +
-      "    COALESCE(SUM(length(fs[i].c)) OVER (PARTITION BY doc_id ORDER BY i\n" +
-      "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS soff\n" +
+      "    COALESCE(CAST(SUM(length(fs[i].c)) OVER (PARTITION BY doc_id\n" +
+      "      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)\n" +
+      "      AS BIGINT), 0) AS soff\n" +
       "  FROM fx_merged, UNNEST(generate_series(1, len(fs))) AS t(i)\n" +
       "),\n" +
       "chapfull AS (\n" +

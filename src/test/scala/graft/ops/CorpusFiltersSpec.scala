@@ -183,6 +183,49 @@ class CorpusFiltersSpec extends SparkSpecBase {
       (3L, 2L, 1L, m("delta"))))
   }
 
+  test("lineDedup: skew-safe plan — hot line aggregates, never windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Min, Partial}
+    // a planted hot key: one boilerplate line occurring 10,000 times
+    // across 1,000 docs — the real-corpus shape (the duplicated lines
+    // ARE the hot ones). A row_number window partitioned by line would
+    // funnel all 10k occurrences into one task's sort.
+    val docs = (1L to 1000L).map { i =>
+      (i, (Seq.fill(10)("boiler plate") :+ s"unique-$i").mkString("\n"))
+    }.toDF("doc_id", "text")
+    val out = lineDedup(docs, "doc_id", "text")
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.inputPlan)
+        case other => other.children
+      }
+      (p +: kids.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+    }
+    val all = nodes(out.queryExecution.executedPlan)
+    val lineWindows = all.collect {
+      case w: WindowExec
+        if w.partitionSpec.exists(_.references.exists(_.name == "line")) => w
+    }
+    assert(lineWindows.isEmpty,
+      "first-occurrence must not be a per-line window (skew hotspot)")
+    val partialMin = all.exists {
+      case a: BaseAggregateExec => a.aggregateExpressions.exists(ae =>
+        ae.mode == Partial && ae.aggregateFunction.isInstanceOf[Min])
+      case _ => false
+    }
+    assert(partialMin,
+      "expected a map-side partial min(struct) for first occurrence")
+    // and the semantics hold: only doc 1 keeps the boilerplate
+    val rows = out.orderBy("doc_id").limit(2).collect()
+    assert(rows(0).getLong(0) === 1L && rows(0).getLong(1) === 11L &&
+      rows(0).getLong(2) === 2L) // 1 boiler line + unique-1 survive in doc 1
+    assert(rows(1).getLong(1) === 11L && rows(1).getLong(2) === 1L)
+  }
+
   test("3-way split: ~98/1/1 proportions, stable under corpus growth") {
     val full = graft.queries.CorpusQueries.split3(spark, "/root/testdata/sf0.01")
     val counts = full.groupBy("split").count().collect()

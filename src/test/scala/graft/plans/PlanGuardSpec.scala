@@ -47,15 +47,33 @@ class PlanGuardSpec extends SparkSpecBase {
     // A WindowExec sitting above a limit (the top-k-then-rank idiom:
     // TakeOrderedAndProject pushes the heavy work distributed, the window
     // ranks ≤ k rows) is bounded by construction and allowed.
-    def bounded(p: SparkPlan): Boolean = nodes(p).exists { n =>
-      n.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec] ||
-      n.isInstanceOf[org.apache.spark.sql.execution.GlobalLimitExec] ||
-      n.isInstanceOf[org.apache.spark.sql.execution.CollectLimitExec]
+    //
+    // The limit must sit on the window's DIRECT input path — we walk down
+    // only through row-preserving structural nodes (Project/Sort/Exchange
+    // and the codegen/AQE wrappers). An unrelated limit deep in some other
+    // branch (e.g. a limited dimension side of a join) must NOT mask a
+    // genuinely unbounded single-partition window.
+    import org.apache.spark.sql.execution.{ProjectExec, SortExec,
+      TakeOrderedAndProjectExec, GlobalLimitExec, CollectLimitExec,
+      LocalLimitExec}
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: CollectLimitExec | _: LocalLimitExec => true
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        bounded(a.inputPlan)
+      case n if n.isInstanceOf[ProjectExec] || n.isInstanceOf[SortExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange] ||
+        n.nodeName.contains("WholeStageCodegen") ||
+        n.nodeName == "InputAdapter" ||
+        n.nodeName.contains("QueryStage") ||
+        n.nodeName.contains("AQEShuffleRead") =>
+        n.children.exists(bounded)
+      case _ => false
     }
     graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val unpartitioned = nodes(planOf(q)).collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
-          !w.children.exists(bounded) => w
+          !bounded(w.child) => w
       }
       assert(unpartitioned.isEmpty,
         s"$q has an unbounded global (single-partition) WindowExec")

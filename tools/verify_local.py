@@ -31,11 +31,33 @@ def canon(v):
     return str(v)
 
 
-def table_rows(cur):
-    cols = [d[0] for d in cur.description]
+def table_rows(rel):
+    """rel: a DuckDBPyRelation (con.sql(...)). Returns (sorted cols, rows, types).
+
+    Uses relation .columns/.types, NOT the DBAPI cursor description — the
+    DBAPI reports every numeric as generic NUMBER, which is why the old
+    HUGEINT lint could never fire (r5 escape: 3 hash mismatches shipped).
+    """
+    cols = list(rel.columns)
+    types = {c: str(t) for c, t in zip(cols, rel.types)}
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = [tuple(canon(r[i]) for i in order) for r in cur.fetchall()]
-    return [cols[i] for i in order], sorted(rows)
+    rows = [tuple(canon(r[i]) for i in order) for r in rel.fetchall()]
+    return [cols[i] for i in order], sorted(rows), types
+
+
+def wide_cols(o_types, s_types):
+    """Oracle columns whose DuckDB type serializes differently from Spark's.
+
+    HUGEINT/UHUGEINT always differ (Spark has no int128). DECIMAL only
+    differs when the Spark column is NOT itself decimal — a decimal-vs-
+    decimal compare is fine (q_sim_pagerank relies on it)."""
+    out = []
+    for c, t in o_types.items():
+        if "HUGEINT" in t:
+            out.append(f"{c}:{t}")
+        elif "DECIMAL" in t and "DECIMAL" not in s_types.get(c, "DECIMAL"):
+            out.append(f"{c}:{t} vs spark {s_types.get(c)}")
+    return out
 
 
 def main():
@@ -52,22 +74,19 @@ def main():
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
             continue
-        cur = con.execute(
+        s_cols, s_rows, s_types = table_rows(con.sql(
             "SELECT * FROM read_parquet([" +
-            ",".join(f"'{f}'" for f in files) + "])")
-        s_cols, s_rows = table_rows(cur)
+            ",".join(f"'{f}'" for f in files) + "])"))
         if name not in oracle:
             results[name] = f"ROWS_ONLY rows={len(s_rows)}" + (
                 "" if len(s_rows) > 0 else " EMPTY!")
             continue
         try:
-            cur = con.execute(oracle[name])
-            # Lint: HUGEINT/DECIMAL oracle outputs serialize differently from
-            # Spark's int64/double in the driver even when python ints match
-            # here (this is exactly how the 4 round-1 hash mismatches hid).
-            wide = [d[0] for d in cur.description
-                    if "HUGEINT" in str(d[1]) or "DECIMAL" in str(d[1])]
-            o_cols, o_rows = table_rows(cur)
+            # Lint: HUGEINT (and DECIMAL-vs-nondecimal) oracle outputs
+            # serialize differently from Spark's int64/double in the driver
+            # even when python ints match here.
+            o_cols, o_rows, o_types = table_rows(con.sql(oracle[name]))
+            wide = wide_cols(o_types, s_types)
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
