@@ -46,7 +46,8 @@ object Bench {
     "q_corpus_split", "q_corpus_zipf", "q_corpus_line_dedup",
     "q_corpus_bigram_nll",
       "q_corpus_soft_filter", "q_corpus_budget_select",
-      "q_corpus_curate", "q_sim_pagerank", "q_events_funnel")
+      "q_corpus_curate", "q_sim_pagerank", "q_events_funnel",
+      "q_dedup_representatives")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

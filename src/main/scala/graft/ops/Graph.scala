@@ -59,4 +59,32 @@ object Graph {
     ranked.select(col("_id").as(idCol), col("_deg").as("degree"),
       round(col("_r"), 6).as("pagerank"))
   }
+
+  /** Cluster-representative selection — the production keep decision of a
+    * near-dup pipeline (the SemDeDup/D4 shape): vertices are grouped into
+    * connected components of the similarity graph, every member is ranked
+    * by PageRank centrality over the SAME edge list, and the most central
+    * member of each cluster is kept (ties broken by smallest id, on the
+    * 6-rounded pagerank both engines emit).
+    *
+    * The selection is a skew-safe `groupBy(cluster).min(struct(-pagerank,
+    * id))` + join-back — NOT a per-cluster window: a giant boilerplate
+    * cluster (the case dedup exists for) must not funnel every member
+    * into one task's sort. Negating the rank turns "max pagerank, then
+    * min id" into a single struct-min, which gets a map-side partial
+    * combine. pagerank ≥ teleport > 0, so the negation never meets -0.0. */
+  def clusterRepresentatives(vertices: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val cc = Dedup.connectedComponents(vertices, idCol, pairs, aCol, bCol)
+    val pr = pageRank(vertices, idCol, pairs, aCol, bCol, iters, damping)
+    val members = cc.join(pr, idCol)
+    val best = members.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("pagerank")).as("np"), col(idCol).as("i")))
+        .as("_best"))
+      .select(col("cluster_id"), col("_best").getField("i").as("_rep_id"))
+    members.join(best, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("degree"), col("pagerank"),
+        (col(idCol) === col("_rep_id")).as("is_representative"))
+  }
 }

@@ -131,8 +131,9 @@ object EventsQueries extends QueryModule {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), numbered AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_number
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts,
+        |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS session_number
         |  FROM flagged)
         |SELECT user_id, CAST(session_number AS BIGINT) AS session_number,
         |  COUNT(*) AS n_events,
@@ -153,7 +154,11 @@ object EventsQueries extends QueryModule {
       """WITH l AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |r AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |  -- DuckDB's ASOF choice among equal-ts right rows is unspecified;
+        |  -- AsofJoin pins greatest event_id, so make the tie rule explicit
+        |  -- by collapsing each (user_id, ts) to its max event_id first.
+        |  SELECT MAX(event_id) AS event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id, ts)
         |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
         |  r.event_id AS view_event_id, epoch_us(r.ts) AS view_ts_us,
         |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us

@@ -154,8 +154,23 @@ object SimilarityQueries extends QueryModule {
   private val PrIters = 3
   private val PrDamping = 0.85
 
+  /** Cluster-representative capstone: connected components + PageRank
+    * over the SAME exact pair graph, keep the most central member per
+    * cluster (ties → min vec_id) — the production "which near-dup do we
+    * train on" decision. The mirror composes the cluster mirror's
+    * recursive reach with the pagerank mirror's unrolled iterations. */
+  def representatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.cosinePairs(emb, Threshold)
+      .select(col("vec_a"), col("vec_b"))
+    graft.ops.Graph.clusterRepresentatives(emb.select(col("vec_id")),
+      "vec_id", pairs, "vec_a", "vec_b", PrIters, PrDamping)
+      .orderBy(col("vec_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_pagerank" -> pagerank,
+    "q_dedup_representatives" -> representatives,
     "q_sim_kmeans" -> kmeans,
     "q_sim_semdedup" -> semdedup,
     "q_knn_brute" -> knnBrute,
@@ -563,7 +578,7 @@ object SimilarityQueries extends QueryModule {
     * CTE as the cluster mirror, then `PrIters` unrolled contribution/
     * update steps (9-rounded terms, DECIMAL sums — the Graph.scala
     * contract restated in SQL). */
-  private def pagerankSql: String = {
+  private def pagerankCtes: String = {
     val d = PrDamping
     val steps = (1 to PrIters).map { i =>
       s""", c$i AS (
@@ -589,14 +604,45 @@ object SimilarityQueries extends QueryModule {
          |pr0 AS (
          |  SELECT n.vec_id AS id, COALESCE(gdeg.deg, 0) AS deg,
          |    ROUND(1.0 / nv.cnt, 9) AS r
-         |  FROM n LEFT JOIN gdeg ON gdeg.s = n.vec_id, nv)$steps
+         |  FROM n LEFT JOIN gdeg ON gdeg.s = n.vec_id, nv)$steps""".stripMargin
+  }
+
+  private def pagerankSql: String =
+    pagerankCtes +
+      s"""
          |SELECT id AS vec_id, CAST(deg AS BIGINT) AS degree,
          |  ROUND(r, 6) AS pagerank
          |FROM pr$PrIters ORDER BY vec_id""".stripMargin
-  }
+
+  /** Mirror of Graph.clusterRepresentatives: the pagerank CTE chain +
+    * the recursive transitive closure over the SAME gsym edge list, then
+    * the per-cluster max-pagerank (tie → min id) keep decision on the
+    * 6-rounded ranks — a window here is fine, it's the oracle. */
+  private def representativesSql: String =
+    (pagerankCtes +
+      s""",
+         |reach AS (
+         |  SELECT vec_id AS src, vec_id AS dst FROM n
+         |  UNION
+         |  SELECT r.src, e2.d FROM reach r JOIN gsym e2 ON e2.s = r.dst),
+         |clus AS (SELECT src AS vec_id, MIN(dst) AS cluster_id
+         |         FROM reach GROUP BY src),
+         |fin AS (
+         |  SELECT c.vec_id, c.cluster_id, CAST(p.deg AS BIGINT) AS degree,
+         |    ROUND(p.r, 6) AS pagerank
+         |  FROM clus c JOIN pr$PrIters p ON p.id = c.vec_id),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |    ORDER BY pagerank DESC, vec_id) AS rn
+         |  FROM fin)
+         |SELECT vec_id, cluster_id, degree, pagerank,
+         |  rn = 1 AS is_representative
+         |FROM rk ORDER BY vec_id""".stripMargin)
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   override def oracle: Map[String, String] = Map(
     "q_sim_pagerank" -> pagerankSql,
+    "q_dedup_representatives" -> representativesSql,
     "q_sim_kmeans" -> kmeansSql,
     "q_sim_semdedup" -> semdedupSql,
     "q_sim_clusters" -> simClustersSql(Threshold),
@@ -651,6 +697,6 @@ object SimilarityQueries extends QueryModule {
         |    ROUND(AVG(CAST(x AS DOUBLE)), 6) AS mean_x
         |  FROM dims GROUP BY label, dim)
         |SELECT label, COUNT(*) AS n_dims,
-        |  ROUND(SUM(mean_x * mean_x), 6) AS sq_norm
+        |  ROUND(CAST(SUM(mean_x * mean_x) AS DOUBLE), 6) AS sq_norm
         |FROM centroid GROUP BY label ORDER BY label""".stripMargin)
 }

@@ -235,6 +235,61 @@ object StreamingRefresh {
       .toDF("id", "key", "ts_us", "r_id", "r_ts_us")
   }
 
+  /** Streaming funnel: the incremental form of EventsQueries.funnel.
+    * State per user is THREE longs — the anchor timestamps (earliest
+    * view t1, earliest click ≥ t1 t2, earliest purchase ≥ t2 t3) —
+    * regardless of how many events the user ever produces. A row is
+    * emitted each time a user newly reaches a stage: (user_id, stage
+    * 1|2|3, ts_us), so the drained output aggregates to exactly the
+    * batch funnel's stage counts.
+    *
+    * Semantics: within a micro-batch a user's rows fold in (ts, stage)
+    * order — views before clicks before purchases at equal timestamps —
+    * which reproduces the batch "earliest qualifying event" anchors
+    * exactly (the inclusive ≥ boundaries included). Across micro-batches
+    * the anchors follow arrival order, the same documented append-mode
+    * contract as asofStream: an event arriving after a later-stage
+    * anchor was already set never rewrites it. Under Trigger.AvailableNow
+    * (one batch) the drain equals the batch funnel; FunnelStreamSpec pins
+    * both that equality and the cross-batch behavior. */
+  def funnelStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val unset = Long.MinValue
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .when(col("event_type") === "purchase", 2).as("stage"))
+      .filter(col("stage").isNotNull)
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Int)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((unset, unset, unset))
+          val out = Vector.newBuilder[(Long, Int, Long)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, stage) =>
+            stage match {
+              case 0 =>
+                if (t1 == unset) { t1 = ts; out += ((user, 1, ts)) }
+              case 1 =>
+                if (t2 == unset && t1 != unset && ts >= t1) {
+                  t2 = ts; out += ((user, 2, ts))
+                }
+              case _ =>
+                if (t3 == unset && t2 != unset && ts >= t2) {
+                  t3 = ts; out += ((user, 3, ts))
+                }
+            }
+          }
+          state.update((t1, t2, t3))
+          out.result().iterator
+      }
+      .toDF("user_id", "stage", "ts_us")
+  }
+
   /** Run a streaming DataFrame to completion with AvailableNow into an
     * in-memory table; returns after all available data is processed. */
   def runAvailableNowToMemory(df: DataFrame, queryName: String,

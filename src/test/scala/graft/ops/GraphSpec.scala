@@ -23,6 +23,44 @@ class GraphSpec extends SparkSpecBase {
     assert(byId(4L)._3 < byId(1L)._3)
   }
 
+  test("clusterRepresentatives: one keeper per cluster, the most central") {
+    // two components: a star {0..3} (center 0 must win) and a pair {5,6}
+    // (equal rank — tie breaks to the smaller id); 4 is isolated and is
+    // its own cluster's representative by construction
+    val vertices = (0L to 6L).toDF("id")
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = Graph.clusterRepresentatives(vertices, "id", pairs, "a", "b")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4))).toSeq
+    assert(out.map(x => (x._1, x._2)) === Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 4L), (5L, 5L), (6L, 5L)))
+    assert(out.filter(_._3).map(_._1) === Seq(0L, 4L, 5L))
+    // exactly one representative per cluster
+    val perCluster = out.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    assert(perCluster.values.forall(_ == 1))
+  }
+
+  test("clusterRepresentatives plan: selection aggregates, never windows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    val vertices = (0L to 50L).toDF("id")
+    val pairs = (1L to 50L).map(i => (0L, i)).toDF("a", "b")
+    val out = Graph.clusterRepresentatives(vertices, "id", pairs, "a", "b")
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.inputPlan)
+        case other => other.children
+      }
+      (p +: kids.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+    }
+    val windows = nodes(out.queryExecution.executedPlan).collect {
+      case w: WindowExec => w
+    }
+    assert(windows.isEmpty,
+      "per-cluster keep decision must be a struct-min aggregate, not a window")
+  }
+
   test("fixture graph: deterministic across runs, ranks positive") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val pairs = Similarity.cosinePairs(emb, 0.35)
