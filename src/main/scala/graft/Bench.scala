@@ -100,6 +100,15 @@ object Bench {
     // Warm-up failures surface on stderr; only NonFatal is swallowed so
     // an OOM/fatal error still kills the run instead of poisoning the
     // timed numbers.
+    //
+    // Host-noise band: identical code has measured ±25% on per-query
+    // seconds across runs on this shared host. Single-query outliers
+    // beyond the band are adjudicated with graft.BenchOne (repeated
+    // timings, every rep printed) before being treated as regressions —
+    // e.g. the r5 driver pass read q_pipe_chunks at 3.26s steady while
+    // five builder snapshots of the same code read 1.32-1.72s; a 6-rep
+    // BenchOne re-measure (r6) gave steady 1.45-1.75s, confirming a
+    // one-off scheduler spike, not a code regression.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val wd = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
     val cold = timeSet(spark, sfDir)

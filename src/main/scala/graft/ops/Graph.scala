@@ -76,8 +76,12 @@ object Graph {
   def clusterRepresentatives(vertices: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val cc = Dedup.connectedComponents(vertices, idCol, pairs, aCol, bCol)
-    val pr = pageRank(vertices, idCol, pairs, aCol, bCol, iters, damping)
+    // both consumers re-scan the edge list many times (CC rounds, PR
+    // iterations); materialize the possibly-expensive candidate
+    // generation once instead of once per consumer
+    val edges = pairs.localCheckpoint(true)
+    val cc = Dedup.connectedComponents(vertices, idCol, edges, aCol, bCol)
+    val pr = pageRank(vertices, idCol, edges, aCol, bCol, iters, damping)
     val members = cc.join(pr, idCol)
     val best = members.groupBy(col("cluster_id"))
       .agg(min(struct((-col("pagerank")).as("np"), col(idCol).as("i")))

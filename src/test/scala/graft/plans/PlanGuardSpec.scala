@@ -80,6 +80,27 @@ class PlanGuardSpec extends SparkSpecBase {
     }
   }
 
+  test("line dedup keeps its skew-safe shape on the registered query") {
+    // the hot keys of C4 line dedup ARE the duplicated lines: the
+    // first-occurrence pass must stay a partial-combinable aggregate
+    // (ObjectHash/Sort aggregate with a Partial min), never a window
+    // partitioned by the line value
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Min, Partial}
+    val all = nodes(planOf("q_corpus_line_dedup"))
+    val lineWindows = all.collect {
+      case w: WindowExec
+        if w.partitionSpec.exists(_.references.exists(_.name == "line")) => w
+    }
+    assert(lineWindows.isEmpty, "per-line window reintroduced (skew hotspot)")
+    assert(all.exists {
+      case a: BaseAggregateExec => a.aggregateExpressions.exists(ae =>
+        ae.mode == Partial && ae.aggregateFunction.isInstanceOf[Min])
+      case _ => false
+    }, "expected a map-side partial min(struct) first-occurrence pass")
+  }
+
   test("projection pruning reaches the parquet scan") {
     // q_text_quality projects 2 derived columns from a 1-table scan: the
     // scan must not read the full documents schema

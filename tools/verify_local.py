@@ -60,7 +60,31 @@ def wide_cols(o_types, s_types):
     return out
 
 
+def selftest():
+    """Prove the wide-type lint can actually fire (the r5 escape was a
+    lint that could never fire): an uncast integer SUM must be flagged,
+    the cast forms and decimal-vs-decimal must not."""
+    con = duckdb.connect()
+    def types_of(q):
+        rel = con.sql(q)
+        return {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    bad = types_of("SELECT SUM(x) AS s FROM (VALUES (1),(2)) t(x)")
+    ok = types_of("SELECT CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS c "
+                  "FROM (VALUES (1),(2)) t(x)")
+    dec = types_of("SELECT CAST(1.5 AS DECIMAL(10,2)) AS d")
+    assert wide_cols(bad, {"s": "BIGINT"}) == ["s:HUGEINT"], \
+        f"uncast SUM not flagged: {wide_cols(bad, {'s': 'BIGINT'})}"
+    assert wide_cols(ok, {"s": "BIGINT", "c": "BIGINT"}) == []
+    assert wide_cols(dec, {"d": "DOUBLE"}), "DECIMAL-vs-double not flagged"
+    assert wide_cols(dec, {"d": "DECIMAL(10,2)"}) == [], \
+        "DECIMAL-vs-decimal wrongly flagged"
+    print("selftest OK: uncast SUM flags, casts pass, decimal rules hold")
+
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
