@@ -116,6 +116,44 @@ object CorpusFilters {
         round(col("dup_chars") / greatest(col("n_chars_doc"), lit(1))
           .cast("double"), 6).as(s"dup_${n}gram_char_frac"))
 
+  /** Corpus-level exact-substring duplication stats (the signal behind
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" §4: substrings repeated anywhere in the corpus — across OR
+    * within documents — are memorization fuel). A document position is
+    * "duplicated" when its word n-gram occurs more than once in the
+    * WHOLE corpus. Emits per doc: n_grams (positions), n_dup_grams
+    * (positions whose gram recurs), dup_frac. Documents shorter than n
+    * words emit no row (they have no n-gram positions).
+    *
+    * The production system builds a suffix array; the n-gram-position
+    * form is the standard distributed approximation (fixed window =
+    * the minimum match length) and is what fits a shuffle engine.
+    *
+    * Scale: tokens explode once; per-(doc, gram) counts pre-aggregate
+    * BEFORE the corpus-wide gram count and the join back, so the
+    * shuffled key-space is distinct (doc, gram) pairs, not raw
+    * positions, and both groupBys get map-side partial combines. The
+    * gram key is the space-joined text here (the oracle must see it);
+    * at 100 TB group on xxhash64/128 of the gram instead — counts are
+    * collision-tolerant for a fraction estimate. */
+  def substringDupStats(df: DataFrame, docId: String, textCol: String,
+      n: Int): DataFrame = {
+    val perDoc = df
+      .select(col(docId), split(col(textCol), "\\s+").as("_w"))
+      .select(col(docId), explode(wordNgramsOf(col("_w"), n)).as("gram"))
+      .groupBy(col(docId), col("gram"))
+      .agg(count(lit(1)).as("k"))
+    val corpus = perDoc.groupBy(col("gram"))
+      .agg(sum(col("k")).as("c"))
+    perDoc.join(corpus, "gram")
+      .groupBy(col(docId))
+      .agg(sum(col("k")).as("n_grams"),
+        sum(when(col("c") > 1, col("k")).otherwise(0L)).as("n_dup_grams"))
+      .select(col(docId), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6)
+          .as("dup_frac"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with the probe (benchmark) set — the n-gram-overlap
     * decontamination step of a training pipeline (n=13 is the common

@@ -173,6 +173,89 @@ object KeywordSearch {
           .as("bigram_nll"))
   }
 
+  /** Reciprocal-rank fusion of N ranked retrieval legs (Cormack et al.
+    * 2009): score(d) = Σ_legs 1/(c + rank_leg(d)), missing legs
+    * contribute 0. The production hybrid-search merge: a lexical (BM25)
+    * leg and a vector (ANN) leg fused without score calibration —
+    * ranks, not scores, cross the legs, so the fusion is immune to the
+    * legs' incomparable score scales.
+    *
+    * Each leg is (name, frame with (idCol, rk)); output carries
+    * rk_<name> per leg (null = not retrieved by that leg), the fused
+    * `rrf` score, and the fused rank `rk`.
+    *
+    * Determinism: each reciprocal is rounded to 9 before the
+    * left-to-right sum (the mirror adds in the same order), the fused
+    * score is rounded to 6, ties break on the id. Scale: every leg is
+    * already a top-k frame (k rows, metadata-scale), so the fold of
+    * full-outer joins and the final top-k are driver-light and
+    * broadcast-friendly — the heavy lifting happened inside the legs. */
+  def rrfFuse(legs: Seq[(String, DataFrame)], idCol: String,
+      k: Int, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    val renamed = legs.map { case (name, df) =>
+      name -> df.select(col(idCol), col("rk").as(s"rk_$name"))
+    }
+    val joined = renamed.map(_._2).reduce { (a, b) =>
+      a.join(b, Seq(idCol), "full_outer")
+    }
+    val rrf = legs.map { case (name, _) =>
+      coalesce(round(lit(1.0) / (lit(c) + col(s"rk_$name")), 9), lit(0.0))
+    }.reduce(_ + _)
+    val fused = joined.withColumn("rrf", round(rrf, 6))
+    val top = fused.orderBy(col("rrf").desc, col(idCol)).limit(k)
+    val w = Window.orderBy(col("rrf").desc, col(idCol))
+    top.withColumn("rk", row_number().over(w))
+      .select((col(idCol) +: col("rrf") +: col("rk") +:
+        legs.map { case (name, _) => col(s"rk_$name") }): _*)
+  }
+
+  /** DSIR-style importance weight (Xie et al. 2023 "Data Selection for
+    * Language Models via Importance Resampling"): per-document mean
+    * log-ratio of an add-one-smoothed TARGET unigram LM to the RAW
+    * corpus LM. Positive = the document looks more like the target
+    * domain than the corpus average — the rank key for selecting
+    * pretraining data that matches a high-quality target.
+    *
+    *   logw(D) = mean over tokens w of
+    *     ln((ct(w)+1)/(tot_t+|V|)) − ln((cr(w)+1)/(tot_r+|V|))
+    *
+    * with |V| the RAW vocabulary size (the smoothing support), so
+    * target-unseen words get the add-one floor.
+    *
+    * Determinism: both ln terms are rounded to 9 and differenced in
+    * double (same bits in both engines), the per-token terms are
+    * DECIMAL-summed, one 6-rounded double per doc comes out. Scale: ONE
+    * corpus explode computes both LMs (the target leg is a conditional
+    * sum inside the same groupBy — no second scan), the 1-row totals
+    * cross-join broadcast, and the vocab joins back broadcast (or
+    * shuffle via `broadcastVocab = false` for open vocabularies). */
+  def dsirLogRatio(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, broadcastVocab: Boolean = true): DataFrame = {
+    val words = docs.select(col(idCol), isTarget.as("_t"),
+      explode(toks(col(textCol))).as("word"))
+    // one pass: raw count and target count per word
+    val vocabRaw = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
+    val tots = vocabRaw.agg(sum(col("cr")).as("tot_r"),
+      sum(col("ct")).as("tot_t"), count(lit(1)).as("v"))
+    val terms = vocabRaw.crossJoin(broadcast(tots))
+      .withColumn("term",
+        (ln9((col("ct") + lit(1.0)) / (col("tot_t") + col("v"))) -
+          ln9((col("cr") + lit(1.0)) / (col("tot_r") + col("v"))))
+          .cast("decimal(28,12)"))
+      .select(col("word"), col("term"))
+    val t = if (broadcastVocab) broadcast(terms) else terms
+    words.join(t, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 6)
+          .as("dsir_logw"))
+  }
+
   /** Per-document mean negative log-likelihood (nats/token) under the
     * corpus's own unigram distribution — perplexity = exp(nll). Low =
     * stereotypical text, high = surprising; both tails are quality

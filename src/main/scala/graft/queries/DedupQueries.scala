@@ -177,8 +177,20 @@ object DedupQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  private val SubN = 5
+
+  /** Exact-substring duplication stats: per doc, the fraction of word
+    * 5-gram positions whose gram recurs anywhere in the corpus (Lee et
+    * al. 2022 memorization signal — the distributed fixed-window form
+    * of suffix-array substring dedup). */
+  def substringDup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusFilters.substringDupStats(
+      Tables.documents(spark, dir), "doc_id", "text", SubN)
+      .orderBy(col("doc_id"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact,
+    "q_dedup_substring" -> substringDup,
     "q_dedup_winnow_pairs" -> winnowPairs,
     "q_dedup_clusters" -> winnowClusters,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
@@ -276,7 +288,26 @@ object DedupQueries extends QueryModule {
       |  FROM mw),
       |e AS (SELECT doc_id, unnest(fps) AS fp FROM fw)""".stripMargin
 
+  /** Substring mirror: same per-(doc, gram) pre-agg shape as the Spark
+    * plan, so SUM(k) totals match the operator's map-side-combine form. */
+  private val substringSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(w, i, i + ${SubN - 1}), ' ') AS gram
+       |  FROM t, LATERAL unnest(generate_series(1, greatest(len(w) - ${SubN - 1}, 0))) AS u(i)),
+       |pd AS (SELECT doc_id, gram, COUNT(*) AS k FROM g GROUP BY 1, 2),
+       |c AS (SELECT gram, CAST(SUM(k) AS BIGINT) AS c FROM pd GROUP BY 1)
+       |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN c > 1 THEN k ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |  ROUND(CAST(SUM(CASE WHEN c > 1 THEN k ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(k) AS BIGINT), 6) AS dup_frac
+       |FROM pd JOIN c USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q_dedup_substring" -> substringSql,
     // Recursive transitive closure over the same winnow-pair graph: the
     // cluster id (min reachable doc) is label-propagation's fixpoint.
     "q_dedup_clusters" -> (winnowCte.replaceFirst("WITH ", "WITH RECURSIVE ") +

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.KeywordSearch
+import graft.ops.{KeywordSearch, Similarity}
 
 /** Lexical retrieval + statistical LM scoring over `documents`: BM25
   * top-k for a bag-of-terms query and unigram-LM negative log-likelihood
@@ -102,13 +102,48 @@ object SearchQueries extends QueryModule {
     KeywordSearch.bigramNll(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  private val LegK = 20
+  private val FuseK = 10
+  private val RrfC = 60
+  private val QueryVecId = 0L
+
+  /** Hybrid retrieval: BM25 top-20 (the fixed bag-of-terms query) and
+    * exact-cosine top-20 of query vector 0 (doc_id ≡ vec_id in the
+    * fixture corpus), fused by reciprocal-rank fusion (c = 60) into a
+    * final top-10. The production hybrid-search shape: ranks cross the
+    * legs, never raw scores. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = KeywordSearch.bm25TopK(Tables.documents(spark, dir),
+        "doc_id", "text", Terms, LegK, K1, B)
+      .select(col("doc_id"), col("rk"))
+    val emb = Tables.embeddings(spark, dir)
+    val vec = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === QueryVecId), LegK)
+      .select(col("neighbor_id").as("doc_id"), col("rk"))
+    KeywordSearch.rrfFuse(Seq("lex" -> lex, "vec" -> vec),
+      "doc_id", FuseK, RrfC)
+      .orderBy(col("rk"))
+  }
+
+  private val DsirTarget = "src0"
+
+  /** DSIR importance weights: per-doc mean log-ratio of the add-one
+    * target (source = src0) unigram LM to the raw corpus LM — the
+    * importance-resampling rank key for target-matched data selection. */
+  def dsir(spark: SparkSession, dir: String): DataFrame =
+    KeywordSearch.dsirLogRatio(Tables.documents(spark, dir),
+      "doc_id", "text", col("source") === DsirTarget)
+      .orderBy(col("doc_id"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_bm25" -> bm25,
+    "q_search_hybrid_rrf" -> hybridRrf,
     "q_corpus_unigram_nll" -> unigramNll,
     "q_corpus_bigram_nll" -> bigramNll,
     "q_corpus_vocab_entropy" -> vocabEntropy,
     "q_corpus_length_pctl" -> lengthPercentiles,
-    "q_corpus_zipf" -> zipfFit)
+    "q_corpus_zipf" -> zipfFit,
+    "q_corpus_dsir" -> dsir)
 
   private val termList = Terms.map(t => s"'$t'").mkString(", ")
 
@@ -236,11 +271,99 @@ object SearchQueries extends QueryModule {
       |FROM dp JOIN terms USING (prev, cur)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Hybrid mirror: the bm25 CTE chain at k=20 (rank only), the brute
+    * cosine chain for query vector 0 at k=20, then the RRF fold — the
+    * reciprocals are 9-rounded and added left-to-right (lex + vec)
+    * exactly as `KeywordSearch.rrfFuse` folds its legs. */
+  private val hybridSql: String =
+    s"""WITH lex0 AS (
+       |  SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS dl,
+       |    list_filter(regexp_split_to_array(text, '\\s+'),
+       |      t -> t IN ($termList)) AS ts
+       |  FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM lex0),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(ts) AS term FROM lex0)
+       |  GROUP BY 1, 2, 3),
+       |idf AS (
+       |  SELECT term,
+       |    ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9) AS idf
+       |  FROM (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |    stats),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    ROUND(CAST(SUM(CAST(ROUND(
+       |      i.idf * (t.tf * ($K1 + 1)) /
+       |        (t.tf + $K1 * (1.0 - $B + $B * t.dl / s.avgdl)), 9)
+       |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+       |  FROM tf t
+       |  JOIN idf i USING (term), stats s
+       |  GROUP BY t.doc_id),
+       |lexrank AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk_lex
+       |  FROM scored ORDER BY score DESC, doc_id LIMIT $LegK),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM e),
+       |qv AS (SELECT v, nrm FROM n WHERE vec_id = $QueryVecId),
+       |cos AS (
+       |  SELECT a.vec_id,
+       |    ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * q.v[i]))
+       |      / (a.nrm * q.nrm), 4) AS cos
+       |  FROM n a, qv q WHERE a.vec_id <> $QueryVecId),
+       |vecrank AS (
+       |  SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rk_vec
+       |  FROM cos ORDER BY cos DESC, vec_id LIMIT $LegK),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.rk_lex, v.rk_vec,
+       |    ROUND(COALESCE(ROUND(1.0 / ($RrfC + l.rk_lex), 9), 0)
+       |      + COALESCE(ROUND(1.0 / ($RrfC + v.rk_vec), 9), 0), 6) AS rrf
+       |  FROM lexrank l FULL OUTER JOIN vecrank v USING (doc_id)),
+       |top AS (
+       |  SELECT doc_id, rrf, rk_lex, rk_vec
+       |  FROM fused ORDER BY rrf DESC, doc_id LIMIT $FuseK)
+       |SELECT doc_id, rrf,
+       |  ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk, rk_lex, rk_vec
+       |FROM top ORDER BY rk""".stripMargin
+
+  /** DSIR mirror: one token table, raw + target counts from the same
+    * grouped scan, add-one terms differenced on 9-rounded lns. */
+  private val dsirSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT word, COUNT(*) AS cr,
+       |    SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct
+       |  FROM tok GROUP BY 1),
+       |tots AS (
+       |  SELECT SUM(cr) AS tot_r, SUM(ct) AS tot_t, COUNT(*) AS v
+       |  FROM vocab),
+       |terms AS (
+       |  SELECT word,
+       |    CAST(ROUND(ln((ct + 1.0) / (tot_t + v)), 9)
+       |      - ROUND(ln((cr + 1.0) / (tot_r + v)), 9)
+       |      AS DECIMAL(28,12)) AS term
+       |  FROM vocab, tots)
+       |SELECT doc_id, COUNT(*) AS n_toks,
+       |  ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS dsir_logw
+       |FROM tok JOIN terms USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "q_search_bm25" -> bm25Sql,
+    "q_search_hybrid_rrf" -> hybridSql,
     "q_corpus_unigram_nll" -> nllSql,
     "q_corpus_bigram_nll" -> bigramSql,
     "q_corpus_vocab_entropy" -> entropySql,
     "q_corpus_length_pctl" -> pctlSql,
-    "q_corpus_zipf" -> zipfSql)
+    "q_corpus_zipf" -> zipfSql,
+    "q_corpus_dsir" -> dsirSql)
 }

@@ -287,4 +287,30 @@ class CorpusFiltersSpec extends SparkSpecBase {
       .count()
     assert(badFirst === 0)
   }
+
+  test("substringDupStats: cross-doc and within-doc recurring grams counted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),           // shares "b c d" with doc 2
+      (2L, "x b c d y"),
+      (3L, "p q r s t"),           // all grams unique
+      (4L, "m n o m n o m n"))     // every 3-gram occurs twice WITHIN the doc
+      .toDF("doc_id", "text")
+    val out = substringDupStats(df, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(out === Seq(
+      (1L, 3L, 1L, 0.333333),
+      (2L, 3L, 1L, 0.333333),
+      (3L, 3L, 0L, 0.0),
+      (4L, 6L, 6L, 1.0)))
+  }
+
+  test("substringDupStats: docs shorter than n words emit no row") {
+    import spark.implicits._
+    val df = Seq((1L, "just two"), (2L, "one two three four")).toDF("doc_id", "text")
+    val out = substringDupStats(df, "doc_id", "text", 3)
+    assert(out.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+  }
 }

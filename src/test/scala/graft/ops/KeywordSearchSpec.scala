@@ -114,4 +114,55 @@ class KeywordSearchSpec extends SparkSpecBase {
       broadcastVocab = false).orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("rrf fusion: hand-computed scores, missing legs contribute zero") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rk")
+    val vec = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rk")
+    val out = KeywordSearch.rrfFuse(
+      Seq("lex" -> lex, "vec" -> vec), "doc_id", k = 3, c = 60)
+      .orderBy("rk").collect()
+    // 20: 1/62 + 1/61 = 0.032522; 10: 1/61 = 0.016393; 40: 1/62 = 0.016129
+    assert(out.map(_.getLong(0)).toSeq === Seq(20L, 10L, 40L))
+    assert(out.map(_.getDouble(1)).toSeq === Seq(0.032522, 0.016393, 0.016129))
+    assert(out.map(_.getInt(2)).toSeq === Seq(1, 2, 3))
+    // doc 40 was not retrieved by the lex leg; doc 10 not by the vec leg
+    assert(out(2).isNullAt(3) && out(1).isNullAt(4))
+  }
+
+  test("rrf fusion: a doc found by both legs outranks single-leg docs of equal depth") {
+    val q = graft.queries.SearchQueries.hybridRrf(spark, "/root/testdata/sf0.01")
+    val rows = q.collect()
+    assert(rows.length === 10)
+    // ranks dense, fused scores non-increasing
+    assert(rows.map(_.getInt(2)).toSeq === (1 to 10))
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // any doc present in BOTH legs must beat every single-leg doc
+    // (2/(60+20) > 1/61 for any single-leg rank), so if one exists it is rank 1
+    val both = rows.filter(r => !r.isNullAt(3) && !r.isNullAt(4))
+    if (both.nonEmpty) assert(!rows(0).isNullAt(3) && !rows(0).isNullAt(4))
+  }
+
+  test("dsir: hand-computed log ratios on a two-word corpus") {
+    val docs = Seq((1L, "alpha alpha"), (2L, "beta beta")).toDF("doc_id", "text")
+    val out = KeywordSearch.dsirLogRatio(docs, "doc_id", "text",
+      col("doc_id") === 1L).orderBy("doc_id").collect()
+    // V=2, tot_r=4, tot_t=2
+    // alpha: ln(3/4) - ln(3/6) = ln 1.5 = 0.405465; beta: ln(1/4) - ln(3/6) = -ln 2
+    assert(out(0).getLong(1) === 2L && out(1).getLong(1) === 2L)
+    assert(math.abs(out(0).getDouble(2) - 0.405465) < 1e-6)
+    assert(math.abs(out(1).getDouble(2) - (-0.693147)) < 1e-6)
+  }
+
+  test("dsir: target documents average above non-target on the fixture corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val w = KeywordSearch.dsirLogRatio(docs, "doc_id", "text",
+      col("source") === "src0")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val m = w.groupBy((col("source") === "src0").as("is_t"))
+      .agg(avg(col("dsir_logw")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) > m(false),
+      s"target mean ${m(true)} should exceed non-target mean ${m(false)}")
+  }
 }
