@@ -48,7 +48,8 @@ object Bench {
       "q_corpus_soft_filter", "q_corpus_budget_select",
       "q_corpus_curate", "q_sim_pagerank", "q_events_funnel",
       "q_dedup_representatives",
-      "q_search_hybrid_rrf", "q_corpus_dsir", "q_dedup_substring")
+      "q_search_hybrid_rrf", "q_corpus_dsir", "q_dedup_substring",
+      "q_pipe_retrieve")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

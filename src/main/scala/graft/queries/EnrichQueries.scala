@@ -154,8 +154,12 @@ object EnrichQueries extends QueryModule {
     * correction → embed → 28-column DB projection. Deterministic enricher
     * ⇒ the order-stable content hash is reproducible run to run (spec).
     * Rows-only driver check; this is the engine's capstone query. */
-  def fullExport(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.{DbExport, DocPipeline}
+  /** Shared stage chain of the capstone queries: enrich pages →
+    * sections (+ chapter summaries) → W5 correction → chunks → W7
+    * correction. */
+  private def pipelineChunks(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.model.ChunkRecord] = {
+    import graft.ops.DocPipeline
     val enrichedPgs = EnrichStages.enrichPages(pages(spark, dir), enricher)
     // chapter summaries ride along via the page records
     val summaries = enrichedPgs
@@ -169,8 +173,12 @@ object EnrichQueries extends QueryModule {
       .withColumnRenamed("chapter_summary_agg", "chapter_summary")
       .as[graft.model.SectionRecord](
         org.apache.spark.sql.Encoders.product[graft.model.SectionRecord])
-    val chunks = DocPipeline.correctChunkPages(
-      DocPipeline.sectionsToChunks(sections))
+    DocPipeline.correctChunkPages(DocPipeline.sectionsToChunks(sections))
+  }
+
+  def fullExport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DbExport
+    val chunks = pipelineChunks(spark, dir)
     val embedded = EnrichStages.embedChunks(chunks, enricher)
       .select(col("document_id"), col("chapter_number"),
         col("section_number"), col("chunk_number"), col("embedding"))
@@ -179,6 +187,47 @@ object EnrichQueries extends QueryModule {
     DbExport.toDbRows(full)
       .orderBy(col("document_id"), col("chapter_number"),
         col("section_number"), col("chunk_number"))
+  }
+
+  private[queries] val RetrieveQuery = "customer order pipeline merge"
+  private val RetrieveK = 5
+
+  /** RAG retrieval over the exported chunk table — the reference
+    * system's PRODUCTION read path (a pgvector `ORDER BY embedding <=>
+    * query LIMIT k` over the refreshed table): embed a fixed
+    * natural-language query with the same enricher, cosine-score every
+    * non-blank chunk, return the top-5 with their page-reference
+    * citation columns. Blank chunks (null embedding, the P9 rule) are
+    * excluded exactly as the production `WHERE embedding IS NOT NULL`
+    * does. At scale the scan side is the IVF/LSH family (q_knn_*); the
+    * exact scan is the oracle surface and the small-k default. */
+  def retrieve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = pipelineChunks(spark, dir)
+    val embedded = EnrichStages.embedChunks(chunks, enricher).toDF()
+      .filter(col("embedding").isNotNull)
+      .select(col("chapter_number"), col("section_number"),
+        col("chunk_number"), col("embedding"))
+    val qv = enricher.embedBatch(Seq(RetrieveQuery)).head
+    val qd = array(qv.toIndexedSeq.map(x => lit(x.toDouble)): _*)
+    val scored = embedded.withColumn("cos_sim",
+      round(graft.functions.GraftFunctions.dot(
+        graft.ops.Similarity.asDouble(col("embedding")), qd), 6))
+    val keyCols = Seq(col("chapter_number"), col("section_number"),
+      col("chunk_number"))
+    val top = scored
+      .orderBy(col("cos_sim").desc +: keyCols: _*).limit(RetrieveK)
+    val w = Window.orderBy(col("cos_sim").desc +: keyCols: _*)
+    top.withColumn("rk", row_number().over(w))
+      .join(chunks.toDF().select(col("chapter_number"), col("section_number"),
+        col("chunk_number"), col("chunk_start_page"), col("chunk_end_page"),
+        col("chunk_start_reference"), col("chunk_end_reference")),
+        Seq("chapter_number", "section_number", "chunk_number"))
+      .select(col("rk"), col("cos_sim"), col("chapter_number"),
+        col("section_number"), col("chunk_number"),
+        col("chunk_start_page"), col("chunk_end_page"),
+        col("chunk_start_reference"), col("chunk_end_reference"))
+      .orderBy(col("rk"))
   }
 
   /** Catalog pipeline composition (SURVEY §3.2, stages 1→4): CDC process
@@ -217,6 +266,7 @@ object EnrichQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipe_full_export" -> fullExport,
+    "q_pipe_retrieve" -> retrieve,
     "q_catalog_master" -> catalogMaster,
     "q_enrich_pages" -> enrichedPages,
     "q_enrich_section_summaries" -> sectionSummaries,
@@ -295,6 +345,7 @@ object EnrichQueries extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "q_pipe_full_export" -> FixtureOracleSql.fullExport,
+    "q_pipe_retrieve" -> FixtureOracleSql.retrieve(RetrieveQuery, 5),
     "q_enrich_cost_report" -> costReportSql,
     "q_enrich_pages" -> FixtureOracleSql.enrichPages,
     "q_enrich_section_summaries" -> FixtureOracleSql.enrichSectionSummaries,

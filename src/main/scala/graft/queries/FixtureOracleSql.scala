@@ -749,6 +749,82 @@ private[queries] object FixtureOracleSql {
   val fullExport: String =
     s"$feChunkCtes,\n$feSummaryCtes,\n$feEmbedCtes\n$feSelect"
 
+  /** q_pipe_retrieve: the production RAG read path over the exported
+    * chunks — the SAME chunk + FNV-embedding CTEs as `fullExport`, a
+    * query embedding built by replaying the DeterministicEnricher on the
+    * query literal (FNV limbs → signed base → 64 float dims → float
+    * normalize), exact cosine in double over the float components, top-k
+    * with id tiebreaks, and the chunk page-reference citation columns.
+    * `queryText` must be single-quote-free (it is inlined as a SQL
+    * literal). */
+  def retrieve(queryText: String, k: Int): String = {
+    require(!queryText.contains("'"), "query literal must not contain quotes")
+    s"$feChunkCtes,\n$feEmbedCtes,\n" +
+      "qbase AS (\n" +
+      s"  SELECT ${fnvLimbs(s"'$queryText'")} AS hb\n" +
+      "),\n" +
+      "qsgn AS (\n" +
+      "  SELECT (CASE WHEN hb.h >= 2147483648 THEN hb.h - 4294967296 ELSE hb.h END)\n" +
+      "    * 4294967296 + hb.l AS sgn\n" +
+      "  FROM qbase\n" +
+      "),\n" +
+      "qdims AS (\n" +
+      "  SELECT sgn, CAST(unnest(range(0, 64)) AS INT) AS dim FROM qsgn\n" +
+      "),\n" +
+      "qhd AS (\n" +
+      s"  SELECT dim, ${fnvLimbs("CAST(sgn AS VARCHAR) || ':' || CAST(dim AS VARCHAR)")} AS hb\n" +
+      "  FROM qdims\n" +
+      "),\n" +
+      "qxf AS (\n" +
+      "  SELECT dim,\n" +
+      "    CAST(CAST(hb.h // 256 AS FLOAT) / CAST(8388608 AS FLOAT)\n" +
+      "      - CAST(1 AS FLOAT) AS FLOAT) AS x\n" +
+      "  FROM qhd\n" +
+      "),\n" +
+      "qvf AS (SELECT list(x ORDER BY dim) AS v FROM qxf),\n" +
+      "qn AS (\n" +
+      "  SELECT v, CAST(sqrt(list_sum(list_transform(v,\n" +
+      "    e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS FLOAT) AS nf\n" +
+      "  FROM qvf\n" +
+      "),\n" +
+      "qvec AS (\n" +
+      "  SELECT CASE WHEN nf = 0 THEN v\n" +
+      "         ELSE list_transform(v, e -> CAST(e / nf AS FLOAT)) END AS qv\n" +
+      "  FROM qn\n" +
+      "),\n" +
+      "cvec AS (\n" +
+      "  SELECT doc_id, section_number, chunk_number,\n" +
+      "    CASE WHEN nf = 0 THEN v\n" +
+      "         ELSE list_transform(v, e -> CAST(e / nf AS FLOAT)) END AS cv\n" +
+      "  FROM enrm\n" +
+      "),\n" +
+      "rscored AS (\n" +
+      "  SELECT c.doc_id, c.section_number, c.chunk_number,\n" +
+      "    ROUND(list_sum(list_transform(range(1, 65),\n" +
+      "      i -> CAST(c.cv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))), 6) AS cos_sim\n" +
+      "  FROM cvec c, qvec q\n" +
+      "),\n" +
+      "rtop AS (\n" +
+      "  SELECT doc_id, section_number, chunk_number, cos_sim FROM rscored\n" +
+      s"  ORDER BY cos_sim DESC, doc_id, section_number, chunk_number LIMIT $k\n" +
+      ")\n" +
+      "SELECT\n" +
+      "  ROW_NUMBER() OVER (ORDER BY t.cos_sim DESC, t.doc_id,\n" +
+      "    t.section_number, t.chunk_number) AS rk,\n" +
+      "  t.cos_sim,\n" +
+      "  CAST(t.doc_id AS INTEGER) AS chapter_number,\n" +
+      "  CAST(t.section_number AS INTEGER) AS section_number,\n" +
+      "  CAST(t.chunk_number AS INTEGER) AS chunk_number,\n" +
+      "  CAST(asg.sp_page AS INTEGER) AS chunk_start_page,\n" +
+      "  CAST(asg.ep_page AS INTEGER) AS chunk_end_page,\n" +
+      "  CAST(t.doc_id AS VARCHAR) || '-' || CAST(asg.sp_page AS VARCHAR) AS chunk_start_reference,\n" +
+      "  CAST(t.doc_id AS VARCHAR) || '-' || CAST(asg.ep_page AS VARCHAR) AS chunk_end_reference\n" +
+      "FROM rtop t\n" +
+      "JOIN assigned asg ON asg.doc_id = t.doc_id\n" +
+      "  AND asg.section_number = t.section_number AND asg.chunk_number = t.chunk_number\n" +
+      "ORDER BY rk"
+  }
+
   /** q_catalog_page_sections: the char-split path of NaturalSections
     * (T10), including the dropped-gap quirk — section 1 ends at the
     * backtracked whitespace, section 2 still starts at len/2. */
