@@ -49,7 +49,7 @@ object Bench {
       "q_corpus_curate", "q_sim_pagerank", "q_events_funnel",
       "q_dedup_representatives",
       "q_search_hybrid_rrf", "q_corpus_dsir", "q_dedup_substring",
-      "q_pipe_retrieve")
+      "q_pipe_retrieve", "q_shard_manifest")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,
