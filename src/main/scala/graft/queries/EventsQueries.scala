@@ -108,12 +108,37 @@ object EventsQueries extends QueryModule {
           col("n_click_after_view").cast("double"), 6).as("click_to_purchase"))
   }
 
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; each later week's active share of that cohort. Activity is
+    * pre-collapsed to distinct (user, week) rows so every aggregate is a
+    * plain count — two shuffles on user_id, then the per-cohort sizes
+    * (|weeks| rows) broadcast back onto the matrix. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val act = uw.join(first, "user_id")
+      .groupBy(col("cohort_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = act.filter(col("week_offset") === 0)
+      .select(col("cohort_wk"), col("n_active").as("cohort_size"))
+    act.join(broadcast(sizes), "cohort_wk")
+      .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_windowed" -> windowed,
     "q_events_sessions" -> sessions,
     "q_events_type_pivot" -> typePivot,
     "q_events_asof" -> asof,
-    "q_events_funnel" -> funnel)
+    "q_events_funnel" -> funnel,
+    "q_events_retention" -> retention)
 
   override def oracle: Map[String, String] = Map(
     "q_events_windowed" ->
@@ -185,5 +210,25 @@ object EventsQueries extends QueryModule {
         |  ROUND((SELECT COUNT(*) FROM c)
         |    / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS view_to_click,
         |  ROUND((SELECT COUNT(*) FROM p)
-        |    / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6) AS click_to_purchase""".stripMargin)
+        |    / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6) AS click_to_purchase""".stripMargin,
+    "q_events_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |first_wk AS (
+        |  SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id),
+        |act AS (
+        |  SELECT f.cohort_wk,
+        |    CAST(date_diff('day', f.cohort_wk, uw.wk) // 7 AS BIGINT)
+        |      AS week_offset,
+        |    COUNT(*) AS n_active
+        |  FROM uw JOIN first_wk f USING (user_id)
+        |  GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT cohort_wk, n_active AS cohort_size FROM act
+        |  WHERE week_offset = 0)
+        |SELECT strftime(a.cohort_wk, '%Y-%m-%d') AS cohort_week,
+        |  a.week_offset, a.n_active, s.cohort_size,
+        |  ROUND(a.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+        |FROM act a JOIN sz s USING (cohort_wk)
+        |ORDER BY cohort_week, week_offset""".stripMargin)
 }
