@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded-state cardinality sketches. At corpus scale you cannot
+  * `COUNT(DISTINCT ...)` a 100 TB token stream — the distinct values
+  * themselves would shuffle. A k-minimum-values (KMV) sketch keeps only
+  * the k smallest distinct hash values per group: the partial state is
+  * ≤ k longs regardless of input size, it map-side combines, and the
+  * merge of two sketches is a sorted-merge truncation — exactly the
+  * algebra Spark's typed `Aggregator` distributes. The estimator
+  * (Bar-Yossef et al. 2002): with h_k the k-th smallest of distinct
+  * uniform hashes over [0, M), E[distinct] ≈ (k−1)·M / h_k.
+  *
+  * Unlike HLL (`approx_count_distinct`), the KMV state is a plain
+  * deterministic set-function of the input values — independent of
+  * partitioning and merge order — so the whole report is exact-compare
+  * oracle-checkable against DuckDB rebuilding the same sketch in SQL.
+  */
+object Sketches {
+
+  /** Hash space: 60-bit md5 prefix (15 hex chars), portable across
+    * engines (`conv(hex,16,10)` ≡ DuckDB `CAST('0x'||hex AS BIGINT)`). */
+  val HashBits = 60
+  val HashSpace: Double = 1152921504606846976d // 2^60, exact as a double
+
+  /** Mergeable KMV state: a sorted array of at most k distinct hashes.
+    * `reduce` is a binary-search insert that rejects anything not below
+    * the current max once full; `merge` is a deduping sorted merge cut
+    * at k. Both are order-insensitive, so the result is deterministic
+    * under any partitioning. */
+  class KmvAggregator(k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val idx = java.util.Arrays.binarySearch(buf, h)
+      if (idx >= 0) buf // already in the sketch
+      else {
+        val ins = -idx - 1
+        if (buf.length >= k && ins >= k) buf // not below the current max
+        else {
+          val out = new Array[Long](math.min(buf.length + 1, k))
+          System.arraycopy(buf, 0, out, 0, math.min(ins, out.length))
+          if (ins < out.length) {
+            out(ins) = h
+            System.arraycopy(buf, ins, out, ins + 1, out.length - ins - 1)
+          }
+          out
+        }
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      var last = 0L; var seen = false
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+            val x = a(i); i += 1; x
+          } else { val x = b(j); j += 1; x }
+        if (!seen || v != last) { out(n) = v; n += 1; last = v; seen = true }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Per-group distinct-count report from a 60-bit-hash column: sketch
+    * size, the k-th minimum, the KMV estimate, the exact distinct count
+    * (audit column — the one thing here that would NOT run at 100 TB;
+    * it exists to oracle-check the estimate), and the relative error.
+    * Groups with fewer than k distinct hashes hold them all, so the
+    * "estimate" is exact there by construction. */
+  def kmvDistinct(df: DataFrame, groupCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    val kmv = udaf(new KmvAggregator(k), Encoders.scalaLong)
+    val est = when(col("sketch_size") < k, col("sketch_size").cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble) * lit(HashSpace) /
+          col("kth_hash").cast("double"), 4))
+    df.groupBy(col(groupCol))
+      .agg(kmv(col(hashCol)).as("sketch"),
+        countDistinct(col(hashCol)).as("exact_distinct"))
+      .select(col(groupCol),
+        size(col("sketch")).cast("long").as("sketch_size"),
+        when(size(col("sketch")) >= k, element_at(col("sketch"), k))
+          .as("kth_hash"),
+        col("exact_distinct"))
+      .withColumn("est_distinct", est)
+      .withColumn("rel_err",
+        round(abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct").cast("double"), 6))
+      .select(col(groupCol), col("sketch_size"), col("kth_hash"),
+        col("est_distinct"), col("exact_distinct"), col("rel_err"))
+  }
+}

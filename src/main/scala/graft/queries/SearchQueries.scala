@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{KeywordSearch, Similarity}
+import graft.ops.{KeywordSearch, Similarity, Sketches}
 
 /** Lexical retrieval + statistical LM scoring over `documents`: BM25
   * top-k for a bag-of-terms query and unigram-LM negative log-likelihood
@@ -135,6 +135,26 @@ object SearchQueries extends QueryModule {
       "doc_id", "text", col("source") === DsirTarget)
       .orderBy(col("doc_id"))
 
+  private val KmvK = 256
+
+  /** Per-source distinct-shingle cardinality via the bounded-state KMV
+    * sketch (k = 256): the distinct-count report that still runs when
+    * the corpus is 100 TB — only k hashes per (partition, source) ever
+    * shuffle. The exact count rides along as the audit column; the
+    * oracle rebuilds the identical sketch (k smallest distinct 60-bit
+    * md5-prefix hashes) in SQL and checks estimate AND state. */
+  def distinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.GraftFunctions.shingles(col("text"), 3))
+          .as("gram"))
+      .select(col("source"),
+        conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+    Sketches.kmvDistinct(grams, "source", "hv", KmvK)
+      .orderBy(col("source"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_bm25" -> bm25,
     "q_search_hybrid_rrf" -> hybridRrf,
@@ -143,7 +163,8 @@ object SearchQueries extends QueryModule {
     "q_corpus_vocab_entropy" -> vocabEntropy,
     "q_corpus_length_pctl" -> lengthPercentiles,
     "q_corpus_zipf" -> zipfFit,
-    "q_corpus_dsir" -> dsir)
+    "q_corpus_dsir" -> dsir,
+    "q_corpus_distinct_kmv" -> distinctKmv)
 
   private val termList = Terms.map(t => s"'$t'").mkString(", ")
 
@@ -365,5 +386,45 @@ object SearchQueries extends QueryModule {
     "q_corpus_vocab_entropy" -> entropySql,
     "q_corpus_length_pctl" -> pctlSql,
     "q_corpus_zipf" -> zipfSql,
-    "q_corpus_dsir" -> dsirSql)
+    "q_corpus_dsir" -> dsirSql,
+    "q_corpus_distinct_kmv" -> kmvSql)
+
+  /** Rebuilds the KMV sketch in SQL: same per-doc distinct 3-gram
+    * shingles as the dedup family, same 60-bit md5-prefix hash, rank
+    * the distinct hashes per source, keep rank ≤ k. The estimator
+    * constants (255 · 2^60) fold identically as doubles (2^60 and
+    * 255·2^60 are both exactly representable). */
+  private def kmvSql: String =
+    s"""WITH t AS (
+       |  SELECT source, text, regexp_split_to_array(text, '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT source, unnest(CASE WHEN len(w) < 3 THEN [text]
+       |    ELSE list_distinct(list_transform(range(1, greatest(len(w)-2,0)+1),
+       |      i -> array_to_string(list_transform(range(i, i+3), j -> w[j]), ' '))) END)
+       |    AS gram
+       |  FROM t
+       |), h AS (
+       |  SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS hv
+       |  FROM sh
+       |), rk AS (
+       |  SELECT source, hv,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS nd
+       |  FROM h
+       |), agg AS (
+       |  SELECT source,
+       |    CAST(LEAST(MAX(nd), $KmvK) AS BIGINT) AS sketch_size,
+       |    MAX(CASE WHEN rn = $KmvK THEN hv END) AS kth_hash,
+       |    CASE WHEN MAX(nd) < $KmvK THEN CAST(LEAST(MAX(nd), $KmvK) AS DOUBLE)
+       |      ELSE ROUND(${KmvK - 1}.0 * 1152921504606846976.0 /
+       |        CAST(MAX(CASE WHEN rn = $KmvK THEN hv END) AS DOUBLE), 4) END
+       |      AS est_distinct,
+       |    CAST(MAX(nd) AS BIGINT) AS exact_distinct
+       |  FROM rk GROUP BY source)
+       |SELECT source, sketch_size, kth_hash, est_distinct, exact_distinct,
+       |  ROUND(ABS(est_distinct - exact_distinct)
+       |    / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+       |FROM agg ORDER BY source""".stripMargin
 }
