@@ -140,6 +140,71 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k: greedily picks k of
+    * the `candK` most relevant candidates, each step maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) (ties → smaller id) — the
+    * standard RAG-retrieval diversification that stops near-duplicate
+    * chunks from crowding out coverage.
+    *
+    * Shape at scale: the candidate set per query is a CONSTANT candK
+    * (here from exact top-k; swap in `ivfPqTopK` for the ANN leg at
+    * corpus scale), so the pair-sim frame is candK² rows per query and
+    * every join/window below is keyed by query_id — queries process in
+    * parallel, and the greedy loop is k fixed dataframe steps with
+    * checkpointed lineage (same pattern as [[graft.ops.Graph.pageRank]]).
+    * All scores are 6-rounded doubles over 4-rounded cosines; the
+    * mirror replays the identical k steps as unrolled CTEs, including
+    * the `1−λ` double literal verbatim. */
+  def mmrTopK(emb: DataFrame, queries: DataFrame, k: Int, candK: Int,
+      lambda: Double, cosRound: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = bruteForceTopK(emb, queries, candK, cosRound)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("cos").as("rel"))
+      .localCheckpoint(true)
+    val e = withNorm(emb, "vec_id", "embedding")
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("av"),
+      col("nrm").as("an"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("nrm").as("bn"))
+    val psim = cands.select(col("query_id"), col("cand_id").as("a_id"))
+      .join(cands.select(col("query_id"), col("cand_id").as("b_id")),
+        Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .join(va, "a_id").join(vb, "b_id")
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), cosRound)
+          .as("sim"))
+      .localCheckpoint(true)
+    val empty = cands
+      .select(col("query_id"), col("cand_id"), col("rel"),
+        lit(0.0).as("score"), lit(0L).as("rk"))
+      .limit(0)
+    val selected = (1 to k).foldLeft(empty) { (sel, j) =>
+      val ms = psim
+        .join(sel.select(col("query_id"), col("cand_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id")).agg(max(col("sim")).as("ms"))
+        .withColumnRenamed("a_id", "cand_id")
+      val scored = cands
+        .join(sel.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(ms, Seq("query_id", "cand_id"), "left")
+        .withColumn("score",
+          round(lit(lambda) * col("rel") -
+            lit(1 - lambda) * coalesce(col("ms"), lit(0.0)), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id"))
+      val pick = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("rel"), col("score"),
+          lit(j.toLong).as("rk"))
+      sel.unionByName(pick).localCheckpoint(true)
+    }
+    selected.select(col("query_id"), col("rk"), col("cand_id"), col("rel"),
+      col("score"))
+  }
+
   /** Explode a normed frame into one row per (table, bucket): the
     * multi-table RHP signature used by both `lshTopK` and
     * `cosinePairsBucketed`. */

@@ -168,7 +168,21 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  private val MmrCandK = 20
+  private val MmrLambda = 0.7
+
+  /** MMR diversified top-5 retrieval per query vector: relevance from
+    * the exact top-20 candidates, diversity from their pairwise
+    * cosines, five greedy picks. The mirror unrolls the same five
+    * argmax steps as CTEs (kmeans-style), reusing the exact `1−λ`
+    * double literal so both engines subtract the same number. */
+  def mmr(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), K, MmrCandK, MmrLambda)
+      .orderBy(col("query_id"), col("rk"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_mmr" -> mmr,
     "q_sim_pagerank" -> pagerank,
     "q_dedup_representatives" -> representatives,
     "q_sim_kmeans" -> kmeans,
@@ -640,7 +654,65 @@ object SimilarityQueries extends QueryModule {
          |FROM rk ORDER BY vec_id""".stripMargin)
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** Unrolled MMR mirror: exact top-20 candidates, pairwise candidate
+    * cosines, then five argmax CTE steps each excluding the already
+    * selected set and subtracting the penalty with the SAME `1−λ`
+    * double literal Spark computes (0.7 → 0.30000000000000004). */
+  private def mmrSql: String = {
+    val lam = MmrLambda.toString
+    val oneMinus = (1 - MmrLambda).toString
+    val steps = (1 to K).map { j =>
+      val prev = s"selall${j - 1}"
+      s""", ms$j AS (
+         |  SELECT p.query_id, p.a_id AS cand_id, MAX(p.sim) AS ms
+         |  FROM psim p JOIN $prev s
+         |    ON s.query_id = p.query_id AND s.cand_id = p.b_id
+         |  GROUP BY 1, 2
+         |), scored$j AS (
+         |  SELECT c.query_id, c.cand_id, c.rel,
+         |    ROUND($lam * c.rel - $oneMinus * COALESCE(m.ms, 0.0), 6) AS score
+         |  FROM cand c
+         |  LEFT JOIN ms$j m ON m.query_id = c.query_id AND m.cand_id = c.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev s
+         |    WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)
+         |), sel$j AS (
+         |  SELECT query_id, cand_id, rel, score, CAST($j AS BIGINT) AS rk FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, cand_id) AS rn
+         |    FROM scored$j) WHERE rn = 1
+         |), selall$j AS (
+         |  SELECT * FROM selall${j - 1} UNION ALL SELECT * FROM sel$j)""".stripMargin
+    }.mkString("\n")
+    normCte +
+      s""", cand0 AS (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS rel
+         |  FROM n a, n q
+         |  WHERE q.vec_id % 100 = 0 AND a.vec_id <> q.vec_id
+         |), cand AS (
+         |  SELECT query_id, cand_id, rel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, cand_id) AS rn FROM cand0)
+         |  WHERE rn <= $MmrCandK
+         |), psim AS (
+         |  SELECT c1.query_id, c1.cand_id AS a_id, c2.cand_id AS b_id,
+         |    ROUND(list_sum(list_transform(range(1, 65),
+         |      i -> va.v[i] * vb.v[i])) / (va.nrm * vb.nrm), 4) AS sim
+         |  FROM cand c1
+         |  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.cand_id <> c2.cand_id
+         |  JOIN n va ON va.vec_id = c1.cand_id
+         |  JOIN n vb ON vb.vec_id = c2.cand_id
+         |), selall0 AS (
+         |  SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS cand_id,
+         |    CAST(NULL AS DOUBLE) AS rel, CAST(NULL AS DOUBLE) AS score,
+         |    CAST(NULL AS BIGINT) AS rk WHERE 1 = 0)
+         |$steps
+         |SELECT query_id, rk, cand_id, rel, score FROM selall$K
+         |ORDER BY query_id, rk""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q_knn_mmr" -> mmrSql,
     "q_sim_pagerank" -> pagerankSql,
     "q_dedup_representatives" -> representativesSql,
     "q_sim_kmeans" -> kmeansSql,
