@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table storage: the write-once / join-many answer to the
+  * shuffle. A table written with `bucketBy(n, key)` + in-bucket `sortBy`
+  * is hash-partitioned AND sorted on disk; every later equi-join or
+  * aggregation on that key reads the buckets co-located and skips both
+  * the exchange and the sort — at 100 TB that shuffle IS the job, and
+  * bucketing pays it exactly once at ingest instead of per query
+  * (BucketedJoinSpec pins the zero-exchange plan).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, in-bucket-sorted managed parquet table
+    * (replacing any previous incarnation — including a stale on-disk
+    * location from an earlier session that the in-memory catalog no
+    * longer knows about) and return the catalog-backed frame, whose
+    * scan reports the bucket spec to the planner. */
+  def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
+      bucketCol: String, numBuckets: Int): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+}

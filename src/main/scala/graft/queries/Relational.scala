@@ -117,12 +117,41 @@ object Relational extends QueryModule {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  private val Buckets = 8
+
+  /** Co-located join over bucketed tables: lineitem and orders are
+    * first persisted bucketed (8 buckets) + in-bucket-sorted on the
+    * order key, then joined WITHOUT an exchange on either side — the
+    * ingest-time answer to the join shuffle (the write pays the
+    * partitioning once; every subsequent keyed join/agg reads it back
+    * free; BucketedJoinSpec pins the zero-shuffle plan). The oracle
+    * checks the round-trip preserves the join's arithmetic exactly. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.ops.Bucketing.writeBucketed(spark,
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "graft_bkt_lineitem", "l_orderkey", Buckets)
+    val o = graft.ops.Bucketing.writeBucketed(spark,
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_bkt_orders", "o_orderkey", Buckets)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(D) *
+          (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rel_rollup" -> pricingRollup,
     "q_rel_pricing_summary" -> pricingSummary,
     "q_rel_revenue_by_nation" -> revenueByNation,
     "q_rel_top_customers" -> topCustomers,
-    "q_rel_part_stats" -> partStats)
+    "q_rel_part_stats" -> partStats,
+    "q_rel_bucketed_join" -> bucketedJoin)
 
   override def oracle: Map[String, String] = Map(
     "q_rel_rollup" ->
@@ -174,5 +203,13 @@ object Relational extends QueryModule {
         |FROM part
         |WHERE p_size >= 10
         |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin)
+        |ORDER BY p_brand""".stripMargin,
+    "q_rel_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }
