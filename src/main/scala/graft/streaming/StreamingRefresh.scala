@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -48,6 +48,23 @@ object StreamingRefresh {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
         col("n_events"), col("total_value"))
+
+  /** Streaming distinct-cardinality: the KMV sketch as a stateful
+    * streaming aggregation over the 60-bit portable user hash. The
+    * sketch's merge is the same order-free algebra whether partials
+    * come from partitions or micro-batches, so the drained
+    * complete-mode state must equal the batch sketch LONG-FOR-LONG
+    * (KmvStreamSpec pins it). Aggregation state per group is ≤ k
+    * longs — bounded forever, no watermark needed. */
+  def kmvDistinctStream(events: DataFrame, k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.ops.Sketches.KmvAggregator(k), Encoders.scalaLong)
+    events
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")),
+          1, 15), 16, 10).cast("long").as("hv"))
+      .groupBy(col("event_type"))
+      .agg(kmv(col("hv")).as("sketch"))
+  }
 
   /** J1–J3 as an INCREMENTAL stream: per-file change detection with
     * `flatMapGroupsWithState` — the one CDC piece the declarative
