@@ -49,7 +49,9 @@ object Bench {
       "q_corpus_curate", "q_sim_pagerank", "q_events_funnel",
       "q_dedup_representatives",
       "q_search_hybrid_rrf", "q_corpus_dsir", "q_dedup_substring",
-      "q_pipe_retrieve", "q_shard_manifest")
+      "q_pipe_retrieve", "q_shard_manifest",
+      "q_events_retention", "q_corpus_distinct_kmv", "q_knn_mmr",
+      "q_rel_bucketed_join", "q_corpus_curriculum")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,
