@@ -24,14 +24,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as nanos-since-epoch and convert (values are µs-grain,
-    * so the div-1000 is lossless).
+  /** events.ts arrives in whichever physical type the data generator used:
+    * TIMESTAMP(NANOS) (rejected by Spark's vectorized reader → read as
+    * nanos-since-epoch long and convert; values are µs-grain so the
+    * div-1000 is lossless), µs TIMESTAMP_NTZ (cast to TIMESTAMP — every
+    * graft entry point pins the session to UTC, so the instant is
+    * unchanged), or already TIMESTAMP. Normalizing here keeps one
+    * downstream contract: ts is a µs-grain TimestampType column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
