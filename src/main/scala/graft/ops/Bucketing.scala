@@ -33,4 +33,17 @@ object Bucketing {
       .saveAsTable(table)
     spark.table(table)
   }
+
+  /** The read side of write-once/join-many: return the catalog-backed
+    * bucketed table if this session already ingested it, else ingest now.
+    * Callers encode the SOURCE identity (input dir, projection) in the
+    * table name — a bucketed table is a materialization of one concrete
+    * input, and reusing it for a different input would silently answer
+    * from the wrong data. With this, only the first invocation per
+    * session pays the bucketing shuffle+write; every later call is the
+    * zero-exchange read the feature exists for. */
+  def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
+      bucketCol: String, numBuckets: Int): DataFrame =
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else writeBucketed(spark, df, table, bucketCol, numBuckets)
 }

@@ -19,3 +19,13 @@ trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracle: Map[String, String]
 }
+
+object QueryModule {
+  /** Placeholder for the Verify output directory inside oracle SQL.
+    * Two-staged oracles (q_sim_pagerank, q_dedup_representatives) read a
+    * PRE-VERIFIED sibling query's parquet dump through it; Verify
+    * substitutes the absolute outDir when writing oracle_sql.json, so
+    * the driver's DuckDB resolves the same files it already reads for
+    * the Spark-side compare. */
+  val VerifyOutToken: String = "__GRAFT_VERIFY_OUT__"
+}

@@ -119,22 +119,52 @@ object Relational extends QueryModule {
 
   private val Buckets = 8
 
-  /** Co-located join over bucketed tables: lineitem and orders are
-    * first persisted bucketed (8 buckets) + in-bucket-sorted on the
-    * order key, then joined WITHOUT an exchange on either side — the
-    * ingest-time answer to the join shuffle (the write pays the
-    * partitioning once; every subsequent keyed join/agg reads it back
-    * free; BucketedJoinSpec pins the zero-shuffle plan). The oracle
-    * checks the round-trip preserves the join's arithmetic exactly. */
-  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val li = graft.ops.Bucketing.writeBucketed(spark,
+  /** Source-identity tag for bucketed-table names: a bucketed table is a
+    * materialization of ONE input dir — encode it so sf0.001 warm-up,
+    * sf0.01 and sf0.1 passes in the same session never share a table. */
+  private def bucketTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(8)
+
+  /** The bucketed lineitem/orders projections for `dir`, ingested at most
+    * once per session (write-once / join-many). */
+  def bucketedTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = bucketTag(dir)
+    val li = graft.ops.Bucketing.ensureBucketed(spark,
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-      "graft_bkt_lineitem", "l_orderkey", Buckets)
-    val o = graft.ops.Bucketing.writeBucketed(spark,
+      s"graft_bkt_lineitem_$tag", "l_orderkey", Buckets)
+    val o = graft.ops.Bucketing.ensureBucketed(spark,
       Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_bkt_orders", "o_orderkey", Buckets)
+      s"graft_bkt_orders_$tag", "o_orderkey", Buckets)
+    (li, o)
+  }
+
+  /** Force a fresh bucketed ingest for `dir` (drops + rewrites both
+    * tables). Exists so the bench can time the pay-once write as its own
+    * labeled number, separate from the per-query join timings. */
+  def bucketedIngest(spark: SparkSession, dir: String): Unit = {
+    val tag = bucketTag(dir)
+    Seq(s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    bucketedTables(spark, dir)
+    ()
+  }
+
+  /** Co-located join over bucketed tables: lineitem and orders are
+    * persisted bucketed (8 buckets) + in-bucket-sorted on the order key
+    * ONCE per session (`ensureBucketed`), then joined WITHOUT an
+    * exchange on either side — the ingest-time answer to the join
+    * shuffle (the write pays the partitioning once; every subsequent
+    * keyed join/agg reads it back free; BucketingSpec pins the
+    * zero-shuffle plan). The first invocation pays the ingest; steady
+    * invocations measure the read-side benefit, which is the point.
+    * The oracle checks the round-trip preserves the join's arithmetic
+    * exactly. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (li, o) = bucketedTables(spark, dir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(

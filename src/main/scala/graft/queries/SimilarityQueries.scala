@@ -136,15 +136,19 @@ object SimilarityQueries extends QueryModule {
 
   /** PageRank over the cosine-pair graph (3 power iterations, d = 0.85):
     * centrality = representativeness for cluster-survivor selection.
-    * The registered demo derives edges from the EXACT pair set so the
-    * mirror stays a lean O(n²) CTE at oracle scale (the adaptive-leg
-    * CTE block pushed DuckDB past its file-handle budget when composed
-    * with three unrolled iterations); at corpus scale the same
-    * Graph.pageRank runs over `cosinePairsAdaptive` edges — the
-    * operator never sees where its edge list came from. */
+    * Edges come from the SCALE path — `cosinePairsAdaptive` (equi-join
+    * on adaptive LSH buckets, no cartesian anywhere; PlanGuardSpec pins
+    * it). The oracle is two-staged: composing the adaptive-bucket CTE
+    * block with three unrolled power iterations exceeded DuckDB's
+    * capacity, so the mirror reads the ALREADY-VERIFIED pair set — the
+    * parquet that q_sim_cosine_pairs just dumped (its own oracle row
+    * hash-checks those pairs against DuckDB's independent adaptive
+    * rebuild), path-substituted by Verify at dump time. The graph
+    * recurrence itself stays fully recomputed in SQL. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val pairs = Similarity.cosinePairs(emb, Threshold)
+    val pairs = Similarity.cosinePairsAdaptive(emb, Threshold,
+      targetOccupancy = Occupancy, targetRecall = Recall, maxPlanes = MaxB)
       .select(col("vec_a"), col("vec_b"))
     graft.ops.Graph.pageRank(emb.select(col("vec_id")), "vec_id",
       pairs, "vec_a", "vec_b", PrIters, PrDamping)
@@ -155,13 +159,15 @@ object SimilarityQueries extends QueryModule {
   private val PrDamping = 0.85
 
   /** Cluster-representative capstone: connected components + PageRank
-    * over the SAME exact pair graph, keep the most central member per
+    * over the SAME adaptive pair graph, keep the most central member per
     * cluster (ties → min vec_id) — the production "which near-dup do we
     * train on" decision. The mirror composes the cluster mirror's
-    * recursive reach with the pagerank mirror's unrolled iterations. */
+    * recursive reach with the pagerank mirror's unrolled iterations,
+    * over the same pre-verified pair parquet as q_sim_pagerank. */
   def representatives(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val pairs = Similarity.cosinePairs(emb, Threshold)
+    val pairs = Similarity.cosinePairsAdaptive(emb, Threshold,
+      targetOccupancy = Occupancy, targetRecall = Recall, maxPlanes = MaxB)
       .select(col("vec_a"), col("vec_b"))
     graft.ops.Graph.clusterRepresentatives(emb.select(col("vec_id")),
       "vec_id", pairs, "vec_a", "vec_b", PrIters, PrDamping)
@@ -588,10 +594,14 @@ object SimilarityQueries extends QueryModule {
          |FROM sasg s LEFT JOIN sdup d USING (vec_id)
          |ORDER BY vec_id""".stripMargin
 
-  /** Mirror of Graph.pageRank over the adaptive pair graph: same edge
-    * CTE as the cluster mirror, then `PrIters` unrolled contribution/
-    * update steps (9-rounded terms, DECIMAL sums — the Graph.scala
-    * contract restated in SQL). */
+  /** Mirror of Graph.pageRank over the adaptive pair graph, two-staged:
+    * the edge list is the PRE-VERIFIED q_sim_cosine_pairs parquet dump
+    * (hash-checked by its own oracle row against DuckDB's independent
+    * adaptive rebuild — composing that CTE block with the unrolled
+    * iterations below is beyond DuckDB's capacity in one statement),
+    * then `PrIters` unrolled contribution/update steps (9-rounded
+    * terms, DECIMAL sums — the Graph.scala contract restated in SQL).
+    * `__GRAFT_VERIFY_OUT__` is substituted by Verify at dump time. */
   private def pagerankCtes: String = {
     val d = PrDamping
     val steps = (1 to PrIters).map { i =>
@@ -607,10 +617,8 @@ object SimilarityQueries extends QueryModule {
     }.mkString
     normCte +
       s""", gpr AS (
-         |  SELECT a.vec_id AS va, q.vec_id AS vb
-         |  FROM n a, n q
-         |  WHERE a.vec_id < q.vec_id
-         |    AND ROUND($dotSql / (a.nrm * q.nrm), 4) >= $Threshold
+         |  SELECT CAST(vec_a AS BIGINT) AS va, CAST(vec_b AS BIGINT) AS vb
+         |  FROM read_parquet('${QueryModule.VerifyOutToken}/q_sim_cosine_pairs/*.parquet')
          |), gsym AS (SELECT va AS s, vb AS d FROM gpr
          |            UNION ALL SELECT vb, va FROM gpr),
          |gdeg AS (SELECT s, COUNT(*) AS deg FROM gsym GROUP BY s),

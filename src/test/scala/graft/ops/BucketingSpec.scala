@@ -65,6 +65,26 @@ class BucketingSpec extends SparkSpecBase {
     }
   }
 
+  test("ensureBucketed ingests once and reuses the table afterwards") {
+    val df = graft.Tables.region(spark, sfDir)
+    val first = Bucketing.ensureBucketed(spark, df, "graft_spec_bkt_r",
+      "r_regionkey", 2)
+    val n1 = first.count()
+    assert(n1 > 0)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_spec_bkt_r")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing() = fs.listStatus(loc)
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSeq.sorted
+    val before = listing()
+    // a second ensure must NOT rewrite: same files, same mtimes
+    val second = Bucketing.ensureBucketed(spark,
+      sys.error("df thunk must not be forced on reuse"), "graft_spec_bkt_r",
+      "r_regionkey", 2)
+    assert(second.count() === n1)
+    assert(listing() === before, "ensureBucketed rewrote an existing table")
+  }
+
   test("re-writing a bucketed table is idempotent across catalog resets") {
     // simulate the stale-location hazard first: a previous session's
     // managed-table directory exists but the (in-memory) catalog has

@@ -31,6 +31,7 @@ class PlanGuardSpec extends SparkSpecBase {
   // broadcast 5-row query side; it is excluded by design.)
   private val noCartesian = Seq(
     "q_sim_cosine_pairs", "q_knn_lsh", "q_knn_ivf",
+    "q_sim_pagerank", "q_dedup_representatives",
     "q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
     "q_dedup_ngram_jaccard", "q_cdc_process_list", "q_master_merge")
 
