@@ -51,7 +51,8 @@ object Bench {
       "q_search_hybrid_rrf", "q_corpus_dsir", "q_dedup_substring",
       "q_pipe_retrieve", "q_shard_manifest",
       "q_events_retention", "q_corpus_distinct_kmv", "q_knn_mmr",
-      "q_rel_bucketed_join", "q_corpus_curriculum")
+      "q_rel_bucketed_join", "q_corpus_curriculum",
+      "q_corpus_drop_substrings", "q_corpus_curriculum_approx", "q_ocr_pages")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

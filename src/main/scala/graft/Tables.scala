@@ -36,11 +36,21 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TIMESTAMP cast below interprets the wall-clock in the
+    // SESSION time zone: instant-preserving only under UTC. Entry points
+    // pin it, but a library caller may not — pin it here so the loader's
+    // contract does not depend on who built the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case TimestampType => raw
+      // fail fast at the load site: silently passing a STRING/INT ts
+      // through defers the error to downstream queries with confusing
+      // messages (or, worse, to silently-wrong timestamp arithmetic)
+      case other => throw new IllegalStateException(
+        s"events.ts: expected TIMESTAMP/TIMESTAMP_NTZ/LONG(nanos), got $other")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

@@ -68,6 +68,13 @@ final class MeteredEnricher(inner: Enricher, meter: CostMeter) extends Enricher 
     inner.embedBatch(texts)
   }
 
+  override def ocrPage(image: Array[Byte], pageNumber: Int): String = {
+    val out = inner.ocrPage(image, pageNumber)
+    meter.chatCalls.add(1)
+    meter.completionTokens.add(Tokens.estimateA(out))
+    out
+  }
+
   override def visionAnalyze(passName: String, prompt: String,
       image: Array[Byte]): String = {
     val out = inner.visionAnalyze(passName, prompt, image)

@@ -33,6 +33,12 @@ trait Enricher extends Serializable {
     * substitutes " " and restores null afterwards (P9). */
   def embedBatch(texts: Seq[String]): Seq[Array[Float]]
 
+  /** S13 (semantic search/stage_01_chapter_processing.py:419-503): one
+    * OCR call converting one page image to markdown. S14's concurrency
+    * (the reference's per-page thread pool) comes from Spark
+    * partitioning around this seam (EnrichStages.ocrPages). */
+  def ocrPage(image: Array[Byte], pageNumber: Int): String
+
   /** L8/S20 (catalog search - vision/stage2_process_vision.py:363-446):
     * one vision-model call for one analysis pass over one page image. */
   def visionAnalyze(passName: String, prompt: String,
@@ -115,6 +121,16 @@ final class DeterministicEnricher(val embeddingDims: Int = 64) extends Enricher 
     var i = 0
     while (i < b.length) { h ^= b(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
     h
+  }
+
+  /** Portable-hash stub (the md5 pattern, like describeDocument): the
+    * full markdown is reproducible by ANY engine with md5 over the page
+    * bytes, so the OCR path is value-checkable end to end (q_ocr_pages
+    * hashes the reassembled per-page markdown). */
+  override def ocrPage(image: Array[Byte], pageNumber: Int): String = {
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(image).map(b => f"${b & 0xff}%02x").mkString
+    s"# OCR Page $pageNumber\n\n[scan $md5hex] ${image.length} bytes"
   }
 
   override def visionAnalyze(passName: String, prompt: String,

@@ -154,6 +154,57 @@ object CorpusFilters {
           .as("dup_frac"))
   }
 
+  /** Corpus-wide duplicated-substring REMOVAL (the production step behind
+    * Lee et al. 2022 §4, which `substringDupStats` only measures): every
+    * duplicated span is kept at its first corpus-wide occurrence and
+    * dropped everywhere else, and each document is rebuilt from its
+    * surviving text. The exact method uses a suffix array over the whole
+    * corpus; the standard distributed form tiles each document into
+    * NON-OVERLAPPING n-word spans and first-sees each span value —
+    * disjoint spans can be dropped independently, which sliding grams
+    * cannot (overlap merging is inherently sequential). The trailing
+    * short tile participates like any other span value.
+    *
+    * Emits per doc: n_tiles, n_kept, and the md5 of the rebuilt
+    * (space-joined surviving tiles) text — value-checkable without
+    * shipping the text through the compare.
+    *
+    * Scale/skew: same shape as `lineDedup` — the hot span values ARE the
+    * duplicated ones, so first-occurrence is `min(struct(docId, tile))`
+    * per span (hash aggregate, map-side partial combine), joined back on
+    * the span value (equi-join, AQE skew-splittable) — never a window
+    * partitioned by the span. Two exchanges: span value, then docId for
+    * the ordered rebuild. */
+  def dropDuplicatedSubstrings(df: DataFrame, docId: String, textCol: String,
+      n: Int): DataFrame = {
+    val tiles = df
+      .select(col(docId), split(col(textCol), "\\s+").as("_w"))
+      .select(col(docId),
+        posexplode(
+          // `/` on Columns is DOUBLE division — cast for the integer
+          // tile count ⌈size/n⌉ = (size-1) div n + 1 (size ≥ 1 always:
+          // split("") is [""])
+          transform(
+            sequence(lit(0), ((size(col("_w")) - 1) / n).cast("int")),
+            i => array_join(slice(col("_w"), i * n + 1, lit(n)), " ")))
+          .as(Seq("tile", "gram")))
+    val firstSeen = tiles
+      .groupBy(col("gram"))
+      .agg(min(struct(col(docId).as("d"), col("tile").as("p"))).as("first_at"))
+    tiles.join(firstSeen, Seq("gram"))
+      .withColumn("keep",
+        struct(col(docId).as("d"), col("tile").as("p")) === col("first_at"))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("keep"), struct(col("tile"), col("gram"))))),
+            s => s.getField("gram")),
+          " ")).as("kept_fp"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with the probe (benchmark) set — the n-gram-overlap
     * decontamination step of a training pipeline (n=13 is the common

@@ -131,6 +131,21 @@ object EnrichStages {
     }
   }
 
+  /** S13+S14: per-page OCR through the enrichment seam. The reference
+    * fans pages across a thread pool per document
+    * (`semantic search/stage_01_chapter_processing.py:419-503`); here
+    * the same fan-out is Spark partitioning — every page row is an
+    * independent task-parallel call, which scales past one machine's
+    * thread pool. Output: (doc_id, page_number, markdown). */
+  def ocrPages(pages: Dataset[(Long, Int, Array[Byte])],
+      enricher: Enricher): Dataset[(Long, Int, String)] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.map { case (docId, pageNo, image) =>
+      (docId, pageNo, enricher.ocrPage(image, pageNo))
+    }
+  }
+
   /** Vision stage-2 analog (S20+S21/L8,
     * `catalog search - vision/stage2_process_vision.py:545-591`): run the
     * six fixed analysis passes over each page image in declaration order,

@@ -70,6 +70,53 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  private val OcrPageChars = 240
+  private val EmptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+
+  /** S13/S14: the deterministic OCR path, value-checked end to end.
+    * Documents page on 240-CHARACTER boundaries (both engines' substring
+    * is char-based, so the pager is cross-engine exact — the byte pager
+    * is separately covered by q_binary_split_merge); each page goes
+    * through the OCR seam as its UTF-8 bytes; per doc the oracle
+    * recomputes the page count and the md5 of the reassembled
+    * page-ordered markdown — the stub's md5-derived scan tag makes the
+    * FULL markdown portable, not just its length. Empty docs keep a row
+    * (0 pages, hash of empty). */
+  def ocrPagesQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val pages = docs
+      .select(col("doc_id"),
+        posexplode(
+          when(length(col("text")) > 0,
+            transform(
+              // `/` on Columns is DOUBLE division — cast for the page count
+              sequence(lit(0),
+                ((length(col("text")) - 1) / OcrPageChars).cast("int")),
+              i => col("text").substr(i * OcrPageChars + 1, lit(OcrPageChars))))
+            .otherwise(array().cast("array<string>")))
+          .as(Seq("pos", "page")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("page_number"),
+        encode(col("page"), "UTF-8").as("image"))
+      .as[(Long, Int, Array[Byte])]
+    val md = graft.ops.EnrichStages.ocrPages(pages,
+      new graft.enrich.DeterministicEnricher(64))
+      .toDF("doc_id", "page_number", "md")
+    val perDoc = md.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pages"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(struct(col("page_number"), col("md")))),
+            s => s.getField("md")),
+          "\n\n")).as("ocr_fp"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pages"), lit(0L)).as("n_pages"),
+        coalesce(col("ocr_fp"), lit(EmptyMd5)).as("ocr_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** S12/S15/S16: document → per-page blobs → grouped ordered reassembly.
     * The stub codec pages on 256-byte boundaries, so the merge must
     * reproduce the original bytes exactly — the oracle recomputes page
@@ -146,6 +193,7 @@ object MultimodalQueries extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ocr_pages" -> ocrPagesQ,
     "q_media_features" -> features,
     "q_media_audit" -> mediaAudit,
     "q_vision_markdown" -> visionMarkdown,
@@ -173,6 +221,32 @@ object MultimodalQueries extends QueryModule {
     visionMdLen("1", "octet_length(encode(text))")
 
   override def oracle: Map[String, String] = Map(
+    // the OCR markdown rebuilt byte-for-byte: char-boundary pages, the
+    // stub's md5 scan tag, UTF-8 byte counts, ordered reassembly hash
+    "q_ocr_pages" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n FROM documents),
+         |pg AS (
+         |  SELECT doc_id, text,
+         |    CAST(unnest(range(0, (n - 1) // $OcrPageChars + 1)) AS BIGINT) AS p
+         |  FROM d),
+         |page AS (
+         |  SELECT doc_id, p + 1 AS page_number,
+         |    substring(text, CAST(p * $OcrPageChars + 1 AS INT), $OcrPageChars) AS pt
+         |  FROM pg),
+         |md AS (
+         |  SELECT doc_id, page_number,
+         |    '# OCR Page ' || CAST(page_number AS VARCHAR) || chr(10) || chr(10)
+         |      || '[scan ' || md5(pt) || '] '
+         |      || CAST(octet_length(encode(pt)) AS VARCHAR) || ' bytes' AS m
+         |  FROM page),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_pages,
+         |    md5(string_agg(m, chr(10) || chr(10) ORDER BY page_number)) AS ocr_fp
+         |  FROM md GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(a.n_pages, 0) AS n_pages,
+         |  COALESCE(a.ocr_fp, '$EmptyMd5') AS ocr_fp
+         |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // every cell recomputed: kind dispatch, md5-derived stub metadata,
     // empty-payload invalidity, byte lengths, fixed feature dims
     "q_media_features" ->

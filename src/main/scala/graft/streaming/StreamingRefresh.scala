@@ -307,6 +307,57 @@ object StreamingRefresh {
       .toDF("user_id", "stage", "ts_us")
   }
 
+  /** Streaming weekly cohort retention: the incremental form of
+    * EventsQueries.retention. State per user is the cohort week plus the
+    * set of week offsets already credited — CALENDAR-bounded (one long
+    * per distinct active week of the stream's lifetime), not
+    * event-bounded. A row (user_id, cohort_wk_us, week_offset) is
+    * emitted the first time a user is active in a week, so the drained
+    * output aggregates to exactly the batch retention matrix's n_active
+    * cells (cohort sizes are the offset-0 row, as in batch).
+    *
+    * Semantics: within a micro-batch a user's weeks fold ascending, so
+    * the earliest week becomes the cohort — identical to the batch
+    * min(wk). Across micro-batches the cohort follows arrival order
+    * (the same documented append-mode contract as funnelStream): a week
+    * EARLIER than the anchored cohort arriving late cannot re-anchor it
+    * and is ignored (a negative offset would corrupt the matrix; the
+    * batch job owns reprocessing). Under Trigger.AvailableNow the drain
+    * equals batch; RetentionStreamSpec pins both. Week arithmetic is
+    * exact micros under the UTC-pinned session (date_trunc('week')
+    * boundaries are 7-day-aligned in UTC — no DST). */
+  def retentionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val unset = Long.MinValue
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Seq[Long])]) =>
+          var (cohort, seen) = state.getOption.getOrElse((unset, Seq.empty[Long]))
+          val out = Vector.newBuilder[(Long, Long, Long)]
+          rows.map(_._2).toSeq.distinct.sorted.foreach { wk =>
+            if (cohort == unset) cohort = wk
+            if (wk >= cohort) {
+              val off = (wk - cohort) / weekUs
+              if (!seen.contains(off)) {
+                seen = seen :+ off
+                out += ((user, cohort, off))
+              }
+            }
+          }
+          if (cohort != unset) state.update((cohort, seen))
+          out.result().iterator
+      }
+      .toDF("user_id", "cohort_wk_us", "week_offset")
+  }
+
   /** Run a streaming DataFrame to completion with AvailableNow into an
     * in-memory table; returns after all available data is processed. */
   def runAvailableNowToMemory(df: DataFrame, queryName: String,

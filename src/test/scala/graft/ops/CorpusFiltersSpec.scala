@@ -313,4 +313,34 @@ class CorpusFiltersSpec extends SparkSpecBase {
     val out = substringDupStats(df, "doc_id", "text", 3)
     assert(out.select("doc_id").as[Long].collect().toSeq === Seq(2L))
   }
+
+  test("dropDuplicatedSubstrings: first corpus-wide tile survives, docs rebuilt") {
+    import spark.implicits._
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val df = Seq(
+      (1L, "a b c d e f g"),   // tiles: "a b c", "d e f", "g"
+      (2L, "a b c x y z"),     // "a b c" duplicated (doc 1 tile 0 wins), "x y z" kept
+      (3L, "g h i"))           // "g h i" != doc 1's short tile "g" — kept
+      .toDF("doc_id", "text")
+    val out = dropDuplicatedSubstrings(df, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(out === Seq(
+      (1L, 3L, 3L, md5Of("a b c d e f g")),
+      (2L, 2L, 1L, md5Of("x y z")),
+      (3L, 1L, 1L, md5Of("g h i"))))
+  }
+
+  test("dropDuplicatedSubstrings: within-doc repeats keep only the first tile") {
+    import spark.implicits._
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    // tiles: "m n o" (kept), "m n o" (dropped), "m n" (distinct value, kept)
+    val df = Seq((1L, "m n o m n o m n")).toDF("doc_id", "text")
+    val r = dropDuplicatedSubstrings(df, "doc_id", "text", 3).head
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) ===
+      ((3L, 2L, md5Of("m n o m n"))))
+  }
 }
