@@ -748,18 +748,31 @@ object Similarity {
   private def cosinePairsCore(emb: DataFrame, threshold: Double,
       numTables: Int, planesPerTable: Int,
       weights: (Int, Int) => Array[Double]): DataFrame = {
-    val base = withNorm(emb, "vec_id", "embedding")
-    val a = tableBucketsWith(base, numTables, planesPerTable, weights)
-      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"),
-        col("table"), col("bucket"))
-    val b = tableBucketsWith(base, numTables, planesPerTable, weights)
-      .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"),
-        col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
+    // ids-only candidate generation: the (table, bucket) self-join and
+    // the pair dedup shuffle THREE LONGS per row — the 64-dim vectors
+    // rejoin only AFTER dedup, so join+dedup shuffle volume is
+    // O(candidates), not O(candidates × dims). Carrying the arrays
+    // through (the old form) measured 21s steady for the adaptive
+    // T=51 generator at sf0.1; ids-only brings the same result to ~3s,
+    // and at corpus scale the factor is the vector payload itself.
+    // base is checkpointed once: it feeds the bucket projection and both
+    // verify join sides (the T-leg RHP projection would otherwise run
+    // per consumer); buckets likewise feeds both candidate sides.
+    val base = withNorm(emb, "vec_id", "embedding").localCheckpoint(true)
+    val buckets = tableBucketsWith(base, numTables, planesPerTable, weights)
+      .select(col("vec_id"), col("table"), col("bucket"))
+      .localCheckpoint(true)
+    val cand = buckets.select(col("vec_id").as("vec_a"), col("table"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("vec_b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("va"), col("vb"),
-        col("na"), col("nb"))
+      .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(base.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "vec_b")
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))

@@ -29,6 +29,14 @@ class PlanGuardSpec extends SparkSpecBase {
   // Queries whose plans must never contain a cartesian/unconditioned join.
   // (q_knn_brute is the labeled exact baseline and legitimately crosses a
   // broadcast 5-row query side; it is excluded by design.)
+  //
+  // Graph queries caveat: Graph.pageRank eagerly localCheckpoints its
+  // edge list, so a cartesian INSIDE the edge derivation would execute
+  // during query construction without surfacing in the final plan this
+  // spec walks. The binding regression gate for those two is the
+  // two-staged oracle instead: it reads the ADAPTIVE pair parquet, so an
+  // edge-derivation swap back to the O(N²) test oracle changes the
+  // result set and fails CORRECTNESS, not just a plan lint.
   private val noCartesian = Seq(
     "q_sim_cosine_pairs", "q_knn_lsh", "q_knn_ivf",
     "q_sim_pagerank", "q_dedup_representatives",
