@@ -52,7 +52,11 @@ object Bench {
       "q_pipe_retrieve", "q_shard_manifest",
       "q_events_retention", "q_corpus_distinct_kmv", "q_knn_mmr",
       "q_rel_bucketed_join", "q_corpus_curriculum",
-      "q_corpus_drop_substrings", "q_corpus_curriculum_approx", "q_ocr_pages")
+      "q_corpus_drop_substrings", "q_corpus_curriculum_approx", "q_ocr_pages",
+      // the production near-dup pair generator itself: it feeds pagerank/
+      // representatives/clusters, and its cost was invisible until r7
+      // found it dominating those queries at 21s steady (now ~4.7s)
+      "q_sim_cosine_pairs")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,
