@@ -252,7 +252,12 @@ object KeywordSearch {
     words.join(t, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"),
-        round(sum(col("term")).cast("double") / count(lit(1)), 6)
+        // + 0.0 normalizes IEEE negative zero: the log-ratio mean CAN
+        // land within 5e-7 of zero (sf0.1 doc 3533 did), and the two
+        // engines' ROUND disagree on the sign of the resulting zero —
+        // the float-repr hash compare distinguishes -0.0 from 0.0.
+        // x + 0.0 == x exactly for every non-zero double.
+        (round(sum(col("term")).cast("double") / count(lit(1)), 6) + lit(0.0))
           .as("dsir_logw"))
   }
 

@@ -374,7 +374,8 @@ object SearchQueries extends QueryModule {
        |      AS DECIMAL(28,12)) AS term
        |  FROM vocab, tots)
        |SELECT doc_id, COUNT(*) AS n_toks,
-       |  ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS dsir_logw
+       |  -- + 0.0 normalizes -0.0 (mirrors the Spark side's guard)
+       |  ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) + 0.0 AS dsir_logw
        |FROM tok JOIN terms USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

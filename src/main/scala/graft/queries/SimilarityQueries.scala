@@ -678,7 +678,10 @@ object SimilarityQueries extends QueryModule {
          |  GROUP BY 1, 2
          |), scored$j AS (
          |  SELECT c.query_id, c.cand_id, c.rel,
-         |    ROUND($lam * c.rel - $oneMinus * COALESCE(m.ms, 0.0), 6) AS score
+         |    -- + 0.0 normalizes -0.0: Spark's BigDecimal round always
+         |    -- emits +0.0, DuckDB's ROUND keeps the sign of a tiny
+         |    -- negative score (the dsir sf0.1 escape class)
+         |    ROUND($lam * c.rel - $oneMinus * COALESCE(m.ms, 0.0), 6) + 0.0 AS score
          |  FROM cand c
          |  LEFT JOIN ms$j m ON m.query_id = c.query_id AND m.cand_id = c.cand_id
          |  WHERE NOT EXISTS (SELECT 1 FROM $prev s
