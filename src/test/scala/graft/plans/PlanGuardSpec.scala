@@ -89,6 +89,33 @@ class PlanGuardSpec extends SparkSpecBase {
     }
   }
 
+  test("near-dup candidate exchanges move ids only, never the vectors") {
+    // the r7 regression this pins: cosinePairsCore once carried both
+    // 64-dim vectors through the (table,bucket) self-join and the pair
+    // dedup — O(candidates × dims) shuffle, measured 21s vs 4.7s at
+    // sf0.1. Every shuffle below the pair-dedup aggregate must carry
+    // only scalar columns; the arrays may appear only in the verify
+    // joins above it.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.types.ArrayType
+    val plan = planOf("q_sim_cosine_pairs")
+    // the pair-dedup aggregate groups by (vec_a, vec_b)
+    val dedups = nodes(plan).collect {
+      case a: BaseAggregateExec
+        if a.groupingExpressions.size == 2 &&
+          a.groupingExpressions.forall(_.references.forall(r =>
+            r.name == "vec_a" || r.name == "vec_b")) => a
+    }
+    assert(dedups.nonEmpty, "pair-dedup aggregate not found in the plan")
+    val arrayShuffles = dedups.flatMap(nodes(_)).collect {
+      case e: ShuffleExchangeExec
+        if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+    }
+    assert(arrayShuffles.isEmpty,
+      s"vector arrays crossing a candidate/dedup exchange: $arrayShuffles")
+  }
+
   test("line dedup keeps its skew-safe shape on the registered query") {
     // the hot keys of C4 line dedup ARE the duplicated lines: the
     // first-occurrence pass must stay a partial-combinable aggregate
