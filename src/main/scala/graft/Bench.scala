@@ -90,9 +90,12 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
         }
-        val ok = times.filter(_ >= 0).sorted
-        val median = if (ok.isEmpty) -1.0 else ok(ok.length / 2)
-        val min = if (ok.isEmpty) -1.0 else ok.head
+        // any failed rep reports -1, like the single-shot timeSet: a
+        // crash is a loud signal, never averaged away into a clean-
+        // looking median of the surviving reps
+        val ok = times.sorted
+        val median = if (times.exists(_ < 0)) -1.0 else ok(ok.length / 2)
+        val min = if (times.exists(_ < 0)) -1.0 else ok.head
         (name -> median, name -> min)
       }
     }

@@ -36,15 +36,20 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ→TIMESTAMP cast below interprets the wall-clock in the
-    // SESSION time zone: instant-preserving only under UTC. Entry points
-    // pin it, but a library caller may not — pin it here so the loader's
-    // contract does not depend on who built the session.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→TIMESTAMP cast interprets the wall-clock in the
+        // SESSION time zone — instant-preserving only under UTC. Fail
+        // fast instead of silently shifting every event time, and
+        // instead of mutating the caller's session TZ from inside a
+        // read API (which would change unrelated queries mid-session).
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        if (tz != "UTC") throw new IllegalStateException(
+          s"events.ts is TIMESTAMP_NTZ and session timeZone is '$tz': " +
+            "set spark.sql.session.timeZone=UTC so the cast is instant-preserving")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => raw
       // fail fast at the load site: silently passing a STRING/INT ts
       // through defers the error to downstream queries with confusing

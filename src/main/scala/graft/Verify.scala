@@ -7,8 +7,19 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query-name filter (local
-    // iteration aid; the driver always passes exactly two args)
-    val only = args.lift(2).map(_.split(',').toSet)
+    // iteration aid; the driver always passes exactly two args).
+    // Two-staged oracles read SIBLING dumps via the outDir token — force-
+    // include every referenced sibling so a filtered run never verifies
+    // against a missing (confusing IO error) or stale (silent false
+    // pass/fail) dump.
+    val only = args.lift(2).map(_.split(',').toSet).map { sel =>
+      val refRe = (java.util.regex.Pattern.quote(
+        graft.queries.QueryModule.VerifyOutToken) + "/(\\w+)/").r
+      sel ++ SparkEntry.oracleSql.collect {
+        case (name, sql) if sel(name) =>
+          refRe.findAllMatchIn(sql).map(_.group(1)).toSet
+      }.flatten
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

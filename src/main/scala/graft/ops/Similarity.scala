@@ -757,11 +757,15 @@ object Similarity {
     // and at corpus scale the factor is the vector payload itself.
     // base is checkpointed once: it feeds the bucket projection and both
     // verify join sides (the T-leg RHP projection would otherwise run
-    // per consumer); buckets likewise feeds both candidate sides.
-    val base = withNorm(emb, "vec_id", "embedding").localCheckpoint(true)
+    // per consumer); buckets likewise feeds both candidate sides. LAZY
+    // checkpoints: eager ones execute full Spark jobs at
+    // DataFrame-CONSTRUCTION time, charged even to plan-only consumers
+    // (PlanGuardSpec walks these plans); lazy materializes on the first
+    // real action and is reused from then on.
+    val base = withNorm(emb, "vec_id", "embedding").localCheckpoint(false)
     val buckets = tableBucketsWith(base, numTables, planesPerTable, weights)
       .select(col("vec_id"), col("table"), col("bucket"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val cand = buckets.select(col("vec_id").as("vec_a"), col("table"), col("bucket"))
       .join(buckets.select(col("vec_id").as("vec_b"), col("table"), col("bucket")),
         Seq("table", "bucket"))

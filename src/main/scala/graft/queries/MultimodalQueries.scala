@@ -227,8 +227,12 @@ object MultimodalQueries extends QueryModule {
       s"""WITH d AS (
          |  SELECT doc_id, text, length(text) AS n FROM documents),
          |pg AS (
+         |  -- CASE guards the empty doc: DuckDB's // truncates toward
+         |  -- zero, so (0-1)//$OcrPageChars is 0 (not -1) and an
+         |  -- unguarded range would emit one page where Spark emits none
          |  SELECT doc_id, text,
-         |    CAST(unnest(range(0, (n - 1) // $OcrPageChars + 1)) AS BIGINT) AS p
+         |    CAST(unnest(range(0, CASE WHEN n > 0
+         |      THEN (n - 1) // $OcrPageChars + 1 ELSE 0 END)) AS BIGINT) AS p
          |  FROM d),
          |page AS (
          |  SELECT doc_id, p + 1 AS page_number,

@@ -322,8 +322,11 @@ object StreamingRefresh {
     * (the same documented append-mode contract as funnelStream): a week
     * EARLIER than the anchored cohort arriving late cannot re-anchor it
     * and is ignored (a negative offset would corrupt the matrix; the
-    * batch job owns reprocessing). Under Trigger.AvailableNow the drain
-    * equals batch; RetentionStreamSpec pins both. Week arithmetic is
+    * batch job owns reprocessing). Under Trigger.AvailableNow (ONE
+    * batch — a multi-file drain that splits a user's weeks across
+    * micro-batches anchors by arrival order like any cross-batch run)
+    * the drain equals batch; RetentionStreamSpec pins both. Week
+    * arithmetic is
     * exact micros under the UTC-pinned session (date_trunc('week')
     * boundaries are 7-day-aligned in UTC — no DST). */
   def retentionStream(events: DataFrame): DataFrame = {
