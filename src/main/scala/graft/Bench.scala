@@ -123,31 +123,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Methodology "r4-cold+steady" (ADOPTED in r4 — r3 ran two untimed
-    // small-scale warm-ups then one timed pass, so r3 `total` is
-    // comparable to r4+ `total_cold`, NOT to r4+ `total`, whose steady
-    // pass runs with the primary data's page cache warmed by the cold
-    // pass; the `methodology` field in the JSON labels this):
+    // Methodology "r7-cold+steady-median3" (ADOPTED in r7 — history:
+    // r3 `total` compares to r4+ `total_cold`; r4-r6 ran ONE timed
+    // steady pass, so r4-r6 `total` compares to r7+ `total` only up to
+    // single-run noise; the `methodology` field in the JSON labels
+    // each):
     //  1. one timed COLD pass at the primary scale (JIT/codegen cost
     //     included — `total_cold`/`queries_cold`),
     //  2. one untimed warm-up pass of the whole headline set at the
     //     smallest scale factor (finishes C2 compilation of every code
     //     path without touching the timed data's page cache),
-    //  3. one timed STEADY pass at the primary scale (`total`/`queries`)
-    //     — steady-state throughput is what extrapolates to a
-    //     long-running cluster job.
+    //  3. THREE timed steady reps per query at the primary scale,
+    //     reported as the per-query MEDIAN (`total`/`queries`; mins in
+    //     `queries_min`) — steady-state throughput extrapolates to a
+    //     long-running cluster job, and the median self-adjudicates the
+    //     ±25% single-run host-noise band that forced manual
+    //     graft.BenchOne re-measures in r5 (q_pipe_chunks 3.26s-vs-1.5s)
+    //     and r6 (four frozen-core outliers). A real regression shifts
+    //     all three reps; a scheduler spike shifts one.
     // Warm-up failures surface on stderr; only NonFatal is swallowed so
     // an OOM/fatal error still kills the run instead of poisoning the
-    // timed numbers.
-    //
-    // Host-noise band: identical code has measured ±25% on per-query
-    // seconds across runs on this shared host. Single-query outliers
-    // beyond the band are adjudicated with graft.BenchOne (repeated
-    // timings, every rep printed) before being treated as regressions —
-    // e.g. the r5 driver pass read q_pipe_chunks at 3.26s steady while
-    // five builder snapshots of the same code read 1.32-1.72s; a 6-rep
-    // BenchOne re-measure (r6) gave steady 1.45-1.75s, confirming a
-    // one-off scheduler spike, not a code regression.
+    // timed numbers. A failed steady rep makes the query report -1.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val wd = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
     val cold = timeSet(spark, sfDir)
