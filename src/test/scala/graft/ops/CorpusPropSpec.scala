@@ -48,6 +48,35 @@ class CorpusPropSpec extends SparkSpecBase with PropCheck {
     rts.zipWithIndex.map { case (t, i) => (100L + i, t) },
     lts.zipWithIndex.map { case (t, i) => (200L + i, t) })
 
+  private val corpusGen: Gen[List[String]] = {
+    // tiny vocabulary forces cross-doc tile collisions
+    val word = Gen.oneOf("a", "b", "c", "d")
+    Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 10).flatMap(l =>
+        Gen.listOfN(l, word).map(_.mkString(" ")))))
+  }
+
+  test("dropDuplicatedSubstrings: agrees with an in-memory first-seen fold") {
+    forAll(corpusGen, n = 25) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = CorpusFilters.dropDuplicatedSubstrings(df, "doc_id", "text", 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      // reference model: global first-seen over (doc, tile) in order
+      val seen = scala.collection.mutable.Set[String]()
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val tiles = t.split("\\s+").grouped(3).map(_.mkString(" ")).toSeq
+        val kept = tiles.filter(g => seen.add(g))
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        assert(out(i.toLong) === ((tiles.length.toLong, kept.length.toLong, fp)),
+          s"doc $i of $texts")
+      }
+    }
+  }
+
   test("asofJoin: match is exactly the max eligible (ts, id) right row") {
     forAll(asofGen, n = 25) { c =>
       def mk(rows: List[(Long, Long)]) =
