@@ -12,13 +12,25 @@ object Verify {
     // include every referenced sibling so a filtered run never verifies
     // against a missing (confusing IO error) or stale (silent false
     // pass/fail) dump.
-    val only = args.lift(2).map(_.split(',').toSet).map { sel =>
+    // Expanded to a FIXED POINT: a sibling's oracle may itself reference
+    // another sibling (two-staged chains), so one expansion level would
+    // silently miss the transitive dump in a filtered run.
+    val only = args.lift(2).map(_.split(',').toSet).map { sel0 =>
       val refRe = (java.util.regex.Pattern.quote(
         graft.queries.QueryModule.VerifyOutToken) + "/(\\w+)/").r
-      sel ++ SparkEntry.oracleSql.collect {
-        case (name, sql) if sel(name) =>
-          refRe.findAllMatchIn(sql).map(_.group(1)).toSet
-      }.flatten
+      def refsOf(names: Set[String]): Set[String] =
+        SparkEntry.oracleSql.collect {
+          case (name, sql) if names(name) =>
+            refRe.findAllMatchIn(sql).map(_.group(1)).toSet
+        }.flatten.toSet
+      var sel = sel0
+      var grown = true
+      while (grown) {
+        val next = sel ++ refsOf(sel)
+        grown = next.size > sel.size
+        sel = next
+      }
+      sel
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -29,13 +41,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // On a failed dump the target directory is REMOVED: a leftover (stale
+    // or partial) parquet from a previous run would let a two-staged
+    // sibling oracle silently compare against old edges — a missing file
+    // fails loudly instead.
+    def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val target = Paths.get(s"$outDir/$name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(target.toString)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try deleteRecursively(target)
+        catch { case c: Throwable => System.err.println(
+          s"[verify] cleanup of stale $name dump failed: ${c.getMessage}") }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -41,7 +41,16 @@ object Bucketing {
     * input, and reusing it for a different input would silently answer
     * from the wrong data. With this, only the first invocation per
     * session pays the bucketing shuffle+write; every later call is the
-    * zero-exchange read the feature exists for. */
+    * zero-exchange read the feature exists for.
+    *
+    * Reuse is keyed on the table NAME only — source identity, not source
+    * content. If the files under the encoded input dir change mid-session,
+    * later joins answer from the stale materialization; callers that
+    * mutate inputs in place must `DROP TABLE` (or call `writeBucketed`)
+    * to re-ingest. This is the standard warehouse contract (a bucketed
+    * table is a snapshot, refreshed explicitly), accepted here over a
+    * content signature: hashing file count+mtimes per call would charge
+    * every zero-exchange read a filesystem walk of the source dir. */
   def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
       bucketCol: String, numBuckets: Int): DataFrame =
     if (spark.catalog.tableExists(table)) spark.table(table)

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation seam for the ITERATIVE operators (PageRank,
+  * connected components, the LSH pair generator): every loop round must
+  * cut its plan lineage or the optimizer re-derives an ever-growing tree,
+  * but HOW it is cut is a deployment decision, not an algorithm one.
+  *
+  * - Default (`spark.graft.checkpoint.dir` unset): `localCheckpoint` —
+  *   blocks live on executor local storage with truncated lineage. Fast,
+  *   zero-config, correct on `local[*]` and for short jobs. On a real
+  *   cluster a LOST EXECUTOR makes those blocks unrecoverable (the
+  *   lineage that could rebuild them was truncated away), failing the
+  *   job — an availability risk for a multi-hour 100 TB PageRank.
+  * - Reliable (`spark.graft.checkpoint.dir` = a fault-tolerant path,
+  *   e.g. HDFS/object store): `Dataset.checkpoint` writes the staged
+  *   frame there, so iteration state survives executor loss and the job
+  *   resumes from the last round instead of dying. The extra cost is one
+  *   distributed write+read per staged frame — the standard trade for
+  *   long iterative jobs.
+  *
+  * ReliableCheckpointSpec pins output equality between the two modes
+  * (same hash either way — this seam changes fault-tolerance, never
+  * results).
+  */
+object Checkpoints {
+
+  /** Session conf key: directory for reliable checkpoints. Unset (the
+    * default) selects `localCheckpoint`. */
+  val DirKey = "spark.graft.checkpoint.dir"
+
+  /** Stage `df` with truncated lineage: reliable `checkpoint` when
+    * [[DirKey]] is configured, `localCheckpoint` otherwise. `eager=false`
+    * materializes on first action (construction-time staging of plan-only
+    * consumers stays free — the PlanGuard constraint), `eager=true`
+    * materializes now (iteration loops, where the frame is consumed
+    * immediately and repeatedly). */
+  def stage(df: DataFrame, eager: Boolean): DataFrame = {
+    val session = df.sparkSession
+    session.conf.getOption(DirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = session.sparkContext
+        // setCheckpointDir appends a per-context UUID subdir; set once
+        // per session and keep it (re-setting mid-job would scatter
+        // rounds across directories for no benefit)
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+}
