@@ -41,10 +41,13 @@ object Checkpoints {
     session.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = session.sparkContext
-        // setCheckpointDir appends a per-context UUID subdir; set once
-        // per session and keep it (re-setting mid-job would scatter
-        // rounds across directories for no benefit)
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // setCheckpointDir appends a per-context UUID subdir and resolves
+        // to a full URI — only (re-)set when the context's current dir is
+        // not already under the configured one (repeated re-sets would
+        // scatter rounds across UUID dirs for no benefit)
+        val normalized = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        if (!sc.getCheckpointDir.exists(_.contains(normalized)))
+          sc.setCheckpointDir(dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

@@ -127,7 +127,9 @@ object Dedup {
     * a real shape in web dedup) converges in ~11 rounds instead of 1,000
     * (CcPathSpec pins this). Every step is a plain equi-join +
     * partial-min aggregate (distributed, no driver state beyond the loop
-    * counter); `localCheckpoint` truncates per-iteration lineage. The
+    * counter); `Checkpoints.stage` truncates per-iteration lineage
+    * (localCheckpoint by default, reliable checkpoint under
+    * `spark.graft.checkpoint.dir` for long cluster runs). The
     * result is deterministic (min labels), so the DuckDB oracle can
     * recompute it with a recursive transitive-closure CTE.
     *
@@ -145,11 +147,13 @@ object Dedup {
   private[graft] def connectedComponentsRounds(vertices: DataFrame,
       idCol: String, edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 64): (DataFrame, Int) = {
-    val sym = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
-      .union(edges.select(col(dstCol).as("_s"), col(srcCol).as("_d")))
-      .localCheckpoint(true)
-    var labels = vertices.select(col(idCol).as("_id"), col(idCol).as("_cc"))
-      .localCheckpoint(true)
+    val sym = Checkpoints.stage(
+      edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+        .union(edges.select(col(dstCol).as("_s"), col(srcCol).as("_d"))),
+      eager = true)
+    var labels = Checkpoints.stage(
+      vertices.select(col(idCol).as("_id"), col(idCol).as("_cc")),
+      eager = true)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -160,16 +164,18 @@ object Dedup {
             "list is likely malformed (raise maxRounds only if it is not)")
       val nbrMin = sym.join(labels, col("_d") === col("_id"))
         .groupBy(col("_s")).agg(min(col("_cc")).as("_nbr"))
-      val cand = labels.join(nbrMin, col("_id") === col("_s"), "left")
-        .select(col("_id"), col("_cc"),
-          least(col("_cc"), coalesce(col("_nbr"), col("_cc"))).as("_c1"))
-        .localCheckpoint(true)
-      val next = cand.join(
-          cand.select(col("_id").as("_rid"), col("_c1").as("_rcc")),
-          col("_c1") === col("_rid"), "left")
-        .select(col("_id"), col("_cc"),
-          least(col("_c1"), coalesce(col("_rcc"), col("_c1"))).as("_cc2"))
-        .localCheckpoint(true)
+      val cand = Checkpoints.stage(
+        labels.join(nbrMin, col("_id") === col("_s"), "left")
+          .select(col("_id"), col("_cc"),
+            least(col("_cc"), coalesce(col("_nbr"), col("_cc"))).as("_c1")),
+        eager = true)
+      val next = Checkpoints.stage(
+        cand.join(
+            cand.select(col("_id").as("_rid"), col("_c1").as("_rcc")),
+            col("_c1") === col("_rid"), "left")
+          .select(col("_id"), col("_cc"),
+            least(col("_c1"), coalesce(col("_rcc"), col("_c1"))).as("_cc2")),
+        eager = true)
       changed = next.filter(col("_cc2") < col("_cc")).count()
       labels = next.select(col("_id"), col("_cc2").as("_cc"))
       rounds += 1

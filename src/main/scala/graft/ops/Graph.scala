@@ -31,14 +31,16 @@ object Graph {
     val n = vertices.count()
     // plain IEEE divide — the same operation the mirror SQL performs
     val teleport = (1 - damping) / n
-    val sym = pairs.select(col(aCol).as("_s"), col(bCol).as("_d"))
-      .union(pairs.select(col(bCol).as("_s"), col(aCol).as("_d")))
-      .localCheckpoint(true)
+    val sym = Checkpoints.stage(
+      pairs.select(col(aCol).as("_s"), col(bCol).as("_d"))
+        .union(pairs.select(col(bCol).as("_s"), col(aCol).as("_d"))),
+      eager = true)
     val deg = sym.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
-    val ids = vertices.select(col(idCol).as("_id"))
-      .join(deg, col("_id") === col("_s"), "left")
-      .select(col("_id"), coalesce(col("_deg"), lit(0L)).as("_deg"))
-      .localCheckpoint(true)
+    val ids = Checkpoints.stage(
+      vertices.select(col(idCol).as("_id"))
+        .join(deg, col("_id") === col("_s"), "left")
+        .select(col("_id"), coalesce(col("_deg"), lit(0L)).as("_deg")),
+      eager = true)
     val r0 = round(lit(1.0) / n, 9)
     val init = ids.withColumn("_r", r0)
     val ranked = (1 to iters).foldLeft(init) { (ranks, _) =>
@@ -49,12 +51,13 @@ object Graph {
             .cast("decimal(28,12)").as("_c"))
         .groupBy(col("_d"))
         .agg(sum(col("_c")).as("_in"))
-      ranks.join(contribs, col("_id") === col("_d"), "left")
-        .select(col("_id"), col("_deg"),
-          round(lit(teleport) +
-            lit(damping) * coalesce(col("_in").cast("double"), lit(0.0)), 9)
-            .as("_r"))
-        .localCheckpoint(true)
+      Checkpoints.stage(
+        ranks.join(contribs, col("_id") === col("_d"), "left")
+          .select(col("_id"), col("_deg"),
+            round(lit(teleport) +
+              lit(damping) * coalesce(col("_in").cast("double"), lit(0.0)), 9)
+              .as("_r")),
+        eager = true)
     }
     ranked.select(col("_id").as(idCol), col("_deg").as("degree"),
       round(col("_r"), 6).as("pagerank"))
@@ -79,7 +82,7 @@ object Graph {
     // both consumers re-scan the edge list many times (CC rounds, PR
     // iterations); materialize the possibly-expensive candidate
     // generation once instead of once per consumer
-    val edges = pairs.localCheckpoint(true)
+    val edges = Checkpoints.stage(pairs, eager = true)
     val cc = Dedup.connectedComponents(vertices, idCol, edges, aCol, bCol)
     val pr = pageRank(vertices, idCol, edges, aCol, bCol, iters, damping)
     val members = cc.join(pr, idCol)

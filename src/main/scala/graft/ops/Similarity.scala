@@ -762,10 +762,15 @@ object Similarity {
     // DataFrame-CONSTRUCTION time, charged even to plan-only consumers
     // (PlanGuardSpec walks these plans); lazy materializes on the first
     // real action and is reused from then on.
-    val base = withNorm(emb, "vec_id", "embedding").localCheckpoint(false)
-    val buckets = tableBucketsWith(base, numTables, planesPerTable, weights)
-      .select(col("vec_id"), col("table"), col("bucket"))
-      .localCheckpoint(false)
+    // Checkpoints.stage: localCheckpoint by default; reliable under
+    // spark.graft.checkpoint.dir (a lost executor mid-generation then
+    // re-reads staged blocks instead of failing the run)
+    val base = Checkpoints.stage(
+      withNorm(emb, "vec_id", "embedding"), eager = false)
+    val buckets = Checkpoints.stage(
+      tableBucketsWith(base, numTables, planesPerTable, weights)
+        .select(col("vec_id"), col("table"), col("bucket")),
+      eager = false)
     val cand = buckets.select(col("vec_id").as("vec_a"), col("table"), col("bucket"))
       .join(buckets.select(col("vec_id").as("vec_b"), col("table"), col("bucket")),
         Seq("table", "bucket"))

@@ -1,0 +1,67 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** The Checkpoints seam changes fault-tolerance, never results: every
+  * iterative operator must produce IDENTICAL output whether its rounds
+  * stage through localCheckpoint (default) or reliable Dataset.checkpoint
+  * (spark.graft.checkpoint.dir set — the 100 TB cluster posture, where a
+  * lost executor must not lose the truncated-lineage blocks). */
+class ReliableCheckpointSpec extends SparkSpecBase {
+
+  private def withReliableDir[A](body: => A): (A, Long) = {
+    val dir = Files.createTempDirectory("graft-reliable-ckpt")
+    spark.conf.set(Checkpoints.DirKey, dir.toString)
+    try {
+      val out = body
+      // prove the reliable path actually engaged: checkpoint files exist
+      val written = Files.walk(dir).filter(Files.isRegularFile(_)).count()
+      (out, written)
+    } finally spark.conf.unset(Checkpoints.DirKey)
+  }
+
+  private def graphFixture = {
+    import spark.implicits._
+    // two chain clusters + one triangle + isolated vertices: exercises
+    // CC pointer-halving rounds AND distinct PageRank degrees
+    val vertices = (0L until 20L).toDF("id")
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L),
+      (15L, 16L), (16L, 17L), (15L, 17L)).toDF("id_a", "id_b")
+    (vertices, pairs)
+  }
+
+  test("clusterRepresentatives: reliable-checkpoint output equals local") {
+    val (vertices, pairs) = graphFixture
+    def run() = Graph
+      .clusterRepresentatives(vertices, "id", pairs, "id_a", "id_b")
+      .orderBy(col("id")).collect().map(_.toSeq).toSeq
+    val local = run()
+    val (reliable, written) = withReliableDir(run())
+    assert(written > 0, "no checkpoint files written — reliable path not taken")
+    assert(reliable === local)
+  }
+
+  test("cosinePairsAdaptive: reliable-checkpoint output equals local") {
+    import spark.implicits._
+    // planted near-identical pairs so the generator has real output to
+    // compare (the sf0.001 fixture has no pairs at 0.85)
+    val rng = new scala.util.Random(31)
+    val emb = (0 until 100).flatMap { i =>
+      val v = Seq.fill(64)(rng.nextGaussian().toFloat)
+      val dup = v.map(x => x + 0.001f * rng.nextGaussian().toFloat)
+      Seq((2L * i, v), (2L * i + 1, dup))
+    }.toDF("vec_id", "embedding")
+    def run() = Similarity.cosinePairsAdaptive(emb, 0.85, maxPlanes = 7)
+      .orderBy(col("vec_a"), col("vec_b")).collect().map(_.toSeq).toSeq
+    val local = run()
+    val (reliable, written) = withReliableDir(run())
+    assert(written > 0, "no checkpoint files written — reliable path not taken")
+    assert(reliable === local)
+    assert(local.nonEmpty)
+  }
+}
