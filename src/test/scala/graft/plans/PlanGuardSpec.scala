@@ -26,27 +26,99 @@ class PlanGuardSpec extends SparkSpecBase {
   private def names(name: String): Seq[String] =
     nodes(planOf(name)).map(_.nodeName)
 
-  // Queries whose plans must never contain a cartesian/unconditioned join.
-  // (q_knn_brute is the labeled exact baseline and legitimately crosses a
-  // broadcast 5-row query side; it is excluded by design.)
+  // ---- default-deny cartesian/unbounded-broadcast sweep -------------------
   //
-  // Graph queries caveat: Graph.pageRank eagerly localCheckpoints its
-  // edge list, so a cartesian INSIDE the edge derivation would execute
-  // during query construction without surfacing in the final plan this
-  // spec walks. The binding regression gate for those two is the
+  // EVERY registered query's physical plan is walked; a CartesianProduct
+  // anywhere, or a BroadcastNestedLoopJoin whose broadcast side is not
+  // structurally bounded, fails unless the query carries a labeled
+  // allowlist entry below. A future query that accidentally composes a
+  // cross join therefore cannot ship unguarded (the r7 review's ask:
+  // the clean plan audit as an invariant, not a point-in-time fact).
+  //
+  // Graph queries caveat: Graph.pageRank eagerly stages its edge list
+  // (Checkpoints.stage), so a cartesian INSIDE the edge derivation would
+  // execute during query construction without surfacing in the final
+  // plan this spec walks. The binding regression gate for those is the
   // two-staged oracle instead: it reads the ADAPTIVE pair parquet, so an
   // edge-derivation swap back to the O(N²) test oracle changes the
   // result set and fails CORRECTNESS, not just a plan lint.
-  private val noCartesian = Seq(
-    "q_sim_cosine_pairs", "q_knn_lsh", "q_knn_ivf",
-    "q_sim_pagerank", "q_dedup_representatives",
-    "q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
-    "q_dedup_ngram_jaccard", "q_cdc_process_list", "q_master_merge")
 
-  test("candidate joins are equi-joins: no cartesian products") {
-    noCartesian.foreach { q =>
-      val bad = names(q).filter(n => n.contains("CartesianProduct"))
-      assert(bad.isEmpty, s"$q contains $bad")
+  // No registered query is permitted a CartesianProduct today. If a
+  // deliberate one ever becomes necessary, it must be named here WITH a
+  // reason, and the sweep will then require it to stay present.
+  private val allowCartesian = Map.empty[String, String]
+
+  // BroadcastNestedLoopJoin build sides that are NOT structurally 1-row
+  // (global aggregate / limit / literal frame) but are deliberately
+  // broadcast bounded sets. Each entry is a labeled exception with the
+  // reason it is scale-safe; the sweep also fails if an entry goes
+  // stale (no longer triggers), so the list cannot rot.
+  private val allowBnljBuild = Map(
+    "q_knn_brute" -> ("exact ANN baseline (labeled non-scale path): " +
+      "broadcasts the fixed filter-selected probe-vector set against a " +
+      "single linear corpus scan — linear in corpus, never quadratic"),
+    "q_knn_pq" -> ("PQ search broadcasts the same fixed probe-vector set " +
+      "to build per-query distance tables; corpus side is one scan"),
+    "q_search_hybrid_rrf" -> ("hybrid retrieval broadcasts the fixed " +
+      "probe set for the vector leg (the BM25 leg is equi-joined)"),
+    "q_chapter_assign" -> ("T15 interval-overlap range join: broadcasts " +
+      "the chapter-interval dimension (distinct chapters — " +
+      "metadata-scale) under the pages scan"))
+
+  /** Structurally bounded broadcast side: a global aggregate (exactly one
+    * row), an explicit limit, or a literal frame — walked down through
+    * row-preserving wrappers only, so an unbounded scan can never be
+    * masked by an unrelated bounded branch. */
+  private def boundedBuild(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{ProjectExec, FilterExec, SortExec,
+      TakeOrderedAndProjectExec, GlobalLimitExec, CollectLimitExec,
+      LocalLimitExec, LocalTableScanExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    p match {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: CollectLimitExec | _: LocalLimitExec => true
+      case _: LocalTableScanExec => true // literal frame, driver-sized
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        boundedBuild(a.inputPlan)
+      case n if n.isInstanceOf[ProjectExec] || n.isInstanceOf[FilterExec] ||
+        n.isInstanceOf[SortExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange] ||
+        n.nodeName.contains("WholeStageCodegen") ||
+        n.nodeName == "InputAdapter" ||
+        n.nodeName.contains("QueryStage") ||
+        n.nodeName.contains("ReusedExchange") ||
+        n.nodeName.contains("AQEShuffleRead") =>
+        n.children.exists(boundedBuild)
+      case _ => false
+    }
+  }
+
+  test("default-deny: no CartesianProduct in any registered query plan") {
+    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val cart = names(q).filter(_.contains("CartesianProduct"))
+      if (allowCartesian.contains(q))
+        assert(cart.nonEmpty, s"stale allowlist entry: $q no longer has a " +
+          "CartesianProduct — remove it from allowCartesian")
+      else assert(cart.isEmpty, s"$q contains $cart (not allowlisted)")
+    }
+  }
+
+  test("default-deny: every BroadcastNestedLoopJoin broadcasts a bounded side") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val unbounded = nodes(planOf(q)).collect {
+        case b: BroadcastNestedLoopJoinExec =>
+          val build =
+            if (b.buildSide.toString.contains("Left")) b.left else b.right
+          (b, build)
+      }.filterNot { case (_, build) => boundedBuild(build) }
+      if (allowBnljBuild.contains(q))
+        assert(unbounded.nonEmpty, s"stale allowlist entry: $q no longer " +
+          "has a non-1-row BNLJ build side — remove it from allowBnljBuild")
+      else assert(unbounded.isEmpty,
+        s"$q broadcasts an unbounded side through BroadcastNestedLoopJoin " +
+          s"(not allowlisted): ${unbounded.map(_._2.nodeName)}")
     }
   }
 
