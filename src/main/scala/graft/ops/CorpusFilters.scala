@@ -174,7 +174,12 @@ object CorpusFilters {
     * per span (hash aggregate, map-side partial combine), joined back on
     * the span value (equi-join, AQE skew-splittable) — never a window
     * partitioned by the span. Two exchanges: span value, then docId for
-    * the ordered rebuild. */
+    * the ordered rebuild. The rebuild itself is a secondary-sort
+    * streaming fold (repartition by doc, sortWithinPartitions by tile,
+    * incremental MD5 over the sorted iterator) — O(1) driver-side and
+    * O(1) per-doc executor memory, so one adversarially long document
+    * (millions of tiles) streams through instead of materializing in a
+    * single `collect_list` aggregation buffer. */
   def dropDuplicatedSubstrings(df: DataFrame, docId: String, textCol: String,
       n: Int): DataFrame = {
     val tiles = df
@@ -191,18 +196,55 @@ object CorpusFilters {
     val firstSeen = tiles
       .groupBy(col("gram"))
       .agg(min(struct(col(docId).as("d"), col("tile").as("p"))).as("first_at"))
-    tiles.join(firstSeen, Seq("gram"))
-      .withColumn("keep",
-        struct(col(docId).as("d"), col("tile").as("p")) === col("first_at"))
-      .groupBy(col(docId))
-      .agg(count(lit(1)).as("n_tiles"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        md5(array_join(
-          transform(
-            sort_array(collect_list(
-              when(col("keep"), struct(col("tile"), col("gram"))))),
-            s => s.getField("gram")),
-          " ")).as("kept_fp"))
+    val flagged = tiles.join(firstSeen, Seq("gram"))
+      .select(col(docId),
+        col("tile"),
+        (struct(col(docId).as("d"), col("tile").as("p")) === col("first_at"))
+          .as("keep"),
+        col("gram"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(docId),
+      org.apache.spark.sql.types.StructField("n_tiles",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_kept",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("kept_fp",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    flagged
+      .repartition(col(docId))
+      .sortWithinPartitions(col(docId), col("tile"))
+      .mapPartitions { it =>
+        new Iterator[org.apache.spark.sql.Row] {
+          private var pending: org.apache.spark.sql.Row =
+            if (it.hasNext) it.next() else null
+          override def hasNext: Boolean = pending != null
+          override def next(): org.apache.spark.sql.Row = {
+            val id = pending.get(0)
+            var nTiles = 0L
+            var nKept = 0L
+            val md = java.security.MessageDigest.getInstance("MD5")
+            var firstKept = true
+            var cur = pending
+            var more = true
+            while (more) {
+              nTiles += 1
+              if (cur.getBoolean(2)) {
+                nKept += 1
+                if (!firstKept) md.update(' '.toByte)
+                md.update(cur.getString(3)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                firstKept = false
+              }
+              if (it.hasNext) {
+                cur = it.next()
+                if (cur.get(0) != id) { pending = cur; more = false }
+              } else { pending = null; more = false }
+            }
+            val fp = md.digest().map(b => f"${b & 0xff}%02x").mkString
+            org.apache.spark.sql.Row(id, nTiles, nKept, fp)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any word

@@ -77,6 +77,33 @@ class CorpusPropSpec extends SparkSpecBase with PropCheck {
     }
   }
 
+  test("dropDuplicatedSubstrings: one adversarially long doc streams through") {
+    // One 30k-word doc (10k tiles, heavy within-doc repetition from the
+    // 4-word vocabulary) among normal docs: the rebuild must stream the
+    // giant doc through the sorted iterator — this case would blow a
+    // per-group collect_list buffer quadratically before r8's rewrite —
+    // and still agree with the in-memory first-seen model.
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d")
+    val giant = Seq.fill(30000)(vocab(rnd.nextInt(4))).mkString(" ")
+    val texts = Seq("a b c d a b", giant, "d c b a", "a a a b b b c c c")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = CorpusFilters.dropDuplicatedSubstrings(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val seen = scala.collection.mutable.Set[String]()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val tiles = t.split("\\s+").grouped(3).map(_.mkString(" ")).toSeq
+      val kept = tiles.filter(g => seen.add(g))
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(out(i.toLong) === ((tiles.length.toLong, kept.length.toLong, fp)),
+        s"doc $i")
+    }
+  }
+
   test("asofJoin: match is exactly the max eligible (ts, id) right row") {
     forAll(asofGen, n = 25) { c =>
       def mk(rows: List[(Long, Long)]) =
