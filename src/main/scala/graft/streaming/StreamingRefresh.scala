@@ -208,6 +208,53 @@ object StreamingRefresh {
       .toDF("id_a", "id_b", "bucket")
   }
 
+  /** Streaming C4-style line dedup: the incremental form of
+    * `CorpusFilters.lineDedup` for a document feed — each line value is
+    * kept at its FIRST corpus-wide occurrence and dropped everywhere
+    * else, across micro-batches. Docs explode to (id, pos, line); per
+    * line value, `flatMapGroupsWithState` claims the value on first
+    * sight and emits the claiming (id, pos, line) row; later batches
+    * (and later rows in the same batch) carrying the same line emit
+    * nothing. Within a micro-batch the claimant is the minimum
+    * (id, pos) — identical to the batch operator's
+    * `min(struct(docId, pos))` rule, so a single-batch
+    * `Trigger.AvailableNow` drain equals batch `lineDedup` doc-for-doc
+    * (LineDedupStreamSpec pins fingerprint equality); across batches,
+    * first ARRIVAL wins (a late duplicate never un-claims — inherent to
+    * append mode, and the behavior an incremental corpus refresh wants:
+    * already-published text is never retracted).
+    *
+    * State per distinct line value is ONE boolean (the claim) — the
+    * emitted claimant tuple is not retained. Cross-corpus first-seen
+    * inherently needs state per distinct value for the stream's
+    * lifetime; at 100 TB the same job shards the stream by line-hash
+    * range so each shard's RocksDB state store holds its slice. Emits
+    * surviving (id, pos, line) rows; per-doc rebuild (counts + md5
+    * fingerprint) is a batch aggregation over the drained sink. */
+  def lineDedupStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col("id"), col("pos").cast("int").as("pos"), col("line"))
+      .as[(Long, Int, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (line: String, rows: Iterator[(Long, Int, String)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val (id, pos, _) = rows.minBy(r => (r._1, r._2))
+            state.update(true)
+            Iterator((id, pos, line))
+          }
+      }
+      .toDF("doc_id", "pos", "line")
+  }
+
   /** Streaming as-of join: the incremental form of `ops.AsofJoin`. Input
     * is one pre-tagged feed of (key, ts_us, side, id) rows — side 0 =
     * right/reference stream, side 1 = left/probe stream; each left row is
