@@ -200,6 +200,14 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     catch { case _: Throwable => () }
+    // The driver records only the last ~2000 chars of stdout; the full
+    // line above outgrew that window in r7 (BENCH_r07 `parsed: null`).
+    // Emit a compact summary LAST — frozen-core medians + section totals
+    // only, well under the window even with sbt's trailing [success]
+    // line — so the capture always ends with one complete parseable JSON
+    // line. Full detail lives in BENCH_LAST.json (`full` points there).
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonNum(results)},"steady_reps":$SteadyReps,"total_cold":${f3(totalCold)},"total_extra":${f3(totalExtra)},"bucketed_ingest_sec":${f3(ingestSec)},"methodology":"r7-cold+steady-median$SteadyReps","sf":"$sfDir","full":"BENCH_LAST.json"}"""
+    println(compact)
     spark.stop()
   }
 }
