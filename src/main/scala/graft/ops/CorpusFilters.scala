@@ -202,17 +202,32 @@ object CorpusFilters {
         (struct(col(docId).as("d"), col("tile").as("p")) === col("first_at"))
           .as("keep"),
         col("gram"))
+    streamingRebuild(flagged, df.schema(docId), "n_tiles", ' '.toByte)
+  }
+
+  /** Shared per-doc rebuild for the first-seen dedup family: from a
+    * flagged frame of (docId, ord, keep, unit) rows, emit per doc the
+    * unit count, kept count, and md5 of the `sep`-joined kept units in
+    * `ord` order. Secondary-sort streaming fold — repartition by doc,
+    * sortWithinPartitions by (doc, ord), incremental MessageDigest over
+    * the sorted iterator — so memory is O(1) per doc regardless of how
+    * many units one adversarial document explodes into (a per-group
+    * collect_list buffer would materialize them all). */
+  private def streamingRebuild(flagged: DataFrame,
+      idField: org.apache.spark.sql.types.StructField,
+      totalName: String, sep: Byte): DataFrame = {
+    val Seq(idName, ordName) = flagged.columns.take(2).toSeq
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      df.schema(docId),
-      org.apache.spark.sql.types.StructField("n_tiles",
+      idField,
+      org.apache.spark.sql.types.StructField(totalName,
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("n_kept",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("kept_fp",
         org.apache.spark.sql.types.StringType, nullable = true)))
     flagged
-      .repartition(col(docId))
-      .sortWithinPartitions(col(docId), col("tile"))
+      .repartition(col(idName))
+      .sortWithinPartitions(col(idName), col(ordName))
       .mapPartitions { it =>
         new Iterator[org.apache.spark.sql.Row] {
           private var pending: org.apache.spark.sql.Row =
@@ -220,17 +235,17 @@ object CorpusFilters {
           override def hasNext: Boolean = pending != null
           override def next(): org.apache.spark.sql.Row = {
             val id = pending.get(0)
-            var nTiles = 0L
+            var nTotal = 0L
             var nKept = 0L
             val md = java.security.MessageDigest.getInstance("MD5")
             var firstKept = true
             var cur = pending
             var more = true
             while (more) {
-              nTiles += 1
+              nTotal += 1
               if (cur.getBoolean(2)) {
                 nKept += 1
-                if (!firstKept) md.update(' '.toByte)
+                if (!firstKept) md.update(sep)
                 md.update(cur.getString(3)
                   .getBytes(java.nio.charset.StandardCharsets.UTF_8))
                 firstKept = false
@@ -241,7 +256,7 @@ object CorpusFilters {
               } else { pending = null; more = false }
             }
             val fp = md.digest().map(b => f"${b & 0xff}%02x").mkString
-            org.apache.spark.sql.Row(id, nTiles, nKept, fp)
+            org.apache.spark.sql.Row(id, nTotal, nKept, fp)
           }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
@@ -355,25 +370,21 @@ object CorpusFilters {
     * joined back on the line value. The join is an equi-join AQE can
     * skew-split; a window partition it cannot. Two exchanges total:
     * line (agg+join) and docId (the ordered rebuild) — same shape at
-    * any corpus size. */
+    * any corpus size. The rebuild is the shared `streamingRebuild`
+    * fold: O(1) memory per doc, adversarial line counts stream. */
   def lineDedup(df: DataFrame, docId: String, textCol: String): DataFrame = {
     val lines = df.select(col(docId),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val firstSeen = lines
       .groupBy(col("line"))
       .agg(min(struct(col(docId).as("d"), col("pos").as("p"))).as("first_at"))
-    lines.join(firstSeen, Seq("line"))
-      .withColumn("keep",
-        struct(col(docId).as("d"), col("pos").as("p")) === col("first_at"))
-      .groupBy(col(docId))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        md5(array_join(
-          transform(
-            sort_array(collect_list(
-              when(col("keep"), struct(col("pos"), col("line"))))),
-            s => s.getField("line")),
-          "\n")).as("kept_fp"))
+    val flagged = lines.join(firstSeen, Seq("line"))
+      .select(col(docId),
+        col("pos"),
+        (struct(col(docId).as("d"), col("pos").as("p")) === col("first_at"))
+          .as("keep"),
+        col("line"))
+    streamingRebuild(flagged, df.schema(docId), "n_lines", '\n'.toByte)
   }
 
   /** Temperature-scaled mixture weights (the multilingual-corpus
