@@ -151,6 +151,20 @@ object Dedup {
       edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
         .union(edges.select(col(dstCol).as("_s"), col(srcCol).as("_d"))),
       eager = true)
+    connectedComponentsSymRounds(vertices, idCol, sym, maxRounds)
+  }
+
+  /** Connected components over an ALREADY-staged symmetric (_s, _d)
+    * edge list — the shared-sym entry `Graph.clusterRepresentatives`
+    * uses so CC and PageRank materialize the edge list once between
+    * them. */
+  private[graft] def connectedComponentsSym(vertices: DataFrame,
+      idCol: String, sym: DataFrame, maxRounds: Int = 64): DataFrame =
+    connectedComponentsSymRounds(vertices, idCol, sym, maxRounds)._1
+
+  private[graft] def connectedComponentsSymRounds(vertices: DataFrame,
+      idCol: String, sym: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
     var labels = Checkpoints.stage(
       vertices.select(col(idCol).as("_id"), col(idCol).as("_cc")),
       eager = true)
@@ -164,11 +178,16 @@ object Dedup {
             "list is likely malformed (raise maxRounds only if it is not)")
       val nbrMin = sym.join(labels, col("_d") === col("_id"))
         .groupBy(col("_s")).agg(min(col("_cc")).as("_nbr"))
-      val cand = Checkpoints.stage(
-        labels.join(nbrMin, col("_id") === col("_s"), "left")
-          .select(col("_id"), col("_cc"),
-            least(col("_cc"), coalesce(col("_nbr"), col("_cc"))).as("_c1")),
-        eager = true)
+      // `cand` (min-of-neighbors) is NOT staged: the pointer-halving
+      // self-join recomputes its small subtree twice inside ONE job
+      // (labels and sym are both staged, so the recompute is one
+      // join+agg over staged blocks), which is cheaper than paying an
+      // extra blocking materialization barrier every round — round
+      // count is O(log diameter), but each barrier serializes the
+      // driver at any scale
+      val cand = labels.join(nbrMin, col("_id") === col("_s"), "left")
+        .select(col("_id"), col("_cc"),
+          least(col("_cc"), coalesce(col("_nbr"), col("_cc"))).as("_c1"))
       val next = Checkpoints.stage(
         cand.join(
             cand.select(col("_id").as("_rid"), col("_c1").as("_rcc")),

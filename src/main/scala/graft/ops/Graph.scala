@@ -22,19 +22,35 @@ import org.apache.spark.sql.functions._
   * round count explicitly (no convergence loop to run away). */
 object Graph {
 
+  /** Symmetrized, staged edge list: each (a, b) pair in both directions
+    * as (_s, _d), materialized once with truncated lineage so every
+    * iterative consumer (CC rounds, PR iterations) re-reads staged
+    * blocks instead of re-running the possibly-expensive pair
+    * generation. */
+  private[graft] def stagedSym(pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame =
+    Checkpoints.stage(
+      pairs.select(col(aCol).as("_s"), col(bCol).as("_d"))
+        .union(pairs.select(col(bCol).as("_s"), col(aCol).as("_d"))),
+      eager = true)
+
   /** Undirected PageRank: `pairs` lists each edge once (a, b); both
     * directions are materialized internally. Emits
     * (id, degree, pagerank) for every vertex in `vertices`. */
   def pageRank(vertices: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85): DataFrame =
+    pageRankSym(vertices, idCol, stagedSym(pairs, aCol, bCol),
+      iters, damping)
+
+  /** PageRank over an ALREADY-staged symmetric (_s, _d) edge list —
+    * the shared-sym entry `clusterRepresentatives` uses so CC and PR
+    * materialize the edge list once between them, not once each. */
+  private[graft] def pageRankSym(vertices: DataFrame, idCol: String,
+      sym: DataFrame, iters: Int, damping: Double): DataFrame = {
     val n = vertices.count()
     // plain IEEE divide — the same operation the mirror SQL performs
     val teleport = (1 - damping) / n
-    val sym = Checkpoints.stage(
-      pairs.select(col(aCol).as("_s"), col(bCol).as("_d"))
-        .union(pairs.select(col(bCol).as("_s"), col(aCol).as("_d"))),
-      eager = true)
     val deg = sym.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
     val ids = Checkpoints.stage(
       vertices.select(col(idCol).as("_id"))
@@ -43,7 +59,7 @@ object Graph {
       eager = true)
     val r0 = round(lit(1.0) / n, 9)
     val init = ids.withColumn("_r", r0)
-    val ranked = (1 to iters).foldLeft(init) { (ranks, _) =>
+    val ranked = (1 to iters).foldLeft(init) { (ranks, i) =>
       val contribs = ranks
         .join(sym, col("_id") === col("_s"))
         .select(col("_d"),
@@ -51,13 +67,16 @@ object Graph {
             .cast("decimal(28,12)").as("_c"))
         .groupBy(col("_d"))
         .agg(sum(col("_c")).as("_in"))
+      // the LAST iteration's stage is lazy: no further round re-reads
+      // it, so the final sink action materializes it — one fewer
+      // blocking driver barrier per pageRank call
       Checkpoints.stage(
         ranks.join(contribs, col("_id") === col("_d"), "left")
           .select(col("_id"), col("_deg"),
             round(lit(teleport) +
               lit(damping) * coalesce(col("_in").cast("double"), lit(0.0)), 9)
               .as("_r")),
-        eager = true)
+        eager = i < iters)
     }
     ranked.select(col("_id").as(idCol), col("_deg").as("degree"),
       round(col("_r"), 6).as("pagerank"))
@@ -80,11 +99,13 @@ object Graph {
       pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     // both consumers re-scan the edge list many times (CC rounds, PR
-    // iterations); materialize the possibly-expensive candidate
-    // generation once instead of once per consumer
-    val edges = Checkpoints.stage(pairs, eager = true)
-    val cc = Dedup.connectedComponents(vertices, idCol, edges, aCol, bCol)
-    val pr = pageRank(vertices, idCol, edges, aCol, bCol, iters, damping)
+    // iterations); materialize ONE symmetrized staged frame and share
+    // it — previously edges, CC's sym, and PR's sym were three separate
+    // |E|-scale eager materializations of the same data (three blocking
+    // driver barriers), now it is one
+    val sym = stagedSym(pairs, aCol, bCol)
+    val cc = Dedup.connectedComponentsSym(vertices, idCol, sym)
+    val pr = pageRankSym(vertices, idCol, sym, iters, damping)
     val members = cc.join(pr, idCol)
     val best = members.groupBy(col("cluster_id"))
       .agg(min(struct((-col("pagerank")).as("np"), col(idCol).as("i")))
