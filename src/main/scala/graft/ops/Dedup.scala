@@ -165,9 +165,11 @@ object Dedup {
   private[graft] def connectedComponentsSymRounds(vertices: DataFrame,
       idCol: String, sym: DataFrame,
       maxRounds: Int = 64): (DataFrame, Int) = {
+    // lazy: round 1's job materializes the trivial initial labels —
+    // no standalone barrier
     var labels = Checkpoints.stage(
       vertices.select(col(idCol).as("_id"), col(idCol).as("_cc")),
-      eager = true)
+      eager = false)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {

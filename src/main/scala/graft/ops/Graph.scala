@@ -52,11 +52,14 @@ object Graph {
     // plain IEEE divide — the same operation the mirror SQL performs
     val teleport = (1 - damping) / n
     val deg = sym.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+    // lazy: only iteration 1 reads ids (later rounds read their own
+    // staged predecessor), so the first round's job materializes it —
+    // no standalone barrier
     val ids = Checkpoints.stage(
       vertices.select(col(idCol).as("_id"))
         .join(deg, col("_id") === col("_s"), "left")
         .select(col("_id"), coalesce(col("_deg"), lit(0L)).as("_deg")),
-      eager = true)
+      eager = false)
     val r0 = round(lit(1.0) / n, 9)
     val init = ids.withColumn("_r", r0)
     val ranked = (1 to iters).foldLeft(init) { (ranks, i) =>
