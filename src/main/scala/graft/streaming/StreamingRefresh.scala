@@ -255,6 +255,37 @@ object StreamingRefresh {
       .toDF("doc_id", "pos", "line")
   }
 
+  /** Streaming benchmark decontamination: the incremental form of
+    * `CorpusFilters.decontaminate` for a document feed — each arriving
+    * doc's distinct word n-grams are probed against the STATIC
+    * benchmark gram set via a stream-static broadcast join (stateless,
+    * append-mode clean: no aggregation state, no watermark needed), so
+    * contaminated docs are flagged the micro-batch they arrive.
+    *
+    * Emits one (docId, gram) row per distinct contaminated gram per
+    * doc — the hit stream; the per-doc rollup (n_hits/overlap_frac,
+    * which needs the doc's total gram count) is a batch aggregation
+    * over the drained sink, exactly like the other streaming legs
+    * leave ordering/rollup to the consumer. The probe side is
+    * metadata-scale by contract (benchmark suites), matching the batch
+    * operator's broadcast. */
+  def decontaminateStream(docs: DataFrame, probes: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val probeGrams = probes
+      .select(split(col(textCol), "\\s+").as("_w"))
+      .select(explode(graft.ops.CorpusFilters.wordNgramsOf(col("_w"), n))
+        .as("gram"))
+      .distinct()
+    docs
+      .select(col(idCol), split(col(textCol), "\\s+").as("_w"))
+      .select(col(idCol),
+        explode(array_distinct(
+          graft.ops.CorpusFilters.wordNgramsOf(col("_w"), n))).as("gram"))
+      .join(broadcast(probeGrams), Seq("gram"))
+      .select(col(idCol), col("gram"))
+  }
+
   /** Streaming as-of join: the incremental form of `ops.AsofJoin`. Input
     * is one pre-tagged feed of (key, ts_us, side, id) rows — side 0 =
     * right/reference stream, side 1 = left/probe stream; each left row is
