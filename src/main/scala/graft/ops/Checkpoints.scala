@@ -2,10 +2,14 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 
-/** Lineage-truncation seam for the ITERATIVE operators (PageRank,
-  * connected components, the LSH pair generator): every loop round must
-  * cut its plan lineage or the optimizer re-derives an ever-growing tree,
-  * but HOW it is cut is a deployment decision, not an algorithm one.
+/** Lineage-truncation seam for every staged materialization in the
+  * engine — the iterative operators (PageRank, connected components,
+  * the LSH pair generator, the MMR greedy fold), whose loop rounds must
+  * cut plan lineage or the optimizer re-derives an ever-growing tree,
+  * AND the compute-once/consume-many frames (BM25 term base, bigram/
+  * unigram vocab tables, winnow fingerprints, k-means assignments,
+  * temperature strata). HOW lineage is cut is a deployment decision,
+  * not an algorithm one, so no operator calls localCheckpoint directly.
   *
   * - Default (`spark.graft.checkpoint.dir` unset): `localCheckpoint` —
   *   blocks live on executor local storage with truncated lineage. Fast,

@@ -404,13 +404,14 @@ object CorpusFilters {
     // the per-stratum frame feeds the totals AND the final projection;
     // checkpoint = one corpus scan, not two (the frame itself is
     // |strata| rows)
-    val perStratum = df.select(col(stratumCol), toks.as("n_toks"))
-      .groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-      .withColumn("w",
-        round(pow(col("n_tokens").cast("double"), alpha), 9)
-          .cast("decimal(28,12)"))
-      .localCheckpoint(true)
+    val perStratum = Checkpoints.stage(
+      df.select(col(stratumCol), toks.as("n_toks"))
+        .groupBy(col(stratumCol))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .withColumn("w",
+          round(pow(col("n_tokens").cast("double"), alpha), 9)
+            .cast("decimal(28,12)")),
+      eager = true)
     val totals = perStratum.agg(
       sum(col("n_tokens")).as("total_tokens"),
       sum(col("w")).as("total_w"))

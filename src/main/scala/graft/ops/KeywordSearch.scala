@@ -69,9 +69,10 @@ object KeywordSearch {
     // Checkpointed because it feeds the corpus stats, the tf table, and
     // (via tf) the scoring join; without it the text would be re-read
     // and re-tokenized for each consumer.
-    val base = docs.select(col(idCol), size(toksArr).as("dl"),
-        filter(toksArr, t => t.isin(termList: _*)).as("ts"))
-      .localCheckpoint(true)
+    val base = Checkpoints.stage(
+      docs.select(col(idCol), size(toksArr).as("dl"),
+        filter(toksArr, t => t.isin(termList: _*)).as("ts")),
+      eager = true)
     // 1-row corpus stats: N and avgdl (exact integer sum / count).
     val stats = base.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -158,13 +159,14 @@ object KeywordSearch {
       .select(col(idCol), explode(pairsArr).as("p"))
       .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
     // bigram table with its context marginal; ln terms pre-rounded
-    val table = docPairs.groupBy(col("prev"), col("cur"))
-      .agg(count(lit(1)).as("c2"))
-      .withColumn("c1", sum(col("c2"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
-      .withColumn("term",
-        (ln9(col("c1")) - ln9(col("c2"))).cast("decimal(28,12)"))
-      .localCheckpoint(true)
+    val table = Checkpoints.stage(
+      docPairs.groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("c2"))
+        .withColumn("c1", sum(col("c2"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
+        .withColumn("term",
+          (ln9(col("c1")) - ln9(col("c2"))).cast("decimal(28,12)")),
+      eager = true)
     val t = if (broadcastVocab) broadcast(table) else table
     docPairs.join(t, Seq("prev", "cur"))
       .groupBy(col(idCol))
@@ -236,10 +238,11 @@ object KeywordSearch {
     val words = docs.select(col(idCol), isTarget.as("_t"),
       explode(toks(col(textCol))).as("word"))
     // one pass: raw count and target count per word
-    val vocabRaw = words.groupBy(col("word"))
-      .agg(count(lit(1)).as("cr"),
-        sum(when(col("_t"), 1L).otherwise(0L)).as("ct"))
-      .localCheckpoint(true)
+    val vocabRaw = Checkpoints.stage(
+      words.groupBy(col("word"))
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("_t"), 1L).otherwise(0L)).as("ct")),
+      eager = true)
     val tots = vocabRaw.agg(sum(col("cr")).as("tot_r"),
       sum(col("ct")).as("tot_t"), count(lit(1)).as("v"))
     val terms = vocabRaw.crossJoin(broadcast(tots))
@@ -274,9 +277,10 @@ object KeywordSearch {
       broadcastVocab: Boolean = true): DataFrame = {
     // vocab feeds the token join AND the total; checkpoint = one corpus
     // explode, not two
-    val vocabRaw = unigramCounts(docs, textCol)
-      .withColumn("lncnt", ln9(col("cnt")).cast("decimal(28,12)"))
-      .localCheckpoint(true)
+    val vocabRaw = Checkpoints.stage(
+      unigramCounts(docs, textCol)
+        .withColumn("lncnt", ln9(col("cnt")).cast("decimal(28,12)")),
+      eager = true)
     val vocab = if (broadcastVocab) broadcast(vocabRaw) else vocabRaw
     val total = vocabRaw.agg(sum(col("cnt")).as("total"))
     val words = docs.select(col(idCol), explode(toks(col(textCol))).as("word"))

@@ -158,24 +158,26 @@ object Similarity {
   def mmrTopK(emb: DataFrame, queries: DataFrame, k: Int, candK: Int,
       lambda: Double, cosRound: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cands = bruteForceTopK(emb, queries, candK, cosRound)
-      .select(col("query_id"), col("neighbor_id").as("cand_id"),
-        col("cos").as("rel"))
-      .localCheckpoint(true)
+    val cands = Checkpoints.stage(
+      bruteForceTopK(emb, queries, candK, cosRound)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("cos").as("rel")),
+      eager = true)
     val e = withNorm(emb, "vec_id", "embedding")
     val va = e.select(col("vec_id").as("a_id"), col("v").as("av"),
       col("nrm").as("an"))
     val vb = e.select(col("vec_id").as("b_id"), col("v").as("bv"),
       col("nrm").as("bn"))
-    val psim = cands.select(col("query_id"), col("cand_id").as("a_id"))
-      .join(cands.select(col("query_id"), col("cand_id").as("b_id")),
-        Seq("query_id"))
-      .filter(col("a_id") =!= col("b_id"))
-      .join(va, "a_id").join(vb, "b_id")
-      .select(col("query_id"), col("a_id"), col("b_id"),
-        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), cosRound)
-          .as("sim"))
-      .localCheckpoint(true)
+    val psim = Checkpoints.stage(
+      cands.select(col("query_id"), col("cand_id").as("a_id"))
+        .join(cands.select(col("query_id"), col("cand_id").as("b_id")),
+          Seq("query_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .join(va, "a_id").join(vb, "b_id")
+        .select(col("query_id"), col("a_id"), col("b_id"),
+          round(dot(col("av"), col("bv")) / (col("an") * col("bn")), cosRound)
+            .as("sim")),
+      eager = true)
     val empty = cands
       .select(col("query_id"), col("cand_id"), col("rel"),
         lit(0.0).as("score"), lit(0L).as("rk"))
@@ -199,7 +201,7 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cand_id"), col("rel"), col("score"),
           lit(j.toLong).as("rk"))
-      sel.unionByName(pick).localCheckpoint(true)
+      Checkpoints.stage(sel.unionByName(pick), eager = true)
     }
     selected.select(col("query_id"), col("rk"), col("cand_id"), col("rel"),
       col("score"))
@@ -724,9 +726,10 @@ object Similarity {
     // the assignment subtree feeds BOTH join sides and the final
     // projection — localCheckpoint computes the UDF pass once instead
     // of 3x (the winnow-fps precedent)
-    val asg = withNorm(emb, "vec_id", "embedding")
-      .withColumn("cell", assignD(col("v")))
-      .localCheckpoint(true)
+    val asg = Checkpoints.stage(
+      withNorm(emb, "vec_id", "embedding")
+        .withColumn("cell", assignD(col("v"))),
+      eager = true)
     val a = asg.select(col("vec_id"), col("cell"),
       col("v").as("va"), col("nrm").as("na"))
     val b = asg.select(col("vec_id").as("vec_b"), col("cell"),

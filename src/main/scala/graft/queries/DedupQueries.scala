@@ -145,11 +145,12 @@ object DedupQueries extends QueryModule {
     // Materialized once: fps feeds both self-join legs AND the sizes
     // aggregate — without the checkpoint the scan + winnow kernel (the
     // expensive part) executes three times per run.
-    val fps = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(
-          graft.functions.GraftFunctions.winnow(col("text"), 8, 8))).as("fp"))
-      .localCheckpoint(true)
+    val fps = graft.ops.Checkpoints.stage(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            graft.functions.GraftFunctions.winnow(col("text"), 8, 8))).as("fp")),
+      eager = true)
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val inter = fps.as("a")
       .join(fps.as("b"),

@@ -46,6 +46,27 @@ class ReliableCheckpointSpec extends SparkSpecBase {
     assert(reliable === local)
   }
 
+  test("mmrTopK: reliable-checkpoint output equals local") {
+    // covers the r8 seam migration of the non-graph staged operators
+    // (the MMR greedy fold stages every step like pageRank's rounds)
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val emb = (0L until 60L)
+      .map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = (100L until 103L)
+      .map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.mmrTopK(emb, queries, k = 3, candK = 8,
+        lambda = 0.7)
+      .orderBy(col("query_id"), col("rk")).collect().map(_.toSeq).toSeq
+    val local = run()
+    val (reliable, written) = withReliableDir(run())
+    assert(written > 0, "no checkpoint files written — reliable path not taken")
+    assert(reliable === local)
+    assert(local.nonEmpty)
+  }
+
   test("cosinePairsAdaptive: reliable-checkpoint output equals local") {
     import spark.implicits._
     // planted near-identical pairs so the generator has real output to
