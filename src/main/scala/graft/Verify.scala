@@ -48,8 +48,10 @@ object Verify {
     def deleteRecursively(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverse
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(f => Files.deleteIfExists(f))
+        finally walk.close()
       }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -46,13 +46,28 @@ object Checkpoints {
       case Some(dir) =>
         val sc = session.sparkContext
         // setCheckpointDir appends a per-context UUID subdir and resolves
-        // to a full URI — only (re-)set when the context's current dir is
-        // not already under the configured one (repeated re-sets would
-        // scatter rounds across UUID dirs for no benefit)
+        // to a full URI — only (re-)set when the context's current dir's
+        // PARENT is not exactly the configured path (repeated re-sets
+        // would scatter rounds across UUID dirs; a raw substring check
+        // would silently keep routing to a stale dir when the conf
+        // changes to a prefix of the old one, e.g. ckpt2 -> ckpt)
         val normalized = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-        if (!sc.getCheckpointDir.exists(_.contains(normalized)))
+        val currentParent = sc.getCheckpointDir.map(d =>
+          new org.apache.hadoop.fs.Path(d).getParent.toUri.getPath)
+        if (!currentParent.contains(normalized))
           sc.setCheckpointDir(dir)
-        df.checkpoint(eager)
+        // Dataset.checkpoint recomputes the subtree for the checkpoint
+        // write unless the frame is persisted first (Spark's documented
+        // behavior) — without this, every eager round pays its
+        // join+agg twice. Persist, checkpoint, then drop the cache for
+        // eager stages (the checkpoint files are now the source of
+        // truth); lazy stages keep the cache so the deferred write at
+        // first action reads it instead of recomputing.
+        val cached = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = cached.checkpoint(eager)
+        if (eager) cached.unpersist(blocking = false)
+        out
       case None => df.localCheckpoint(eager)
     }
   }

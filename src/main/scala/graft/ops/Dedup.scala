@@ -146,13 +146,9 @@ object Dedup {
   /** connectedComponents plus the converged round count (spec surface). */
   private[graft] def connectedComponentsRounds(vertices: DataFrame,
       idCol: String, edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 64): (DataFrame, Int) = {
-    val sym = Checkpoints.stage(
-      edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
-        .union(edges.select(col(dstCol).as("_s"), col(srcCol).as("_d"))),
-      eager = true)
-    connectedComponentsSymRounds(vertices, idCol, sym, maxRounds)
-  }
+      maxRounds: Int = 64): (DataFrame, Int) =
+    connectedComponentsSymRounds(vertices, idCol,
+      Graph.stagedSym(edges, srcCol, dstCol), maxRounds)
 
   /** Connected components over an ALREADY-staged symmetric (_s, _d)
     * edge list — the shared-sym entry `Graph.clusterRepresentatives`

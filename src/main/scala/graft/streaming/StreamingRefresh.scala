@@ -17,6 +17,21 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingRefresh {
 
+  /** The typed streaming legs cast the id to long for their tuple
+    * encoders; on a non-integral id (string/UUID) that cast silently
+    * yields NULL and collapses every doc under one id=null key —
+    * corrupt output with no error. Fail fast instead (the generic-id
+    * batch operators handle those corpora). */
+  private def requireIntegralId(docs: DataFrame, idCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op needs an integral $idCol (got ${dt.simpleString}); " +
+        "string ids would cast to null and merge all docs — use the " +
+        "batch operator or map ids to longs first")
+  }
+
   /** File-source stream over a parquet directory (schema must be known up
     * front — streaming contract). */
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
@@ -174,6 +189,7 @@ object StreamingRefresh {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
+    requireIntegralId(docs, idCol, "nearDupStream")
     val numBands = numPerms / rowsPerBand
     val sig = graft.ops.Dedup.minhashSignature(docs, idCol, textCol, numPerms)
     val bandStructs = (0 until numBands).map { b =>
@@ -236,6 +252,7 @@ object StreamingRefresh {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
+    requireIntegralId(docs, idCol, "lineDedupStream")
     docs
       .select(col(idCol).cast("long").as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))

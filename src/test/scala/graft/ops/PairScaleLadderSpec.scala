@@ -146,8 +146,11 @@ class PairScaleLadderSpec extends SparkSpecBase {
       s"$name: $candS -> $candL candidates at ${scale}x corpus with " +
         "linear planted structure — bucketing has gone quadratic")
     // non-vacuous: the generator still finds the planted near-dups
-    assert(found(big) >= (plantedL * minRecall).toLong,
-      s"$name: found ${found(big)} of $plantedL planted pairs")
+    // (bound once — assert's clue string is eager, and found() runs a
+    // full Spark pair-generation job)
+    val foundL = found(big)
+    assert(foundL >= (plantedL * minRecall).toLong,
+      s"$name: found $foundL of $plantedL planted pairs")
   }
 
   test("minhash LSH banding: synthetic-ladder growth is sub-quadratic") {

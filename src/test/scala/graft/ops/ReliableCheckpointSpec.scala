@@ -18,7 +18,9 @@ class ReliableCheckpointSpec extends SparkSpecBase {
     try {
       val out = body
       // prove the reliable path actually engaged: checkpoint files exist
-      val written = Files.walk(dir).filter(Files.isRegularFile(_)).count()
+      val walk = Files.walk(dir)
+      val written =
+        try walk.filter(Files.isRegularFile(_)).count() finally walk.close()
       (out, written)
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
