@@ -48,6 +48,33 @@ class ReliableCheckpointSpec extends SparkSpecBase {
     assert(reliable === local)
   }
 
+  test("changing the checkpoint dir re-routes — even to a prefix of the old one") {
+    // the raw substring check this pins against: with the old dir
+    // .../ckpt2 active, a new configured dir .../ckpt is a substring of
+    // the current context dir, so stage() silently kept writing to
+    // ckpt2 — reliable checkpoints landing in a decommissioned path
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-ckpt-switch")
+    val oldDir = base.resolve("ckpt2")
+    val newDir = base.resolve("ckpt")
+    def stageOnce(): Unit =
+      Checkpoints.stage((1L to 10L).toDF("v"), eager = true).count()
+    spark.conf.set(Checkpoints.DirKey, oldDir.toString)
+    try {
+      stageOnce()
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains("ckpt2")))
+      spark.conf.set(Checkpoints.DirKey, newDir.toString)
+      stageOnce()
+      val cur = spark.sparkContext.getCheckpointDir.get
+      assert(!cur.contains("ckpt2"),
+        s"checkpoint dir still routed to the stale directory: $cur")
+      val walk = Files.walk(newDir)
+      val written =
+        try walk.filter(Files.isRegularFile(_)).count() finally walk.close()
+      assert(written > 0, "no checkpoint files under the re-configured dir")
+    } finally spark.conf.unset(Checkpoints.DirKey)
+  }
+
   test("mmrTopK: reliable-checkpoint output equals local") {
     // covers the r8 seam migration of the non-graph staged operators
     // (the MMR greedy fold stages every step like pageRank's rounds)
