@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNDECORATED: sbt's default logger
+// strategy prefixes every forked-stdout line with "[info] ", which made
+// the bench's final JSON line unparseable to the round driver
+// (BENCH_r08 `parsed: null` — the captured tail ended in
+// `[info] {...}` + `[success] ...`). With StdoutOutput the bench's
+// compact JSON line reaches the capture bare. (runMain shares
+// `Compile / run / runner`, so this governs both; a bare
+// `run / outputStrategy` would be shadowed and lint as unused.)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -25,15 +25,30 @@ object CountJobs {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val verbose = args.contains("-v")
     val jobs = new AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (verbose) {
+          val site = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("unknown")
+          sites.merge(site, 1, (a, b) => a + b)
+        }
+      }
     })
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // listener bus is async (and private); settle before reading
-    Thread.sleep(2000)
-    println(s"""{"query":"$name","sf":"$sfDir","jobs":${jobs.get()}}""")
+    // the listener bus is async: stop() drains and flushes it, so the
+    // counter is only exact AFTER stop — a fixed sleep undercounted on
+    // a loaded host, skewing the very barrier metric this tool measures
     spark.stop()
+    println(s"""{"query":"$name","sf":"$sfDir","jobs":${jobs.get()}}""")
+    if (verbose) {
+      import scala.jdk.CollectionConverters._
+      sites.asScala.toSeq.sortBy(-_._2.intValue).foreach { case (s, n) =>
+        println(s"  $n  $s") }
+    }
   }
 }

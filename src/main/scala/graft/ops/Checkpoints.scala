@@ -34,6 +34,42 @@ object Checkpoints {
     * default) selects `localCheckpoint`. */
   val DirKey = "spark.graft.checkpoint.dir"
 
+  /** Reliable-mode LAZY stages persist their input so the deferred
+    * checkpoint write reads the cache instead of recomputing — but the
+    * cache must not outlive the write, or every pageRank /
+    * connectedComponents / mmrTopK call leaks a MEMORY_AND_DISK frame
+    * for the session lifetime (unbounded growth in a long-running
+    * driver). Each lazy stage's (cache, checkpointed RDD) pair is
+    * queued here and swept on every subsequent `stage` call:
+    * `rdd.isCheckpointed` flips true exactly when the checkpoint files
+    * exist (the deferred write runs at the end of the first job that
+    * computes the RDD), at which point the files are the source of
+    * truth and the cache is dropped. Iterative operators call `stage`
+    * every round, so a converged loop carries at most the final lazy
+    * frame until the next operator invocation sweeps it; `sweep()` is
+    * public for callers that want a deterministic release point. */
+  private val pendingUnpersist =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (DataFrame, org.apache.spark.rdd.RDD[_])]()
+
+  /** Release caches whose deferred reliable checkpoint has
+    * materialized. Safe to call at any time from any thread; never
+    * unpersists a cache the deferred write still needs. */
+  def sweep(): Unit = {
+    val it = pendingUnpersist.iterator()
+    while (it.hasNext) {
+      val (cached, rdd) = it.next()
+      if (rdd.isCheckpointed) {
+        cached.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
+
+  /** Spec surface: how many lazy-stage caches still await their
+    * deferred checkpoint (post-sweep count pins the no-leak claim). */
+  private[graft] def pendingCount: Int = { sweep(); pendingUnpersist.size() }
+
   /** Stage `df` with truncated lineage: reliable `checkpoint` when
     * [[DirKey]] is configured, `localCheckpoint` otherwise. `eager=false`
     * materializes on first action (construction-time staging of plan-only
@@ -63,10 +99,19 @@ object Checkpoints {
         // eager stages (the checkpoint files are now the source of
         // truth); lazy stages keep the cache so the deferred write at
         // first action reads it instead of recomputing.
+        // every stage call is a sweep point: release prior lazy-stage
+        // caches whose deferred write has since landed
+        sweep()
         val cached = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val out = cached.checkpoint(eager)
         if (eager) cached.unpersist(blocking = false)
+        else {
+          // queue the cache for release once the deferred write lands
+          out.queryExecution.logical.collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }.foreach(rdd => pendingUnpersist.add((cached, rdd)))
+        }
         out
       case None => df.localCheckpoint(eager)
     }

@@ -289,11 +289,20 @@ object StreamingRefresh {
   def decontaminateStream(docs: DataFrame, probes: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): DataFrame = {
+    // Stream-static joins re-plan the static subtree EVERY micro-batch:
+    // without a persist, the explode+distinct over the probe corpus (and
+    // the broadcast build) would re-execute per batch. Persisted once
+    // here, each batch's broadcast rebuilds from cached blocks instead.
+    // The cache is metadata-scale (distinct benchmark grams) and lives
+    // for the stream's lifetime — the intended trade for a long-running
+    // query; callers tearing the stream down can unpersist via the
+    // returned plan's static side or just stop the session.
     val probeGrams = probes
       .select(split(col(textCol), "\\s+").as("_w"))
       .select(explode(graft.ops.CorpusFilters.wordNgramsOf(col("_w"), n))
         .as("gram"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs
       .select(col(idCol), split(col(textCol), "\\s+").as("_w"))
       .select(col(idCol),

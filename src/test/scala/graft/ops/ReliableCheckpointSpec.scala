@@ -75,6 +75,32 @@ class ReliableCheckpointSpec extends SparkSpecBase {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("lazy-stage caches are released once the deferred write lands") {
+    // the r8 leak: reliable-mode LAZY stages persisted at
+    // MEMORY_AND_DISK and nothing ever unpersisted them — every
+    // pageRank/CC call grew the cache for the session lifetime. The
+    // sweep releases each cache exactly when its checkpoint files
+    // exist, so after a full operator run + one sweep nothing pends
+    // and no graft stage frame remains cached.
+    val (vertices, pairs) = graphFixture
+    // other suites share the session and may hold legitimate caches
+    // (streaming probe sides, bucketed tables) — only NEW entries count
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (_, written) = withReliableDir {
+      Graph.clusterRepresentatives(vertices, "id", pairs, "id_a", "id_b")
+        .write.format("noop").mode("overwrite").save()
+      // the sink action materialized the final lazy stage's deferred
+      // checkpoint; pendingCount sweeps and must find nothing left
+      assert(Checkpoints.pendingCount === 0,
+        "lazy-stage caches still pending after their checkpoints landed")
+      val leaked = spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+      assert(leaked.isEmpty,
+        s"cached RDDs leaked past the sweep: ${leaked.keys.toSeq.sorted}")
+    }
+    assert(written > 0, "no checkpoint files written — reliable path not taken")
+  }
+
   test("mmrTopK: reliable-checkpoint output equals local") {
     // covers the r8 seam migration of the non-graph staged operators
     // (the MMR greedy fold stages every step like pageRank's rounds)
