@@ -26,14 +26,44 @@ object CountJobs {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val verbose = args.contains("-v")
+    val profile = args.contains("-p")
+    val jobsByExec = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    if (profile) {
+      // per-execution profile: which action ran, how many exchanges its
+      // executed plan carried, and (via spark.sql.execution.id on each
+      // job) EXACTLY how many jobs the execution spawned — the ground
+      // truth for where the barrier count lives
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val p = qe.executedPlan.toString
+            val sh = "ShuffleQueryStage".r.findAllIn(p).length
+            val reuse = "ReusedExchange|table cache".r.findAllIn(p).length
+            val bc = "BroadcastQueryStage".r.findAllIn(p).length
+            val nJobs = jobsByExec.getOrDefault(qe.id.toString, 0)
+            System.err.println(
+              f"[prof] exec=${qe.id}%-4d $funcName%-16s ms=${durationNs / 1000000}%-6d jobs=$nJobs%-3d shuffleStages=$sh%-3d bcastStages=$bc%-3d reused=$reuse%-3d")
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
     val jobs = new AtomicInteger(0)
     val sites = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (profile) Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .foreach(id => jobsByExec.merge(id, 1, (a, b) => a + b))
         if (verbose) {
-          val site = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short")))
+          // SQL-execution jobs carry no callSite property; the result
+          // stage's name (RDD scope) is the best available label
+          val site = js.stageInfos.lastOption.map(si =>
+            s"${si.name.takeWhile(_ != ':')}(+${js.stageInfos.length - 1} stages)")
             .getOrElse("unknown")
           sites.merge(site, 1, (a, b) => a + b)
         }

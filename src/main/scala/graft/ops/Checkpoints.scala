@@ -75,8 +75,36 @@ object Checkpoints {
     * materializes on first action (construction-time staging of plan-only
     * consumers stays free — the PlanGuard constraint), `eager=true`
     * materializes now (iteration loops, where the frame is consumed
-    * immediately and repeatedly). */
-  def stage(df: DataFrame, eager: Boolean): DataFrame = {
+    * immediately and repeatedly).
+    *
+    * `keepPartitioning=true` compiles THIS staging without AQE so the
+    * staged frame's hash partitioning survives into the LogicalRDD
+    * (under AQE, `Dataset.checkpoint` records UnknownPartitioning —
+    * verified against Spark 4.1 — and every downstream join then
+    * re-exchanges the staged scan). The iterative graph family stages
+    * its loop frames this way: each round's joins become statically
+    * co-partitioned with the `Graph.loopPartitions` layout, turning a
+    * per-round |E| re-shuffle of the staged edge list into zero and
+    * each round's materialization into a single driver barrier. Only
+    * use it for loop-round frames whose subtree is already
+    * shape-pinned (merge-hinted joins over staged scans + one
+    * aggregate) — AQE's runtime re-planning has nothing to add there,
+    * and the conf flip is session-visible for the duration of the
+    * plan compile (construction-time, not run-time: the physical plan
+    * and RDD of a checkpoint are built at the `stage` call even when
+    * lazy). */
+  def stage(df: DataFrame, eager: Boolean,
+      keepPartitioning: Boolean = false): DataFrame = {
+    if (keepPartitioning) {
+      val session = df.sparkSession
+      val key = "spark.sql.adaptive.enabled"
+      val prev = session.conf.get(key)
+      session.conf.set(key, "false")
+      try stageImpl(df, eager) finally session.conf.set(key, prev)
+    } else stageImpl(df, eager)
+  }
+
+  private def stageImpl(df: DataFrame, eager: Boolean): DataFrame = {
     val session = df.sparkSession
     session.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
@@ -102,6 +130,18 @@ object Checkpoints {
         // every stage call is a sweep point: release prior lazy-stage
         // caches whose deferred write has since landed
         sweep()
+        // RDD.doCheckpoint stops at the FIRST marked RDD in a job's
+        // lineage and skips marked ancestors by default — so a lazy
+        // stage consumed only by a later EAGER stage's job (whose root
+        // is itself marked) would never get its deferred write, and in
+        // AQE-off compiles there are no intermediate stage jobs on
+        // unmarked RDDs to flush it either. Spark's documented escape
+        // hatch is this local property: with it, every job checkpoints
+        // ALL marked ancestors in its lineage. Thread-local, so set it
+        // here (stage calls and the consuming actions share the
+        // driver thread in batch flows).
+        session.sparkContext.setLocalProperty(
+          "spark.checkpoint.checkpointAllMarkedAncestors", "true")
         val cached = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val out = cached.checkpoint(eager)

@@ -146,26 +146,36 @@ object Dedup {
   /** connectedComponents plus the converged round count (spec surface). */
   private[graft] def connectedComponentsRounds(vertices: DataFrame,
       idCol: String, edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 64): (DataFrame, Int) =
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    val p = Graph.stagePairs(edges, srcCol, dstCol)
+    val loopP = Graph.loopPartitions(vertices,
+      math.max(vertices.count(), 2 * p.count()))
     connectedComponentsSymRounds(vertices, idCol,
-      Graph.stagedSym(edges, srcCol, dstCol), maxRounds)
+      Graph.stagedSymFrom(p, loopP), loopP, maxRounds)
+  }
 
   /** Connected components over an ALREADY-staged symmetric (_s, _d)
     * edge list — the shared-sym entry `Graph.clusterRepresentatives`
     * uses so CC and PageRank materialize the edge list once between
-    * them. */
+    * them. `loopP` is the staged sym's partition layout. */
   private[graft] def connectedComponentsSym(vertices: DataFrame,
-      idCol: String, sym: DataFrame, maxRounds: Int = 64): DataFrame =
-    connectedComponentsSymRounds(vertices, idCol, sym, maxRounds)._1
+      idCol: String, sym: DataFrame, loopP: Int,
+      maxRounds: Int = 64): DataFrame =
+    connectedComponentsSymRounds(vertices, idCol, sym, loopP, maxRounds)._1
 
   private[graft] def connectedComponentsSymRounds(vertices: DataFrame,
-      idCol: String, sym: DataFrame,
+      idCol: String, sym: DataFrame, loopP: Int,
       maxRounds: Int = 64): (DataFrame, Int) = {
-    // lazy: round 1's job materializes the trivial initial labels —
-    // no standalone barrier
+    val spark = vertices.sparkSession
+    // lazy: round 1's job materializes the trivial initial labels — no
+    // standalone barrier. Partitioned on _id so every round's joins
+    // against the label frame are exchange-free (checkpoint preserves
+    // the partitioning; sym is staged on _s by Graph.stagedSymFrom).
     var labels = Checkpoints.stage(
-      vertices.select(col(idCol).as("_id"), col(idCol).as("_cc")),
-      eager = false)
+      vertices.select(col(idCol).as("_id"), col(idCol).as("_cc"))
+        .repartition(loopP, col("_id"))
+        .sortWithinPartitions(col("_id")),
+      eager = false, keepPartitioning = true)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -174,8 +184,21 @@ object Dedup {
           s"connectedComponents did not converge in $maxRounds rounds — " +
             "with pointer-halving this means diameter ~2^rounds; the edge " +
             "list is likely malformed (raise maxRounds only if it is not)")
-      val nbrMin = sym.join(labels, col("_d") === col("_id"))
-        .groupBy(col("_s")).agg(min(col("_cc")).as("_nbr"))
+      // symmetric edge list: propagating labels ALONG (_s → _d) visits
+      // every undirected edge in both directions, so joining on the
+      // staged `_s` partitioning and aggregating toward `_d` computes
+      // the same min-of-neighbors as the former _d-side join — with
+      // zero exchange on either join input (labels is on _id, sym on
+      // _s) and the aggregate's exchange landing on _d, which the
+      // cand join below then consumes exchange-free against _id.
+      // Joins plan as sort-merge without hints: the round compiles
+      // AQE-off (keepPartitioning stages) and the staged LogicalRDD
+      // scans carry no stats, so the static planner never broadcasts —
+      // every frame here is |V|-or-|E|-scale at deployment, making SMJ
+      // over the pre-aligned, pre-sorted inputs the only shape that
+      // survives 100×.
+      val nbrMin = sym.join(labels, col("_s") === col("_id"))
+        .groupBy(col("_d")).agg(min(col("_cc")).as("_nbr"))
       // `cand` (min-of-neighbors) is NOT staged: the pointer-halving
       // self-join recomputes its small subtree twice inside ONE job
       // (labels and sym are both staged, so the recompute is one
@@ -183,17 +206,35 @@ object Dedup {
       // extra blocking materialization barrier every round — round
       // count is O(log diameter), but each barrier serializes the
       // driver at any scale
-      val cand = labels.join(nbrMin, col("_id") === col("_s"), "left")
+      val cand = labels.join(nbrMin, col("_id") === col("_d"), "left")
         .select(col("_id"), col("_cc"),
           least(col("_cc"), coalesce(col("_nbr"), col("_cc"))).as("_c1"))
+      val halved = cand.join(
+          cand.select(col("_id").as("_rid"), col("_c1").as("_rcc")),
+          col("_c1") === col("_rid"), "left")
+        .select(col("_id"), col("_cc"),
+          least(col("_c1"), coalesce(col("_rcc"), col("_c1"))).as("_cc2"))
+      // convergence detection rides INSIDE the materialization job via
+      // Dataset.observe (CollectMetrics): the changed-label count
+      // accumulates while the round's eager stage computes, replacing
+      // the former standalone filter+count job — one fewer driver
+      // barrier per round, exactly-once metric semantics, and no
+      // object-serialization boundary (an earlier mapPartitions +
+      // accumulator variant paid a Row-encoder round trip per row per
+      // round that measured ~45% of the whole query's steady time).
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_r$rounds")
       val next = Checkpoints.stage(
-        cand.join(
-            cand.select(col("_id").as("_rid"), col("_c1").as("_rcc")),
-            col("_c1") === col("_rid"), "left")
-          .select(col("_id"), col("_cc"),
-            least(col("_c1"), coalesce(col("_rcc"), col("_c1"))).as("_cc2")),
-        eager = true)
-      changed = next.filter(col("_cc2") < col("_cc")).count()
+        halved.observe(obs,
+            sum((col("_cc2") < col("_cc")).cast("long")).as("changed"))
+          .repartition(loopP, col("_id"))
+          .sortWithinPartitions(col("_id")),
+        eager = true, keepPartitioning = true)
+      changed = obs.get("changed") match {
+        case l: java.lang.Long => l.longValue
+        case _ => 0L // empty round frame: sum over zero rows is null
+      }
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round ${rounds + 1}: changed=$changed")
       labels = next.select(col("_id"), col("_cc2").as("_cc"))
       rounds += 1
     }

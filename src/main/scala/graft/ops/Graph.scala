@@ -22,47 +22,122 @@ import org.apache.spark.sql.functions._
   * round count explicitly (no convergence loop to run away). */
 object Graph {
 
-  /** Symmetrized, staged edge list: each (a, b) pair in both directions
-    * as (_s, _d), materialized once with truncated lineage so every
-    * iterative consumer (CC rounds, PR iterations) re-reads staged
-    * blocks instead of re-running the possibly-expensive pair
-    * generation. */
-  private[graft] def stagedSym(pairs: DataFrame,
+  /** Target rows per loop partition: small enough that a partition of
+    * 2–3-long rows stays tens of MB (sorts and merge-join buffers fit
+    * comfortably), large enough that a 2,000-vertex test graph runs in
+    * ONE partition instead of 32 waves of 60-row tasks. */
+  private val LoopRowsPerPartition = 500000L
+
+  /** The iterative family's fixed partition count, sized from the
+    * MEASURED graph (max of |V| and symmetrized |E|) and capped by
+    * `spark.sql.shuffle.partitions` — the same decision AQE coalescing
+    * would make at runtime, taken once up front so it can be EXPLICIT:
+    * an explicit repartition count is a user contract AQE never
+    * coalesces, and with every staged frame in the loop carrying the
+    * SAME HashPartitioning count the per-round joins are statically
+    * co-partitioned → exchange-free. On a cluster the conf cap rules
+    * (thousands of partitions for a billion-vertex graph); on a small
+    * corpus the size rule keeps per-round fixed costs proportional to
+    * the data. */
+  private[graft] def loopPartitions(df: DataFrame, rows: Long): Int = {
+    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bySize = (rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition
+    math.max(1, math.min(cap.toLong, bySize)).toInt
+  }
+
+  // The symmetrized, staged edge list — each (a, b) pair in both
+  // directions as (_s, _d) — is built in TWO steps below, materialized
+  // once with truncated lineage so every iterative consumer (CC
+  // rounds, PR iterations) re-reads staged blocks instead of re-running
+  // the possibly-expensive pair generation. The final frame is
+  // hash-partitioned on `_s` AND sorted within partitions:
+  // `Dataset.checkpoint` (compiled AQE-off — see
+  // `Checkpoints.stage(keepPartitioning)`) preserves both
+  // outputPartitioning and outputOrdering into the staged LogicalRDD,
+  // so every per-round merge join against the source endpoint (CC's
+  // label propagation, PR's contribution join — both keyed on `_s`)
+  // finds the edge side already distributed AND sorted on the join
+  // key: zero exchange, zero sort, per round. One repartition+sort
+  // paid once at staging replaces an |E| shuffle-or-sort per
+  // iteration — at 100 TB the edge list is the big frame, so this is
+  // the shuffle that matters.
+
+  /** Step 1 of the two-step staging: materialize the pair GENERATION
+    * (often an LSH candidate join — skew-prone, exactly what AQE's
+    * runtime re-planning is for) under normal AQE. Its count then
+    * sizes the loop partitioning. */
+  private[graft] def stagePairs(pairs: DataFrame,
       aCol: String, bCol: String): DataFrame =
     Checkpoints.stage(
-      pairs.select(col(aCol).as("_s"), col(bCol).as("_d"))
-        .union(pairs.select(col(bCol).as("_s"), col(aCol).as("_d"))),
-      eager = true)
+      pairs.select(col(aCol).as("_a"), col(bCol).as("_b")), eager = true)
+
+  /** Step 2: the cheap symmetrize + repartition + sort stages AQE-off
+    * so the loop partitioning AND ordering survive into the staged
+    * scan (see Checkpoints.stage and the class doc). One extra
+    * |E|-scale barrier at setup buys zero edge-list shuffles or sorts
+    * per iteration for every consumer. */
+  private[graft] def stagedSymFrom(p: DataFrame, loopP: Int): DataFrame =
+    Checkpoints.stage(
+      p.select(col("_a").as("_s"), col("_b").as("_d"))
+        .union(p.select(col("_b").as("_s"), col("_a").as("_d")))
+        .repartition(loopP, col("_s"))
+        .sortWithinPartitions(col("_s")),
+      eager = true, keepPartitioning = true)
+
+  /** Measured loop geometry: stage the pair generation, count both
+    * frames (each count is one cheap job — the pair side reads its
+    * just-staged blocks), and size the loop partitioning from
+    * max(|V|, symmetrized |E|). Shared by every public entry so CC
+    * and PR agree on the layout. */
+  private def loopGeometry(vertices: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String): (DataFrame, Long, Int) = {
+    val p = stagePairs(pairs, aCol, bCol)
+    val nV = vertices.count()
+    val nE = p.count()
+    val loopP = loopPartitions(vertices, math.max(nV, 2 * nE))
+    (stagedSymFrom(p, loopP), nV, loopP)
+  }
 
   /** Undirected PageRank: `pairs` lists each edge once (a, b); both
     * directions are materialized internally. Emits
     * (id, degree, pagerank) for every vertex in `vertices`. */
   def pageRank(vertices: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      iters: Int = 3, damping: Double = 0.85): DataFrame =
-    pageRankSym(vertices, idCol, stagedSym(pairs, aCol, bCol),
-      iters, damping)
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val (sym, nV, loopP) = loopGeometry(vertices, pairs, aCol, bCol)
+    pageRankSym(vertices, idCol, sym, iters, damping, nV, loopP)
+  }
 
   /** PageRank over an ALREADY-staged symmetric (_s, _d) edge list —
     * the shared-sym entry `clusterRepresentatives` uses so CC and PR
-    * materialize the edge list once between them, not once each. */
+    * materialize the edge list once between them, not once each.
+    * `n` = |vertices| (counted once by the caller), `loopP` = the
+    * staged sym's partition layout. */
   private[graft] def pageRankSym(vertices: DataFrame, idCol: String,
-      sym: DataFrame, iters: Int, damping: Double): DataFrame = {
-    val n = vertices.count()
+      sym: DataFrame, iters: Int, damping: Double,
+      n: Long, loopP: Int): DataFrame = {
     // plain IEEE divide — the same operation the mirror SQL performs
     val teleport = (1 - damping) / n
     val deg = sym.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
     // lazy: only iteration 1 reads ids (later rounds read their own
     // staged predecessor), so the first round's job materializes it —
-    // no standalone barrier
+    // no standalone barrier. Partitioned on _id at the loop's fixed
+    // count so every iteration's contribution join (against sym's _s
+    // partitioning) and rank-update join are statically co-partitioned.
     val ids = Checkpoints.stage(
       vertices.select(col(idCol).as("_id"))
         .join(deg, col("_id") === col("_s"), "left")
-        .select(col("_id"), coalesce(col("_deg"), lit(0L)).as("_deg")),
-      eager = false)
+        .select(col("_id"), coalesce(col("_deg"), lit(0L)).as("_deg"))
+        .repartition(loopP, col("_id"))
+        .sortWithinPartitions(col("_id")),
+      eager = false, keepPartitioning = true)
     val r0 = round(lit(1.0) / n, 9)
     val init = ids.withColumn("_r", r0)
     val ranked = (1 to iters).foldLeft(init) { (ranks, i) =>
+      // like the CC loop, each iteration compiles AQE-off over staged
+      // stat-less scans, so both joins plan as sort-merge over the
+      // aligned, pre-sorted partitioning: one aggregate exchange per
+      // iteration, no broadcast builds, the shape that survives 100×
       val contribs = ranks
         .join(sym, col("_id") === col("_s"))
         .select(col("_d"),
@@ -78,8 +153,10 @@ object Graph {
           .select(col("_id"), col("_deg"),
             round(lit(teleport) +
               lit(damping) * coalesce(col("_in").cast("double"), lit(0.0)), 9)
-              .as("_r")),
-        eager = i < iters)
+              .as("_r"))
+          .repartition(loopP, col("_id"))
+          .sortWithinPartitions(col("_id")),
+        eager = i < iters, keepPartitioning = true)
     }
     ranked.select(col("_id").as(idCol), col("_deg").as("degree"),
       round(col("_r"), 6).as("pagerank"))
@@ -106,9 +183,9 @@ object Graph {
     // it — previously edges, CC's sym, and PR's sym were three separate
     // |E|-scale eager materializations of the same data (three blocking
     // driver barriers), now it is one
-    val sym = stagedSym(pairs, aCol, bCol)
-    val cc = Dedup.connectedComponentsSym(vertices, idCol, sym)
-    val pr = pageRankSym(vertices, idCol, sym, iters, damping)
+    val (sym, nV, loopP) = loopGeometry(vertices, pairs, aCol, bCol)
+    val cc = Dedup.connectedComponentsSym(vertices, idCol, sym, loopP)
+    val pr = pageRankSym(vertices, idCol, sym, iters, damping, nV, loopP)
     val members = cc.join(pr, idCol)
     val best = members.groupBy(col("cluster_id"))
       .agg(min(struct((-col("pagerank")).as("np"), col(idCol).as("i")))
