@@ -1,0 +1,78 @@
+package graft.plans
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import graft.SparkSpecBase
+
+/** Job-count regression pins for the iterative family — the
+  * host-noise-free barrier metric (`graft.CountJobs` is the manual
+  * tool; this spec is its CI form). Every Spark job is a blocking
+  * driver barrier, so the job count is the scheduling cost that
+  * wall-clock benchmarks on a shared host keep mis-measuring — and,
+  * unlike wall time, it is exactly reproducible per fixture.
+  *
+  * These pins also close PlanGuardSpec's acknowledged blind spot for
+  * eagerly-staged subtrees (PlanGuardSpec.scala:38-45): the graph
+  * queries stage their edge list DURING query construction, so a
+  * cartesian product or stray barrier introduced into edge derivation
+  * executes before the walked plan exists and PlanGuard never sees
+  * it — but it cannot hide from the job counter, because a cartesian
+  * over the fixture inflates the stage/job structure immediately.
+  *
+  * Bounds are the sf0.001 fixture's measured counts +20% headroom
+  * (round counts are graph-structure-deterministic, so the measured
+  * numbers are stable; the headroom absorbs benign Spark-internal
+  * scheduling differences, not structural regressions). Measured on
+  * the round-9 barrier-reduction work: representatives 40 (was ~111
+  * shape-equivalent before AQE-off co-partitioned staging), pagerank
+  * 15, mmr 53, kmeans 11, semdedup 14, clusters 27.
+  */
+class JobCountSpec extends SparkSpecBase {
+
+  /** Run one registered query to the noop sink and count the jobs it
+    * launches. The listener bus is async: poll until the counter is
+    * stable for three consecutive 200 ms windows rather than sleeping
+    * a fixed interval (the undercount failure mode ADVICE r8 flagged
+    * in CountJobs). */
+  private def countJobs(name: String): Int = {
+    val fn = graft.SparkEntry.queries(name)
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      var stable = 0
+      var last = -1
+      while (stable < 3) {
+        Thread.sleep(200)
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      last
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private val bounds = Seq(
+    // measured +20%, rounded up
+    "q_dedup_representatives" -> 48,
+    "q_sim_pagerank" -> 18,
+    "q_knn_mmr" -> 64,
+    "q_sim_kmeans" -> 14,
+    "q_sim_semdedup" -> 17,
+    "q_sim_clusters" -> 33)
+
+  bounds.foreach { case (name, bound) =>
+    test(s"$name stays within $bound driver barriers on the fixture") {
+      val n = countJobs(name)
+      assert(n > 0, s"$name launched no jobs — counter broken?")
+      assert(n <= bound,
+        s"$name launched $n jobs (bound $bound): a barrier regression " +
+          "— look for new eager materializations, lost co-partitioning " +
+          "in the loop stages, or a cartesian in edge derivation")
+    }
+  }
+}
