@@ -1,0 +1,181 @@
+package graft.enrich
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Content-hash replay cache over any [[Enricher]] — the production
+  * idempotency layer the trait contract demands (Enricher.scala: a
+  * live-LLM impl must make task retries replays, SURVEY §7.4 hazard 2)
+  * and the engine form of the reference's save-every-doc resume
+  * semantics (catalog search/stage3_generate_summaries.py:1189-1242,
+  * which writes one JSON record per document so a killed run resumes
+  * where it stopped).
+  *
+  * Every call is keyed by md5 over (method name, full argument
+  * payload); the result is persisted as ONE small file under
+  * `cacheDir`, written tmp+rename so a record is either fully present
+  * or absent — never torn, even with concurrent tasks computing the
+  * same key (both write identical bytes; rename overwrites). A later
+  * call with the same key — a Spark task retry, a speculative
+  * duplicate, or a whole re-run after a crash — reads the file and
+  * makes ZERO inner calls.
+  *
+  * `embedBatch` caches per TEXT, not per batch: batch composition
+  * depends on upstream partitioning (32/50 batching over whatever rows
+  * the task holds), so batch-level keys would miss on any repartition;
+  * element keys replay regardless of how the rerun re-batches, and a
+  * partial batch calls the inner enricher only for the misses (in
+  * original positions, preserving index alignment).
+  *
+  * Storage: one file per call on a shared filesystem mount (the
+  * reference's own NAS model, and the same IO layer as
+  * sources.Artifacts). Values are raw UTF-8 — results are opaque
+  * strings (or float lists) and one file holds one record, so no
+  * escaping or framing is needed; `spark.read.text(cacheDir + "/<m>")`
+  * reads a method's cache as a table for audit. Fan-out over the first
+  * two key hex chars keeps directories small at corpus scale. Object
+  * stores without atomic rename (raw S3) need a real filesystem
+  * semantic layer in front — same caveat as any rename-based sink.
+  */
+final class CachingEnricher(inner: Enricher, cacheDir: String)
+    extends Enricher {
+
+  override def embeddingDims: Int = inner.embeddingDims
+
+  // ---- record store ----------------------------------------------------
+
+  private def md5hex(parts: Array[Array[Byte]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // length-prefix framing: no byte value occurring inside an argument
+    // can forge a part boundary, so ["ab","c"] never collides with
+    // ["ab c"] or ["a","bc"]
+    parts.foreach { p =>
+      md.update(s"${p.length}:".getBytes(UTF_8)); md.update(p)
+    }
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private def keyOf(method: String, args: Array[Array[Byte]]): String =
+    md5hex(method.getBytes(UTF_8) +: args)
+
+  private def recordPath(method: String, key: String): Path =
+    Paths.get(cacheDir, method, key.substring(0, 2), key)
+
+  private def lookup(p: Path): Option[Array[Byte]] =
+    if (Files.isRegularFile(p)) Some(Files.readAllBytes(p)) else None
+
+  private def store(p: Path, value: Array[Byte]): Unit = {
+    Files.createDirectories(p.getParent)
+    // unique tmp name per writer; ATOMIC_MOVE so readers never see a
+    // partial record (and concurrent identical writers race benignly)
+    val tmp = p.resolveSibling(
+      s".${p.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp, value)
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.FileSystemException =>
+      // a concurrent writer won the rename with identical content
+      Files.deleteIfExists(tmp)
+    }
+  }
+
+  private def cached(method: String, args: Array[Array[Byte]])(
+      compute: => Array[Byte]): Array[Byte] = {
+    val p = recordPath(method, keyOf(method, args))
+    lookup(p).getOrElse {
+      val v = compute
+      store(p, v)
+      v
+    }
+  }
+
+  private def s(v: String): Array[Byte] = v.getBytes(UTF_8)
+  private def str(b: Array[Byte]): String = new String(b, UTF_8)
+
+  // ---- Enricher surface ------------------------------------------------
+
+  override def chapterSegmentSummary(segment: String,
+      prevSummary: Option[String], isFinal: Boolean): String =
+    str(cached("chapter_segment_summary",
+      Array(s(segment), s(prevSummary.map("S" + _).getOrElse("N")),
+        s(isFinal.toString))) {
+      s(inner.chapterSegmentSummary(segment, prevSummary, isFinal))
+    })
+
+  override def sectionSummary(sectionContent: String, chapterSummary: String,
+      hierarchy: String, previousSummaries: Seq[String]): String =
+    str(cached("section_summary",
+      Array(s(sectionContent), s(chapterSummary), s(hierarchy)) ++
+        previousSummaries.map(s)) {
+      s(inner.sectionSummary(sectionContent, chapterSummary, hierarchy,
+        previousSummaries))
+    })
+
+  override def describeDocument(documentContent: String): (String, String) = {
+    // two strings framed by a length prefix (raw content needs no escape)
+    val b = cached("describe_document", Array(s(documentContent))) {
+      val (d, u) = inner.describeDocument(documentContent)
+      val db = s(d)
+      s(s"${db.length}\n") ++ db ++ s(u)
+    }
+    val text = str(b)
+    val nl = text.indexOf('\n')
+    val dLen = text.substring(0, nl).toInt
+    val rest = b.drop(nl + 1)
+    (new String(rest.take(dLen), UTF_8), new String(rest.drop(dLen), UTF_8))
+  }
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    val paths = texts.map(t => recordPath("embed", keyOf("embed", Array(s(t)))))
+    val hits: Seq[Option[Array[Float]]] = paths.map(p =>
+      lookup(p).map(b => str(b).split(',').map(java.lang.Float.parseFloat)))
+    val missIdx = hits.zipWithIndex.collect { case (None, i) => i }
+    if (missIdx.isEmpty) hits.map(_.get)
+    else {
+      val computed = inner.embedBatch(missIdx.map(texts))
+      val byIdx = missIdx.zip(computed).toMap
+      byIdx.foreach { case (i, vec) =>
+        // Float.toString round-trips exactly through parseFloat
+        store(paths(i), s(vec.map(_.toString).mkString(",")))
+      }
+      hits.zipWithIndex.map { case (h, i) => h.getOrElse(byIdx(i)) }
+    }
+  }
+
+  override def ocrPage(image: Array[Byte], pageNumber: Int): String =
+    str(cached("ocr_page", Array(image, s(pageNumber.toString))) {
+      s(inner.ocrPage(image, pageNumber))
+    })
+
+  override def visionAnalyze(passName: String, prompt: String,
+      image: Array[Byte]): String =
+    str(cached("vision_analyze", Array(s(passName), s(prompt), image)) {
+      s(inner.visionAnalyze(passName, prompt, image))
+    })
+
+  override def visionSynthesize(pageVisionData: Seq[(String, String)],
+      pageNumber: Int): String =
+    str(cached("vision_synthesize",
+      Array(s(pageNumber.toString)) ++
+        pageVisionData.flatMap { case (n, r) => Seq(s(n), s(r)) }) {
+      s(inner.visionSynthesize(pageVisionData, pageNumber))
+    })
+}
+
+/** Session wiring for the replay cache — the same seam pattern as
+  * `ops.Checkpoints`: a conf key selects the production posture, the
+  * default stays zero-config. */
+object CachingEnricher {
+
+  /** Session conf key: directory for the replay cache. Unset (the
+    * default) leaves the enricher unwrapped. */
+  val DirKey = "spark.graft.enrich.cache.dir"
+
+  /** Wrap `base` in a replay cache when [[DirKey]] is configured. */
+  def maybeCached(spark: org.apache.spark.sql.SparkSession,
+      base: Enricher): Enricher =
+    spark.conf.getOption(DirKey).filter(_.nonEmpty)
+      .map(dir => new CachingEnricher(base, dir))
+      .getOrElse(base)
+}

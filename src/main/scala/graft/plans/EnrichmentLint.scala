@@ -52,4 +52,45 @@ object EnrichmentLint {
     * referenced from multiple branches without an intervening persist. */
   def hasReexecutionRisk(ds: Dataset[_]): Boolean =
     check(ds).exists(_.multiBranch)
+
+  /** Speculation guard: true when the session runs with
+    * `spark.speculation=true` AND the plan contains an imperative
+    * (enrichment-capable) stage. Speculative execution launches
+    * DUPLICATE copies of slow tasks by design — with a live LLM/OCR
+    * client inside mapPartitions that means double-charged calls (and,
+    * at temperature > 0, divergent results) even when nothing fails.
+    * The replay cache (enrich.CachingEnricher) de-duplicates retries
+    * keyed by content, but a speculative twin racing the original can
+    * still both miss the not-yet-written record and both call the
+    * API — so speculation stays OFF for enrichment stages, and this
+    * lint is the machine check. */
+  def speculationHazard(ds: Dataset[_],
+      speculating: Option[Boolean] = None): Boolean = {
+    // spark.speculation is a core (launch-time) conf: the scheduler
+    // reads the SparkConf, never a session override — so the lint
+    // reads the same source. `speculating` injects the flag for tests
+    // (a live context's conf cannot be flipped at runtime).
+    val on = speculating.getOrElse(
+      ds.sparkSession.sparkContext.getConf
+        .getBoolean("spark.speculation", defaultValue = false))
+    on && {
+      var imperative = false
+      ds.queryExecution.analyzed.foreach { n =>
+        if (isImperative(n)) imperative = true
+      }
+      imperative
+    }
+  }
+
+  /** Loud form of [[speculationHazard]] for pipeline entry points:
+    * throws with remediation instead of returning a flag. */
+  def requireNoSpeculation(ds: Dataset[_],
+      speculating: Option[Boolean] = None): Unit =
+    if (speculationHazard(ds, speculating))
+      throw new IllegalStateException(
+        "spark.speculation=true with an enrichment stage in the plan: " +
+          "speculative duplicate tasks double-call the live client even " +
+          "without failures. Disable speculation for enrichment jobs " +
+          "(spark.speculation=false) or route calls through a replay " +
+          "cache AND accept the residual double-call race.")
 }

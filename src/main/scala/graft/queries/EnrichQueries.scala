@@ -22,7 +22,15 @@ import graft.text.FixtureCorpus
   * rows-only. */
 object EnrichQueries extends QueryModule {
 
-  private val enricher = new DeterministicEnricher(64)
+  private val baseEnricher = new DeterministicEnricher(64)
+
+  /** The session's enricher: the deterministic stub, wrapped in the
+    * content-hash replay cache when `spark.graft.enrich.cache.dir` is
+    * configured (CachingEnricher — task-retry idempotency + resume;
+    * same conf-key seam pattern as ops.Checkpoints). Results are
+    * identical either way: the cache replays, never transforms. */
+  private def enricher(spark: SparkSession): graft.enrich.Enricher =
+    graft.enrich.CachingEnricher.maybeCached(spark, baseEnricher)
 
   private def pages(spark: SparkSession, dir: String) = {
     import spark.implicits._
@@ -34,7 +42,7 @@ object EnrichQueries extends QueryModule {
 
   /** Stage-01: chapter summaries folded over segments, applied per page. */
   def enrichedPages(spark: SparkSession, dir: String): DataFrame =
-    EnrichStages.enrichPages(pages(spark, dir), enricher)
+    EnrichStages.enrichPages(pages(spark, dir), enricher(spark))
       .select(col("document_id"), col("chapter_number"), col("page_number"),
         col("chapter_page_count"),
         length(col("chapter_summary")).as("summary_len"),
@@ -44,7 +52,7 @@ object EnrichQueries extends QueryModule {
   /** Stage-02 G9: sequential section summaries with sliding context. */
   def sectionSummaries(spark: SparkSession, dir: String): DataFrame =
     EnrichStages.summarizeSections(
-      DocPipeline.pagesToSections(pages(spark, dir)), enricher)
+      DocPipeline.pagesToSections(pages(spark, dir)), enricher(spark))
       .select(col("document_id"), col("chapter_number"), col("section_number"),
         length(col("section_summary")).as("summary_len"),
         md5(col("section_summary")).as("summary_fp"),
@@ -60,7 +68,7 @@ object EnrichQueries extends QueryModule {
   def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
     val embedded = EnrichStages.embedChunks(
       DocPipeline.sectionsToChunks(DocPipeline.pagesToSections(pages(spark, dir))),
-      enricher)
+      enricher(spark))
     val norm = sqrt(aggregate(col("embedding"),
       lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
     embedded
@@ -118,7 +126,7 @@ object EnrichQueries extends QueryModule {
     import graft.enrich.{CostMeter, MeteredEnricher}
     import spark.implicits._
     val meter = new CostMeter(spark)
-    val metered = new MeteredEnricher(enricher, meter)
+    val metered = new MeteredEnricher(enricher(spark), meter)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .repartition(costParts, pmod(col("doc_id"), lit(costParts)))
@@ -139,7 +147,7 @@ object EnrichQueries extends QueryModule {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-    EnrichStages.describeDocuments(docs, enricher)
+    EnrichStages.describeDocuments(docs, enricher(spark))
       .toDF("doc_id", "description", "usage", "desc_vec", "usage_vec")
       .select(col("doc_id"), length(col("description")).as("desc_len"),
         length(col("usage")).as("usage_len"),
@@ -160,14 +168,14 @@ object EnrichQueries extends QueryModule {
   private def pipelineChunks(spark: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[graft.model.ChunkRecord] = {
     import graft.ops.DocPipeline
-    val enrichedPgs = EnrichStages.enrichPages(pages(spark, dir), enricher)
+    val enrichedPgs = EnrichStages.enrichPages(pages(spark, dir), enricher(spark))
     // chapter summaries ride along via the page records
     val summaries = enrichedPgs
       .groupBy(col("document_id"), col("chapter_number"))
       .agg(first(col("chapter_summary")).as("chapter_summary_agg"))
     val sections = EnrichStages.summarizeSections(
       DocPipeline.correctSectionPages(
-        DocPipeline.pagesToSections(pages(spark, dir))), enricher)
+        DocPipeline.pagesToSections(pages(spark, dir))), enricher(spark))
       .drop("chapter_summary")
       .join(summaries, Seq("document_id", "chapter_number"), "left")
       .withColumnRenamed("chapter_summary_agg", "chapter_summary")
@@ -179,7 +187,7 @@ object EnrichQueries extends QueryModule {
   def fullExport(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.DbExport
     val chunks = pipelineChunks(spark, dir)
-    val embedded = EnrichStages.embedChunks(chunks, enricher)
+    val embedded = EnrichStages.embedChunks(chunks, enricher(spark))
       .select(col("document_id"), col("chapter_number"),
         col("section_number"), col("chunk_number"), col("embedding"))
     val full = chunks.join(embedded,
@@ -204,11 +212,11 @@ object EnrichQueries extends QueryModule {
   def retrieve(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chunks = pipelineChunks(spark, dir)
-    val embedded = EnrichStages.embedChunks(chunks, enricher).toDF()
+    val embedded = EnrichStages.embedChunks(chunks, enricher(spark)).toDF()
       .filter(col("embedding").isNotNull)
       .select(col("chapter_number"), col("section_number"),
         col("chunk_number"), col("embedding"))
-    val qv = enricher.embedBatch(Seq(RetrieveQuery)).head
+    val qv = enricher(spark).embedBatch(Seq(RetrieveQuery)).head
     val qd = array(qv.toIndexedSeq.map(x => lit(x.toDouble)): _*)
     val scored = embedded.withColumn("cos_sim",
       round(graft.functions.GraftFunctions.dot(
@@ -238,7 +246,7 @@ object EnrichQueries extends QueryModule {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-    val described = EnrichStages.describeDocuments(docs, enricher)
+    val described = EnrichStages.describeDocuments(docs, enricher(spark))
       .toDF("doc_id", "document_description", "document_usage", "desc_vec", "usage_vec")
       .withColumn("document_source", concat(lit("src"), col("doc_id") % 20))
       .withColumn("document_type", lit("synthetic"))

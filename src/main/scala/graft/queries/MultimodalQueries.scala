@@ -63,7 +63,7 @@ object MultimodalQueries extends QueryModule {
         encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Int, Array[Byte])]
     graft.ops.EnrichStages.visionPages(pages,
-      new graft.enrich.DeterministicEnricher(64))
+      graft.enrich.CachingEnricher.maybeCached(spark, new graft.enrich.DeterministicEnricher(64)))
       .toDF("doc_id", "page_number", "markdown", "n_passes")
       .select(col("doc_id"), col("page_number"), col("n_passes"),
         length(col("markdown")).as("md_len"))
@@ -100,7 +100,7 @@ object MultimodalQueries extends QueryModule {
         encode(col("page"), "UTF-8").as("image"))
       .as[(Long, Int, Array[Byte])]
     val md = graft.ops.EnrichStages.ocrPages(pages,
-      new graft.enrich.DeterministicEnricher(64))
+      graft.enrich.CachingEnricher.maybeCached(spark, new graft.enrich.DeterministicEnricher(64)))
       .toDF("doc_id", "page_number", "md")
     val perDoc = md.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pages"),
@@ -162,7 +162,7 @@ object MultimodalQueries extends QueryModule {
     * a value check across four composed stages. */
   def visionCatalog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val enricher = new graft.enrich.DeterministicEnricher(64)
+    val enricher = graft.enrich.CachingEnricher.maybeCached(spark, new graft.enrich.DeterministicEnricher(64))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]

@@ -25,6 +25,27 @@ class EnrichmentLintSpec extends SparkSpecBase {
     assert(!EnrichmentLint.hasReexecutionRisk(embedded))
   }
 
+  test("speculation guard: flags speculation × enrichment, and ONLY that") {
+    val embedded = EnrichStages.embedChunks(chunks, enricher)
+    // polarity 1: speculation off (the real conf of this test context,
+    // read through the default path) → no hazard even with enrichment
+    assert(!EnrichmentLint.speculationHazard(embedded))
+    // polarity 2: speculation on + enrichment stage → hazard, loudly
+    // (a live context's core conf cannot be flipped, so the flag is
+    // injected — the same value the SparkConf path would return under
+    // spark-submit --conf spark.speculation=true)
+    assert(EnrichmentLint.speculationHazard(embedded, Some(true)))
+    val e = intercept[IllegalStateException] {
+      EnrichmentLint.requireNoSpeculation(embedded, Some(true))
+    }
+    assert(e.getMessage.contains("speculation"))
+    // polarity 3: speculation on but a purely relational plan (no
+    // imperative node anywhere) → clean
+    val relational = spark.range(10).toDF().selectExpr("id * 2 as v")
+    assert(!EnrichmentLint.speculationHazard(relational, Some(true)))
+    EnrichmentLint.requireNoSpeculation(relational, Some(true)) // no throw
+  }
+
   test("self-joined enrichment subtree is flagged") {
     val embedded = EnrichStages.embedChunks(chunks, enricher)
     val a = embedded.select("document_id", "chapter_number", "section_number",
