@@ -272,6 +272,53 @@ object StreamingRefresh {
       .toDF("doc_id", "pos", "line")
   }
 
+  /** Streaming duplicated-substring dedup: the incremental form of
+    * `CorpusFilters.dropDuplicatedSubstrings` for a document feed.
+    * Each arriving doc is tiled into the SAME non-overlapping n-word
+    * spans as the batch operator (shared `CorpusFilters.wordTiles`);
+    * the first (doc, tile) to present a span value claims it — within
+    * a micro-batch by min (doc_id, tile), the batch operator's exact
+    * first-occurrence rule — and the claim is STICKY across batches: a
+    * later duplicate emits nothing and a smaller doc id arriving later
+    * cannot retro-steal (append mode never retracts published tiles,
+    * the same cross-batch contract as `lineDedupStream`).
+    *
+    * State per distinct span value is ONE boolean; at 100 TB the same
+    * job shards the stream by span-hash range so each shard's RocksDB
+    * store holds its slice (RocksDbStateSpec runs this operator under
+    * the RocksDB provider). Emits surviving (doc_id, tile, gram) rows;
+    * the per-doc rebuild (kept count + md5 of space-joined kept tiles)
+    * is a batch aggregation over the drained sink, exactly like the
+    * other streaming legs leave rollup to the consumer. Under
+    * Trigger.AvailableNow the drain therefore rebuilds to the batch
+    * operator's kept_fp md5 per doc — SubstringDedupStreamSpec pins
+    * it. */
+  def substringDedupStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    requireIntegralId(docs, idCol, "substringDedupStream")
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(graft.ops.CorpusFilters.wordTiles(col(textCol), n))
+          .as(Seq("tile", "gram")))
+      .select(col("id"), col("tile").cast("int").as("tile"), col("gram"))
+      .as[(Long, Int, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (gram: String, rows: Iterator[(Long, Int, String)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val (id, tile, _) = rows.minBy(r => (r._1, r._2))
+            state.update(true)
+            Iterator((id, tile, gram))
+          }
+      }
+      .toDF("doc_id", "tile", "gram")
+  }
+
   /** Streaming benchmark decontamination: the incremental form of
     * `CorpusFilters.decontaminate` for a document feed — each arriving
     * doc's distinct word n-grams are probed against the STATIC
