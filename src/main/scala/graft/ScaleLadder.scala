@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end wall-scale ladder for the heavy composite operators —
+  * the complement to PairScaleLadderSpec (which pins CANDIDATE growth
+  * of the pair generators, a volume metric): this tool measures whole
+  * operators — graph cluster-representatives, corpus-wide substring
+  * removal, sequence packing — on synthetic corpora with LINEAR
+  * planted structure at two sizes, and reports the growth exponent
+  * log(t_big/t_small) / log(ratio). An exponent near 1 means the
+  * operator's cost tracks the corpus; near 2 means a quadratic term
+  * slipped in (the failure mode every bucketing/equi-join design
+  * choice in these operators exists to prevent).
+  *
+  * Run:   runMain graft.ScaleLadder [nSmall=2000] [ratio=10]
+  * Output: one JSON line per operator with cold+steady times at both
+  * sizes and the steady exponent; results are recorded in COVERAGE.md
+  * per round rather than asserted in CI (wall time on the shared host
+  * carries ±25% noise — the recorded exponents are the contract, the
+  * spec-grade volume pins live in PairScaleLadderSpec).
+  */
+object ScaleLadder {
+
+  /** Documents with linear near-dup structure: n docs of `words`
+    * random 6-letter words; every 10th doc gets a partner differing in
+    * one word (same construction as PairScaleLadderSpec.planted, 60
+    * words so substring tiles have room). Random words over 26^6 keep
+    * accidental cross-doc tile collisions negligible — duplicated
+    * spans come only from the planted pairs, so TRUE structure is
+    * linear in n. */
+  private def plantedDocs(spark: SparkSession, n: Int, seed: Int,
+      words: Int = 60): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    def word(): String = Array.fill(6)(('a' + rnd.nextInt(26)).toChar).mkString
+    (0 until n).flatMap { i =>
+      val ws = Array.fill(words)(word())
+      val doc = (i.toLong, i.toLong % 7, ws.mkString(" "))
+      if (i % 10 == 0) {
+        val dup = ws.clone(); dup(17) = word()
+        Seq(doc, (i.toLong + 10000000L, i.toLong % 7, dup.mkString(" ")))
+      } else Seq(doc)
+    }.toDF("doc_id", "stratum", "text")
+  }
+
+  /** Embeddings with linear near-dup structure: n unit vectors; every
+    * 10th gets a partner displaced by small noise (cosine ≈ 0.999), so
+    * the ≥-threshold pair graph is linear in n. */
+  private def plantedEmbeddings(spark: SparkSession, n: Int, seed: Int,
+      dims: Int = 64): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).flatMap { i =>
+      val v = Array.fill(dims)(rnd.nextGaussian().toFloat)
+      val row = (i.toLong, v.toSeq)
+      if (i % 10 == 0) {
+        val dup = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+        Seq(row, (i.toLong + 10000000L, dup.toSeq))
+      } else Seq(row)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val nSmall = args.headOption.map(_.toInt).getOrElse(2000)
+    val ratio = args.lift(1).map(_.toInt).getOrElse(10)
+    val nBig = nSmall * ratio
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def f3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // inputs staged once per size so generation cost (driver-side
+    // synthesis) never pollutes the operator timings
+    def staged(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      out.count()
+      out
+    }
+    val docsS = staged(plantedDocs(spark, nSmall, seed = 7))
+    val docsL = staged(plantedDocs(spark, nBig, seed = 11))
+    val embS = staged(plantedEmbeddings(spark, nSmall, seed = 7))
+    val embL = staged(plantedEmbeddings(spark, nBig, seed = 11))
+
+    val ops: Seq[(String, DataFrame, DataFrame, DataFrame => Unit)] = Seq(
+      ("cluster_representatives", embS, embL, { emb: DataFrame =>
+        val pairs = graft.ops.Similarity
+          .cosinePairsAdaptive(emb, 0.85, maxPlanes = 24)
+          .select(col("vec_a"), col("vec_b"))
+        materialize(graft.ops.Graph.clusterRepresentatives(
+          emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b"))
+      }),
+      ("drop_substrings", docsS, docsL, { docs: DataFrame =>
+        materialize(graft.ops.CorpusFilters
+          .dropDuplicatedSubstrings(docs, "doc_id", "text", 4))
+      }),
+      ("pack_sequences", docsS, docsL, { docs: DataFrame =>
+        materialize(graft.ops.CorpusFilters
+          .packSequences(docs, "doc_id", "stratum", "text", 256))
+      }))
+
+    ops.foreach { case (name, small, big, run) =>
+      // cold then steady at each size; the steady pair is the exponent
+      val coldS = time(run(small)); val steadyS = time(run(small))
+      val coldL = time(run(big)); val steadyL = time(run(big))
+      val exp = math.log(steadyL / steadyS) / math.log(ratio.toDouble)
+      println(s"""{"op":"$name","n_small":$nSmall,"n_big":$nBig,""" +
+        s""""cold_small":${f3(coldS)},"steady_small":${f3(steadyS)},""" +
+        s""""cold_big":${f3(coldL)},"steady_big":${f3(steadyL)},""" +
+        s""""steady_exponent":${f3(exp)}}""")
+    }
+    spark.stop()
+  }
+}
