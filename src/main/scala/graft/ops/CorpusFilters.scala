@@ -180,24 +180,28 @@ object CorpusFilters {
     * O(1) per-doc executor memory, so one adversarially long document
     * (millions of tiles) streams through instead of materializing in a
     * single `collect_list` aggregation buffer. */
-  /** Non-overlapping n-word tiles of a text column (the disjoint-span
-    * form duplicated-substring REMOVAL requires — shared by the batch
-    * operator and the streaming leg so both tile identically). */
-  def wordTiles(text: Column, n: Int): Column = {
-    val w = split(text, "\\s+")
+  /** Non-overlapping n-word tiles over an ALREADY-SPLIT words array
+    * (the disjoint-span form duplicated-substring REMOVAL requires —
+    * shared by the batch operator and the streaming leg so both tile
+    * identically). Takes the array, not the text, for the same reason
+    * as `wordNgramsOf`: the array column is referenced once per tile
+    * inside the lambda, so the caller must project the split in a
+    * SEPARATE select — inlining `split` here would re-tokenize the
+    * whole text for every tile (measured 3× on the sf0.1 corpus). */
+  def wordTilesOf(w: Column, n: Int): Column =
     // `/` on Columns is DOUBLE division — cast for the integer tile
     // count ⌈size/n⌉ = (size-1) div n + 1 (size ≥ 1 always: split("")
     // is [""])
     transform(
       sequence(lit(0), ((size(w) - 1) / n).cast("int")),
       i => array_join(slice(w, i * n + 1, lit(n)), " "))
-  }
 
   def dropDuplicatedSubstrings(df: DataFrame, docId: String, textCol: String,
       n: Int): DataFrame = {
     val tiles = df
+      .select(col(docId), split(col(textCol), "\\s+").as("_w"))
       .select(col(docId),
-        posexplode(wordTiles(col(textCol), n)).as(Seq("tile", "gram")))
+        posexplode(wordTilesOf(col("_w"), n)).as(Seq("tile", "gram")))
     val firstSeen = tiles
       .groupBy(col("gram"))
       .agg(min(struct(col(docId).as("d"), col("tile").as("p"))).as("first_at"))

@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Session-unique suffix source for CC's convergence Observations. */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Portable 32-bit hash: first 8 md5 hex digits as a long in [0, 2^32). */
   def h32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
@@ -222,7 +225,11 @@ object Dedup {
       // object-serialization boundary (an earlier mapPartitions +
       // accumulator variant paid a Row-encoder round trip per row per
       // round that measured ~45% of the whole query's steady time).
-      val obs = org.apache.spark.sql.Observation(s"graft_cc_r$rounds")
+      // name must be session-unique: two CC invocations in one session
+      // (or parallel specs) would otherwise register same-named
+      // observations whose listeners could read each other's metrics
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_cc_${Dedup.obsSeq.incrementAndGet()}_r$rounds")
       val next = Checkpoints.stage(
         halved.observe(obs,
             sum((col("_cc2") < col("_cc")).cast("long")).as("changed"))

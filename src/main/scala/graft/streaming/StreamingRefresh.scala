@@ -301,7 +301,9 @@ object StreamingRefresh {
     requireIntegralId(docs, idCol, "substringDedupStream")
     docs
       .select(col(idCol).cast("long").as("id"),
-        posexplode(graft.ops.CorpusFilters.wordTiles(col(textCol), n))
+        split(col(textCol), "\\s+").as("_w"))
+      .select(col("id"),
+        posexplode(graft.ops.CorpusFilters.wordTilesOf(col("_w"), n))
           .as(Seq("tile", "gram")))
       .select(col("id"), col("tile").cast("int").as("tile"), col("gram"))
       .as[(Long, Int, String)]

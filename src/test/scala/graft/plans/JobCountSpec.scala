@@ -34,15 +34,23 @@ class JobCountSpec extends SparkSpecBase {
     * launches. The listener bus is async: poll until the counter is
     * stable for three consecutive 200 ms windows rather than sleeping
     * a fixed interval (the undercount failure mode ADVICE r8 flagged
-    * in CountJobs). */
+    * in CountJobs). Counting is scoped to a per-test JOB GROUP so
+    * suites running in parallel on the shared session cannot inflate
+    * the number: jobs submitted from this thread carry the group id,
+    * and AQE's async stage materializations inherit it too (Spark
+    * captures the submitting thread's local properties into them). */
   private def countJobs(name: String): Int = {
     val fn = graft.SparkEntry.queries(name)
+    val group = s"graft-jobcount-$name"
     val jobs = new AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (Option(js.properties)
+            .exists(p => p.getProperty("spark.jobGroup.id") == group))
+          jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, s"job-count pin for $name")
     try {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       var stable = 0
@@ -53,7 +61,10 @@ class JobCountSpec extends SparkSpecBase {
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
       last
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   private val bounds = Seq(
