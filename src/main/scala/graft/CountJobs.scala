@@ -28,6 +28,8 @@ object CountJobs {
     val verbose = args.contains("-v")
     val profile = args.contains("-p")
     val jobsByExec = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val execLog = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Long, Int, Int, Int)]()
     if (profile) {
       // per-execution profile: which action ran, how many exchanges its
       // executed plan carried, and (via spark.sql.execution.id on each
@@ -42,9 +44,9 @@ object CountJobs {
             val sh = "ShuffleQueryStage".r.findAllIn(p).length
             val reuse = "ReusedExchange|table cache".r.findAllIn(p).length
             val bc = "BroadcastQueryStage".r.findAllIn(p).length
-            val nJobs = jobsByExec.getOrDefault(qe.id.toString, 0)
-            System.err.println(
-              f"[prof] exec=${qe.id}%-4d $funcName%-16s ms=${durationNs / 1000000}%-6d jobs=$nJobs%-3d shuffleStages=$sh%-3d bcastStages=$bc%-3d reused=$reuse%-3d")
+            // job attribution is printed AFTER stop() (the async bus
+            // may not have delivered this execution's job starts yet)
+            execLog.add((qe.id, funcName, durationNs / 1000000, sh, bc, reuse))
           }
           override def onFailure(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
@@ -79,6 +81,15 @@ object CountJobs {
       import scala.jdk.CollectionConverters._
       sites.asScala.toSeq.sortBy(-_._2.intValue).foreach { case (s, n) =>
         println(s"  $n  $s") }
+    }
+    if (profile) {
+      import scala.jdk.CollectionConverters._
+      execLog.asScala.toSeq.sortBy(_._1).foreach {
+        case (id, fn2, ms, sh, bc, reuse) =>
+          val nJobs = jobsByExec.getOrDefault(id.toString, 0)
+          System.err.println(
+            f"[prof] exec=$id%-4d $fn2%-16s ms=$ms%-6d jobs=$nJobs%-3d shuffleStages=$sh%-3d bcastStages=$bc%-3d reused=$reuse%-3d")
+      }
     }
   }
 }

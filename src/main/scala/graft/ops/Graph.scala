@@ -62,14 +62,16 @@ object Graph {
   // iteration — at 100 TB the edge list is the big frame, so this is
   // the shuffle that matters.
 
-  /** Step 1 of the two-step staging: materialize the pair GENERATION
-    * (often an LSH candidate join — skew-prone, exactly what AQE's
-    * runtime re-planning is for) under normal AQE. Its count then
-    * sizes the loop partitioning. */
+  /** Step 1 of the two-step staging: the pair GENERATION (often an
+    * LSH candidate join — skew-prone, exactly what AQE's runtime
+    * re-planning is for) compiles under normal AQE. Staged LAZY: the
+    * caller's `p.count()` (which it needs anyway to size the loop
+    * partitioning) is the materializing action, so generation costs
+    * ONE barrier, not a stage barrier plus a count. */
   private[graft] def stagePairs(pairs: DataFrame,
       aCol: String, bCol: String): DataFrame =
     Checkpoints.stage(
-      pairs.select(col(aCol).as("_a"), col(bCol).as("_b")), eager = true)
+      pairs.select(col(aCol).as("_a"), col(bCol).as("_b")), eager = false)
 
   /** Step 2: the cheap symmetrize + repartition + sort stages AQE-off
     * so the loop partitioning AND ordering survive into the staged
