@@ -93,10 +93,24 @@ object Checkpoints {
     * plan compile (construction-time, not run-time: the physical plan
     * and RDD of a checkpoint are built at the `stage` call even when
     * lazy). */
+  /** Session conf key: set true to compile keepPartitioning stages
+    * under AQE after all. The loop joins then pay a re-exchange of the
+    * staged frames every round (checkpoint forgets partitioning under
+    * AQE) but regain AQE's runtime skew-splitting — the right trade
+    * for a graph with a GIANT component, where the CC pointer-halving
+    * join's key (the candidate label) concentrates onto the component
+    * minimum in late rounds and a static plan would funnel that
+    * component's rows through one task. Default false: near-dup
+    * components are typically small and exchange-free rounds win.
+    * Results are identical either way (spec-pinned). */
+  val LoopAqeKey = "spark.graft.loop.aqe"
+
   def stage(df: DataFrame, eager: Boolean,
       keepPartitioning: Boolean = false): DataFrame = {
-    if (keepPartitioning) {
-      val session = df.sparkSession
+    val session = df.sparkSession
+    val aqeRounds =
+      session.conf.getOption(LoopAqeKey).exists(_.toBoolean)
+    if (keepPartitioning && !aqeRounds) {
       val key = "spark.sql.adaptive.enabled"
       val prev = session.conf.get(key)
       session.conf.set(key, "false")

@@ -139,7 +139,17 @@ object Dedup {
     * `maxRounds` is a loud guard, not a silent cap: exceeding it throws
     * IllegalStateException rather than returning half-merged components.
     * With shortcutting, 64 rounds covers diameters ≈ 2^63 — hitting the
-    * guard means the input, not the bound, is wrong. */
+    * guard means the input, not the bound, is wrong.
+    *
+    * Skew note: the pointer-halving self-join keys on the CANDIDATE
+    * LABEL, which concentrates onto each component's minimum as rounds
+    * converge — for a graph dominated by one giant component the
+    * default exchange-free AQE-off round compile would funnel that
+    * component through one task in late rounds. Such deployments set
+    * `Checkpoints.LoopAqeKey` (spark.graft.loop.aqe=true) to compile
+    * rounds under AQE instead: each round then re-exchanges the staged
+    * frames but regains runtime skew-splitting. Results are identical
+    * either way (ReliableCheckpointSpec pins it). */
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 64): DataFrame =
