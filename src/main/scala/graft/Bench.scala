@@ -229,8 +229,10 @@ object Bench {
       adjudicateOutliers(spark, sfDir, extraResults, extraMin.toMap)
     // the headline `value` uses the adjudicated number where one exists
     // (the isolated re-measure is the number that extrapolates to a
-    // cluster job; the raw in-suite median stays visible in `queries`)
-    val adjMap = adjudicated.toMap
+    // cluster job; the raw in-suite median stays visible in `queries`).
+    // A FAILED re-measure reports -1 in `adjudicated` (visible) but
+    // must not poison the sum — fall back to the raw median then.
+    val adjMap = adjudicated.toMap.filter(_._2 >= 0)
     val totalAdj = results
       .collect { case (n, v) if v >= 0 => adjMap.getOrElse(n, v) }.sum
 

@@ -12,9 +12,13 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.CountJobs <queryName> [sfDir]. */
 object CountJobs {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(
-      throw new IllegalArgumentException("usage: CountJobs <queryName> [sfDir]"))
-    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    // flags and positionals may come in any order; a flag must never
+    // be mistaken for the data directory
+    val positional = args.filterNot(_.startsWith("-"))
+    val name = positional.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "usage: CountJobs <queryName> [sfDir] [-v] [-p]"))
+    val sfDir = positional.lift(1).getOrElse("/root/testdata/sf0.1")
     val fn = SparkEntry.queries.getOrElse(name,
       throw new IllegalArgumentException(s"unknown query: $name"))
     val spark = SparkSession.builder()
@@ -78,9 +82,11 @@ object CountJobs {
     spark.stop()
     println(s"""{"query":"$name","sf":"$sfDir","jobs":${jobs.get()}}""")
     if (verbose) {
+      // diagnostics go to stderr: stdout carries exactly one JSON line
+      // (the same contract the bench establishes for its consumers)
       import scala.jdk.CollectionConverters._
       sites.asScala.toSeq.sortBy(-_._2.intValue).foreach { case (s, n) =>
-        println(s"  $n  $s") }
+        System.err.println(s"  $n  $s") }
     }
     if (profile) {
       import scala.jdk.CollectionConverters._

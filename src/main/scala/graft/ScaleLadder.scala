@@ -89,11 +89,7 @@ object ScaleLadder {
 
     // inputs staged once per size so generation cost (driver-side
     // synthesis) never pollutes the operator timings
-    def staged(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true)
-      out.count()
-      out
-    }
+    def staged(df: DataFrame): DataFrame = df.localCheckpoint(true)
     val docsS = staged(plantedDocs(spark, nSmall, seed = 7))
     val docsL = staged(plantedDocs(spark, nBig, seed = 11))
     val embS = staged(plantedEmbeddings(spark, nSmall, seed = 7))

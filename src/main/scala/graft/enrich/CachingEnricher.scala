@@ -36,6 +36,16 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * two key hex chars keeps directories small at corpus scale. Object
   * stores without atomic rename (raw S3) need a real filesystem
   * semantic layer in front — same caveat as any rename-based sink.
+  *
+  * Composition order with the cost meter depends on what the meter
+  * should measure. To bill actual API SPEND, wrap the metered enricher
+  * in the cache — `new CachingEnricher(new MeteredEnricher(live,
+  * meter), dir)` — so replays cost zero. To report the WORKLOAD's
+  * deterministic cost regardless of cache state, wrap the cache in the
+  * meter — which is exactly what EnrichQueries.enrichmentCost does
+  * (`new MeteredEnricher(enricher(spark), meter)`), keeping
+  * q_enrich_cost_report hash-identical whether or not a cache dir is
+  * configured. Both orders are correct; pick by which number you need.
   */
 final class CachingEnricher(inner: Enricher, cacheDir: String)
     extends Enricher {
@@ -73,10 +83,20 @@ final class CachingEnricher(inner: Enricher, cacheDir: String)
     Files.write(tmp, value)
     try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.FileSystemException =>
-      // a concurrent writer won the rename with identical content
-      Files.deleteIfExists(tmp)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // filesystem without atomic rename: a plain same-dir move is
+        // still atomic on POSIX, and losing the atomicity guarantee
+        // beats losing the cache
+        Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+      case e: java.nio.file.FileSystemException =>
+        Files.deleteIfExists(tmp)
+        // benign ONLY when a concurrent writer won the rename (the
+        // record exists with identical content); anything else — full
+        // disk, permissions, quota — must be LOUD, or the cache is
+        // silently disabled and every retry re-calls the live client,
+        // the exact hazard this class exists to prevent
+        if (!Files.isRegularFile(p)) throw e
     }
   }
 

@@ -52,9 +52,18 @@ object Checkpoints {
     new java.util.concurrent.ConcurrentLinkedQueue[
       (DataFrame, org.apache.spark.rdd.RDD[_])]()
 
+  /** Bound on pending lazy-stage caches: a plan-only consumer in
+    * reliable mode constructs lazy stages that may NEVER materialize,
+    * so their queue entries would otherwise accumulate forever. Beyond
+    * this many, the oldest cache is force-unpersisted and dropped —
+    * semantically safe at any time: a deferred write that later runs
+    * simply recomputes its subtree instead of reading the cache. */
+  private val MaxPending = 32
+
   /** Release caches whose deferred reliable checkpoint has
-    * materialized. Safe to call at any time from any thread; never
-    * unpersists a cache the deferred write still needs. */
+    * materialized (plus the force-evicted overflow — see MaxPending).
+    * Safe to call at any time from any thread; never loses data (an
+    * evicted cache only costs a recompute if its write ever runs). */
   def sweep(): Unit = {
     val it = pendingUnpersist.iterator()
     while (it.hasNext) {
@@ -63,6 +72,10 @@ object Checkpoints {
         cached.unpersist(blocking = false)
         it.remove()
       }
+    }
+    while (pendingUnpersist.size() > MaxPending) {
+      val oldest = pendingUnpersist.poll()
+      if (oldest != null) oldest._1.unpersist(blocking = false)
     }
   }
 
@@ -111,10 +124,18 @@ object Checkpoints {
     val aqeRounds =
       session.conf.getOption(LoopAqeKey).exists(_.toBoolean)
     if (keepPartitioning && !aqeRounds) {
-      val key = "spark.sql.adaptive.enabled"
-      val prev = session.conf.get(key)
-      session.conf.set(key, "false")
-      try stageImpl(df, eager) finally session.conf.set(key, prev)
+      // the read-flip-restore must be atomic across threads, or two
+      // concurrent keepPartitioning stages can interleave so one
+      // "restores" the other's false and AQE stays off for the whole
+      // session; the lock makes the flip window race-free (a concurrent
+      // UNRELATED query compiling inside the window still sees AQE off
+      // — the documented session-visibility caveat of this seam)
+      Checkpoints.synchronized {
+        val key = "spark.sql.adaptive.enabled"
+        val prev = session.conf.get(key)
+        session.conf.set(key, "false")
+        try stageImpl(df, eager) finally session.conf.set(key, prev)
+      }
     } else stageImpl(df, eager)
   }
 

@@ -160,11 +160,11 @@ object Dedup {
   private[graft] def connectedComponentsRounds(vertices: DataFrame,
       idCol: String, edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 64): (DataFrame, Int) = {
-    val p = Graph.stagePairs(edges, srcCol, dstCol)
-    val loopP = Graph.loopPartitions(vertices,
-      math.max(vertices.count(), 2 * p.count()))
-    connectedComponentsSymRounds(vertices, idCol,
-      Graph.stagedSymFrom(p, loopP), loopP, maxRounds)
+    // ONE sizing rule for the whole iterative family: the shared
+    // loopGeometry decides the staged layout, so CC-standalone can
+    // never drift from the shared-sym path's co-partitioning contract
+    val (sym, _, loopP) = Graph.loopGeometry(vertices, edges, srcCol, dstCol)
+    connectedComponentsSymRounds(vertices, idCol, sym, loopP, maxRounds)
   }
 
   /** Connected components over an ALREADY-staged symmetric (_s, _d)

@@ -91,7 +91,7 @@ object Graph {
     * just-staged blocks), and size the loop partitioning from
     * max(|V|, symmetrized |E|). Shared by every public entry so CC
     * and PR agree on the layout. */
-  private def loopGeometry(vertices: DataFrame, pairs: DataFrame,
+  private[graft] def loopGeometry(vertices: DataFrame, pairs: DataFrame,
       aCol: String, bCol: String): (DataFrame, Long, Int) = {
     val p = stagePairs(pairs, aCol, bCol)
     val nV = vertices.count()

@@ -14,6 +14,14 @@ import graft.ops.Multimodal
   * stub guarantees are pinned at zero. */
 object MultimodalQueries extends QueryModule {
 
+  /** The session's enricher for the multimodal stages — deterministic
+    * stub behind the same replay-cache seam as EnrichQueries.enricher
+    * (spark.graft.enrich.cache.dir), defined once so the wiring cannot
+    * diverge between call sites. */
+  private def enricher(spark: org.apache.spark.sql.SparkSession): graft.enrich.Enricher =
+    graft.enrich.CachingEnricher.maybeCached(spark,
+      new graft.enrich.DeterministicEnricher(64))
+
   private def media(spark: SparkSession, dir: String) = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -63,7 +71,7 @@ object MultimodalQueries extends QueryModule {
         encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Int, Array[Byte])]
     graft.ops.EnrichStages.visionPages(pages,
-      graft.enrich.CachingEnricher.maybeCached(spark, new graft.enrich.DeterministicEnricher(64)))
+      enricher(spark))
       .toDF("doc_id", "page_number", "markdown", "n_passes")
       .select(col("doc_id"), col("page_number"), col("n_passes"),
         length(col("markdown")).as("md_len"))
@@ -100,7 +108,7 @@ object MultimodalQueries extends QueryModule {
         encode(col("page"), "UTF-8").as("image"))
       .as[(Long, Int, Array[Byte])]
     val md = graft.ops.EnrichStages.ocrPages(pages,
-      graft.enrich.CachingEnricher.maybeCached(spark, new graft.enrich.DeterministicEnricher(64)))
+      enricher(spark))
       .toDF("doc_id", "page_number", "md")
     val perDoc = md.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pages"),
@@ -162,14 +170,14 @@ object MultimodalQueries extends QueryModule {
     * a value check across four composed stages. */
   def visionCatalog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val enricher = graft.enrich.CachingEnricher.maybeCached(spark, new graft.enrich.DeterministicEnricher(64))
+    val sessionEnricher = enricher(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
     val pages = graft.ops.BinaryDocs.splitPages(docs)
       .select(col("doc_id"), col("page_number").cast("int"), col("page"))
       .as[(Long, Int, Array[Byte])]
-    val md = graft.ops.EnrichStages.visionPages(pages, enricher)
+    val md = graft.ops.EnrichStages.visionPages(pages, sessionEnricher)
       .toDF("doc_id", "page_number", "markdown", "n_passes")
     val perDoc = md.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_pages"),
@@ -179,7 +187,7 @@ object MultimodalQueries extends QueryModule {
             .getField("markdown"), "\n\n").as("document_md"))
     val described = graft.ops.EnrichStages.describeDocuments(
       perDoc.select(col("doc_id"), col("document_md")).as[(Long, String)],
-      enricher)
+      sessionEnricher)
       .toDF("doc_id", "description", "usage", "desc_vec", "usage_vec")
       .select(col("doc_id"), size(col("desc_vec")).as("desc_dims"))
     Tables.documents(spark, dir).select(col("doc_id"))
