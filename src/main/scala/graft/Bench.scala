@@ -119,22 +119,36 @@ object Bench {
     * number is reported alongside in `adjudicated`. The recorded
     * median is NOT overwritten: both numbers ship, so the trendline
     * stays honest and the outlier is explained in the same artifact. */
-  private def adjudicateOutliers(spark: SparkSession, sfDir: String,
+  /** The selection rule alone, pure and spec-testable (BenchLogicSpec):
+    * a query is re-measured iff its median is valid, it has a valid
+    * baseline, AND it exceeds BOTH the 3× relative and the 0.5 s
+    * absolute threshold — the absolute guard keeps sub-second queries
+    * from burning end-of-run re-measures on noise. `measure` returns
+    * the isolated number (or -1.0 for a failed re-measure, which ships
+    * visibly in `adjudicated` but never enters the headline sum). */
+  private[graft] def selectOutliers(
       medians: Seq[(String, Double)],
-      baseline: Map[String, Double]): Seq[(String, Double)] =
+      baseline: Map[String, Double],
+      measure: String => Option[Double]): Seq[(String, Double)] =
     medians.flatMap { case (name, med) =>
       val base = baseline.getOrElse(name, -1.0)
       if (med < 0 || base <= 0 || med <= 3 * base || med - base <= 0.5) None
-      else SparkEntry.queries.get(name).map { fn =>
+      else measure(name).map(name -> _)
+    }
+
+  private def adjudicateOutliers(spark: SparkSession, sfDir: String,
+      medians: Seq[(String, Double)],
+      baseline: Map[String, Double]): Seq[(String, Double)] =
+    selectOutliers(medians, baseline, name =>
+      SparkEntry.queries.get(name).map { fn =>
         val reps = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 }
         }.sorted
-        name -> (if (reps.exists(_ < 0)) -1.0 else reps(reps.length / 2))
-      }
-    }
+        if (reps.exists(_ < 0)) -1.0 else reps(reps.length / 2)
+      })
 
   private def jsonNum(results: Seq[(String, Double)]): String =
     results.map { case (k, v) => "\"" + k + "\":" + f3(v) }

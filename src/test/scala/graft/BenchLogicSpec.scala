@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's self-adjudication selection rule — pure logic, pinned
+  * without a Spark session: which queries earn an end-of-run isolated
+  * re-measure, and how a failed re-measure must flow (visible in
+  * `adjudicated`, excluded from the headline sum). */
+class BenchLogicSpec extends AnyFunSuite {
+
+  private def select(medians: Seq[(String, Double)],
+      baseline: Map[String, Double],
+      measured: Map[String, Double] = Map.empty) =
+    Bench.selectOutliers(medians, baseline,
+      n => Some(measured.getOrElse(n, 1.0)))
+
+  test("re-measures only queries over BOTH the 3x and 0.5s thresholds") {
+    val medians = Seq(
+      "hot" -> 7.6,      // 7.3x its 1.04 cold AND +6.5s — the r8 case
+      "small_spike" -> 0.4, // 4x its 0.1 cold but only +0.3s absolute
+      "normal" -> 1.1,   // within 3x of 1.0
+      "exactly3x" -> 3.0) // not STRICTLY over 3x of 1.0
+    val base = Map("hot" -> 1.04, "small_spike" -> 0.1,
+      "normal" -> 1.0, "exactly3x" -> 1.0)
+    assert(select(medians, base).map(_._1) === Seq("hot"))
+  }
+
+  test("failed queries and missing baselines never adjudicate") {
+    val medians = Seq("failed" -> -1.0, "nobase" -> 9.0, "badbase" -> 9.0)
+    assert(select(medians, Map("badbase" -> -1.0)).isEmpty)
+  }
+
+  test("a failed re-measure ships as -1 and stays out of the total") {
+    val medians = Seq("hot" -> 7.6, "ok" -> 1.0)
+    val base = Map("hot" -> 1.0, "ok" -> 1.0)
+    val adjudicated = select(medians, base, measured = Map("hot" -> -1.0))
+    assert(adjudicated === Seq("hot" -> -1.0))
+    // the main loop's fallback: only non-negative adjudications replace
+    // the raw median in the headline sum
+    val adjMap = adjudicated.toMap.filter(_._2 >= 0)
+    val totalAdj = medians
+      .collect { case (n, v) if v >= 0 => adjMap.getOrElse(n, v) }.sum
+    assert(totalAdj === 8.6) // raw medians retained, no -1 poisoning
+  }
+
+  test("a successful re-measure replaces the raw median in the total") {
+    val medians = Seq("hot" -> 7.6, "ok" -> 1.0)
+    val base = Map("hot" -> 1.0, "ok" -> 1.0)
+    val adjMap = select(medians, base, measured = Map("hot" -> 1.2))
+      .toMap.filter(_._2 >= 0)
+    val totalAdj = medians
+      .collect { case (n, v) if v >= 0 => adjMap.getOrElse(n, v) }.sum
+    assert(math.abs(totalAdj - 2.2) < 1e-9)
+  }
+}
