@@ -101,6 +101,23 @@ class ReliableCheckpointSpec extends SparkSpecBase {
     assert(written > 0, "no checkpoint files written — reliable path not taken")
   }
 
+  test("never-materialized lazy stages are bounded, not leaked") {
+    // a plan-only consumer in reliable mode constructs lazy stages
+    // whose deferred writes never run; the pending queue force-evicts
+    // past its cap (safe: eviction only costs a recompute if the write
+    // ever runs), so a long-running driver cannot accumulate caches
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pending-bound")
+    spark.conf.set(Checkpoints.DirKey, dir.toString)
+    try {
+      (1 to 40).foreach { i =>
+        Checkpoints.stage((1L to 5L).toDF(s"v$i"), eager = false)
+      }
+      assert(Checkpoints.pendingCount <= 32,
+        "pending lazy-stage caches grew past the documented bound")
+    } finally spark.conf.unset(Checkpoints.DirKey)
+  }
+
   test("loop-AQE escape hatch: clusterRepresentatives output unchanged") {
     // spark.graft.loop.aqe=true trades the exchange-free AQE-off round
     // compiles back for AQE's runtime skew handling (giant-component
