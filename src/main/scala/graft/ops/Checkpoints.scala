@@ -83,29 +83,6 @@ object Checkpoints {
     * deferred checkpoint (post-sweep count pins the no-leak claim). */
   private[graft] def pendingCount: Int = { sweep(); pendingUnpersist.size() }
 
-  /** Stage `df` with truncated lineage: reliable `checkpoint` when
-    * [[DirKey]] is configured, `localCheckpoint` otherwise. `eager=false`
-    * materializes on first action (construction-time staging of plan-only
-    * consumers stays free — the PlanGuard constraint), `eager=true`
-    * materializes now (iteration loops, where the frame is consumed
-    * immediately and repeatedly).
-    *
-    * `keepPartitioning=true` compiles THIS staging without AQE so the
-    * staged frame's hash partitioning survives into the LogicalRDD
-    * (under AQE, `Dataset.checkpoint` records UnknownPartitioning —
-    * verified against Spark 4.1 — and every downstream join then
-    * re-exchanges the staged scan). The iterative graph family stages
-    * its loop frames this way: each round's joins become statically
-    * co-partitioned with the `Graph.loopPartitions` layout, turning a
-    * per-round |E| re-shuffle of the staged edge list into zero and
-    * each round's materialization into a single driver barrier. Only
-    * use it for loop-round frames whose subtree is already
-    * shape-pinned (merge-hinted joins over staged scans + one
-    * aggregate) — AQE's runtime re-planning has nothing to add there,
-    * and the conf flip is session-visible for the duration of the
-    * plan compile (construction-time, not run-time: the physical plan
-    * and RDD of a checkpoint are built at the `stage` call even when
-    * lazy). */
   /** Session conf key: set true to compile keepPartitioning stages
     * under AQE after all. The loop joins then pay a re-exchange of the
     * staged frames every round (checkpoint forgets partitioning under
@@ -118,6 +95,31 @@ object Checkpoints {
     * Results are identical either way (spec-pinned). */
   val LoopAqeKey = "spark.graft.loop.aqe"
 
+  /** Stage `df` with truncated lineage: reliable `checkpoint` when
+    * [[DirKey]] is configured, `localCheckpoint` otherwise. `eager=false`
+    * materializes on first action (construction-time staging of plan-only
+    * consumers stays free — the PlanGuard constraint), `eager=true`
+    * materializes now (iteration loops, where the frame is consumed
+    * immediately and repeatedly).
+    *
+    * `keepPartitioning=true` compiles THIS staging without AQE so the
+    * staged frame's hash partitioning AND ordering survive into the
+    * LogicalRDD (under AQE, `Dataset.checkpoint` records
+    * UnknownPartitioning — verified against Spark 4.1 — and every
+    * downstream join then re-exchanges and re-sorts the staged scan).
+    * The iterative graph family stages its loop frames this way: each
+    * round's joins become statically co-partitioned, pre-sorted merge
+    * joins in the `Graph.loopPartitions` layout, turning a per-round
+    * |E| re-shuffle of the edge list into zero and each round's
+    * materialization into a single driver barrier. Only use it for
+    * loop-round frames whose subtree is already shape-pinned (stat-less
+    * staged scans joined + one aggregate — the static planner keeps
+    * them sort-merge) — AQE's runtime re-planning has nothing to add
+    * there (set [[LoopAqeKey]] when it does — giant-component skew),
+    * and the conf flip is session-visible for the duration of the plan
+    * compile (construction-time, not run-time: the physical plan and
+    * RDD of a checkpoint are built at the `stage` call even when
+    * lazy). */
   def stage(df: DataFrame, eager: Boolean,
       keepPartitioning: Boolean = false): DataFrame = {
     val session = df.sparkSession
