@@ -105,6 +105,37 @@ class CachingEnricherSpec extends SparkSpecBase {
       plain.embedBatch(Seq("t3", "t4", "t1")).map(_.toSeq))
   }
 
+  test("concurrent writers on the same keys never corrupt a record") {
+    // the tmp+atomic-rename contract under real contention: many
+    // threads racing the same keys must all read back exact results,
+    // and no .tmp debris may remain
+    val dir = freshDir()
+    val cached = new CachingEnricher(new DeterministicEnricher(8), dir)
+    val plain = new DeterministicEnricher(8)
+    val texts = (1 to 8).map(i => s"contended text $i")
+    val expected = texts.map(t => plain.embedBatch(Seq(t)).head.toSeq)
+    // failures inside worker threads must surface on the test thread
+    val firstError =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        try (1 to 5).foreach { _ =>
+          val out = cached.embedBatch(texts).map(_.toSeq)
+          if (out != expected)
+            throw new AssertionError(s"corrupted replay: $out")
+        } catch { case t: Throwable => firstError.compareAndSet(null, t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(firstError.get() === null,
+      s"worker thread failed: ${Option(firstError.get()).map(_.toString)}")
+    // re-read pure from cache and sweep for leftover tmp files
+    assert(cached.embedBatch(texts).map(_.toSeq) === expected)
+    val walk = Files.walk(java.nio.file.Paths.get(dir))
+    val tmps = try walk.filter(p =>
+      p.getFileName.toString.endsWith(".tmp")).count() finally walk.close()
+    assert(tmps === 0, s"$tmps tmp files left behind by the write race")
+  }
+
   test("a Spark re-run of the embed stage makes zero inner calls") {
     import spark.implicits._
     val dir = freshDir()
