@@ -121,7 +121,8 @@ object Checkpoints {
     * RDD of a checkpoint are built at the `stage` call even when
     * lazy). */
   def stage(df: DataFrame, eager: Boolean,
-      keepPartitioning: Boolean = false): DataFrame = {
+      keepPartitioning: Boolean = false,
+      shufflePartitions: Option[Int] = None): DataFrame = {
     val session = df.sparkSession
     val aqeRounds =
       session.conf.getOption(LoopAqeKey).exists(_.toBoolean)
@@ -134,9 +135,22 @@ object Checkpoints {
       // — the documented session-visibility caveat of this seam)
       Checkpoints.synchronized {
         val key = "spark.sql.adaptive.enabled"
+        val pKey = "spark.sql.shuffle.partitions"
         val prev = session.conf.get(key)
+        val prevP = session.conf.get(pKey)
         session.conf.set(key, "false")
-        try stageImpl(df, eager) finally session.conf.set(key, prev)
+        // pin INTERMEDIATE exchanges in this compile (a loop round's
+        // aggregate shuffle) to the loop's measured partition count:
+        // with AQE off nothing coalesces at runtime, so without the pin
+        // a 1-partition toy round still launches
+        // spark.sql.shuffle.partitions-many near-empty tasks per
+        // aggregate. loopPartitions caps at the session conf, so at
+        // deployment scale the pinned value EQUALS the conf and this is
+        // a no-op; below the cap it makes the static compile take the
+        // same decision AQE coalescing would have.
+        shufflePartitions.foreach(p => session.conf.set(pKey, p.toString))
+        try stageImpl(df, eager)
+        finally { session.conf.set(key, prev); session.conf.set(pKey, prevP) }
       }
     } else stageImpl(df, eager)
   }

@@ -188,7 +188,8 @@ object Dedup {
       vertices.select(col(idCol).as("_id"), col(idCol).as("_cc"))
         .repartition(loopP, col("_id"))
         .sortWithinPartitions(col("_id")),
-      eager = false, keepPartitioning = true)
+      eager = false, keepPartitioning = true,
+      shufflePartitions = Some(loopP))
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -245,7 +246,8 @@ object Dedup {
             sum((col("_cc2") < col("_cc")).cast("long")).as("changed"))
           .repartition(loopP, col("_id"))
           .sortWithinPartitions(col("_id")),
-        eager = true, keepPartitioning = true)
+        eager = true, keepPartitioning = true,
+        shufflePartitions = Some(loopP))
       changed = obs.get("changed") match {
         case l: java.lang.Long => l.longValue
         case _ => 0L // empty round frame: sum over zero rows is null

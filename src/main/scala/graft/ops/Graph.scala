@@ -84,7 +84,8 @@ object Graph {
         .union(p.select(col("_b").as("_s"), col("_a").as("_d")))
         .repartition(loopP, col("_s"))
         .sortWithinPartitions(col("_s")),
-      eager = true, keepPartitioning = true)
+      eager = true, keepPartitioning = true,
+      shufflePartitions = Some(loopP))
 
   /** Measured loop geometry: stage the pair generation, count both
     * frames (each count is one cheap job — the pair side reads its
@@ -132,7 +133,8 @@ object Graph {
         .select(col("_id"), coalesce(col("_deg"), lit(0L)).as("_deg"))
         .repartition(loopP, col("_id"))
         .sortWithinPartitions(col("_id")),
-      eager = false, keepPartitioning = true)
+      eager = false, keepPartitioning = true,
+      shufflePartitions = Some(loopP))
     val r0 = round(lit(1.0) / n, 9)
     val init = ids.withColumn("_r", r0)
     val ranked = (1 to iters).foldLeft(init) { (ranks, i) =>
@@ -158,7 +160,8 @@ object Graph {
               .as("_r"))
           .repartition(loopP, col("_id"))
           .sortWithinPartitions(col("_id")),
-        eager = i < iters, keepPartitioning = true)
+        eager = i < iters, keepPartitioning = true,
+        shufflePartitions = Some(loopP))
     }
     ranked.select(col("_id").as(idCol), col("_deg").as("degree"),
       round(col("_r"), 6).as("pagerank"))
