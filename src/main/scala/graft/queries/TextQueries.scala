@@ -80,11 +80,28 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** TRAINED language classifier (multinomial Naive Bayes, add-one
+    * smoothing) — the learned counterpart of the marker-list heuristic in
+    * q_text_langid and the shape of the fastText-style classifier stage
+    * real pipelines use for domain/language tagging. Train on 4/5 of the
+    * corpus by doc_id, predict the held-out 1/5; output carries ground
+    * truth alongside the prediction so the query doubles as an accuracy
+    * audit. The DuckDB mirror retrains the full model from scratch. */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.TextClassify.naiveBayes(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "lang", "text")
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> langId,
     "q_text_quality" -> quality,
     "q_text_fingerprint" -> fingerprints,
+    "q_text_nb_classify" -> nbClassify,
     "q_text_source_report" -> sourceReport)
 
   // DuckDB mirrors. Shared fragments keep Spark and SQL in lockstep; every
@@ -163,6 +180,65 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps[1] AS first_fp,
         |  md5(array_to_string(fps, ',')) AS checksum
         |FROM f ORDER BY doc_id""".stripMargin,
+    // Full from-scratch NB retrain: same tokenization, same 9-rounded
+    // log terms cast to DECIMAL(28,12), same exact decimal score
+    // arithmetic, same max-score/min-label argmax (via window order).
+    "q_text_nb_classify" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, t
+        |  FROM documents,
+        |    UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS u(t)
+        |), cnt AS (
+        |  SELECT lang AS c, t, COUNT(*) AS n
+        |  FROM tok WHERE doc_id % 5 <> 0 GROUP BY lang, t
+        |), vsz AS (
+        |  SELECT COUNT(DISTINCT t) AS v FROM cnt
+        |), tot AS (
+        |  SELECT c, SUM(n) AS tot FROM cnt GROUP BY c
+        |), traindocs AS (
+        |  SELECT lang AS c, COUNT(*) AS nd FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang
+        |), ntrain AS (
+        |  SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 <> 0
+        |), classes AS (
+        |  SELECT d.c,
+        |    CAST(ROUND(ln(CAST(d.nd AS DOUBLE) / CAST(nt.n AS DOUBLE)), 9) AS DECIMAL(28,12)) AS prior,
+        |    CAST(ROUND(ln(1.0 / CAST(COALESCE(tt.tot, 0) + vsz.v AS DOUBLE)), 9) AS DECIMAL(28,12)) AS r0,
+        |    COALESCE(tt.tot, 0) + vsz.v AS denom
+        |  FROM traindocs d CROSS JOIN ntrain nt CROSS JOIN vsz
+        |  LEFT JOIN tot tt ON d.c = tt.c
+        |), terms AS (
+        |  SELECT cnt.c, cnt.t,
+        |    CAST(CAST(ROUND(ln((cnt.n + 1.0) / CAST(cl.denom AS DOUBLE)), 9) AS DECIMAL(28,12))
+        |       - CAST(ROUND(ln(1.0 / CAST(cl.denom AS DOUBLE)), 9) AS DECIMAL(28,12))
+        |       AS DECIMAL(28,12)) AS dterm
+        |  FROM cnt JOIN classes cl ON cnt.c = cl.c
+        |), testtok AS (
+        |  SELECT doc_id, t, COUNT(*) AS m
+        |  FROM tok WHERE doc_id % 5 = 0 GROUP BY doc_id, t
+        |), inv AS (
+        |  SELECT tt.doc_id, tt.t, tt.m
+        |  FROM testtok tt JOIN (SELECT DISTINCT t FROM cnt) vocab USING (t)
+        |), ld AS (
+        |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS l FROM inv GROUP BY doc_id
+        |), seen AS (
+        |  SELECT i.doc_id, te.c,
+        |    SUM(CAST(CAST(i.m AS DECIMAL(9,0)) * te.dterm AS DECIMAL(28,12))) AS s1
+        |  FROM inv i JOIN terms te ON i.t = te.t GROUP BY i.doc_id, te.c
+        |), scored AS (
+        |  SELECT d.doc_id, d.lang AS lt, c.c,
+        |    COALESCE(ld.l, 0) AS l,
+        |    CAST(c.prior + CAST(CAST(COALESCE(ld.l, 0) AS DECIMAL(9,0)) * c.r0 AS DECIMAL(28,12))
+        |       + CAST(COALESCE(s.s1, 0) AS DECIMAL(28,12)) AS DECIMAL(28,12)) AS score
+        |  FROM documents d CROSS JOIN classes c
+        |  LEFT JOIN ld ON d.doc_id = ld.doc_id
+        |  LEFT JOIN seen s ON d.doc_id = s.doc_id AND c.c = s.c
+        |  WHERE d.doc_id % 5 = 0
+        |)
+        |SELECT doc_id, lt AS lang_true, c AS lang_pred,
+        |  ROUND(CAST(score AS DOUBLE), 6) AS score, l AS n_vocab_tokens
+        |FROM scored
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
     "q_text_source_report" ->
       s"""WITH scored AS (
          |  SELECT source, n_chars, ROUND($qualitySql, 6) AS q FROM documents)
