@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index: build once, query many — the production ANN
+  * deployment shape. [[Similarity.ivfPqTopK]] retrains its quantizers on
+  * every call, which is right for a one-shot query battery but wrong for
+  * a serving corpus that is indexed nightly and probed thousands of
+  * times; this layer splits the two halves across a parquet layout:
+  *
+  *   <dir>/centroids/  (cell, weights)        — C rows
+  *   <dir>/codebooks/  (subspace, code, weights) — M·K rows
+  *   <dir>/codes/      (vec_id, codes), PARTITIONED BY cell
+  *   <dir>/meta/       (numCells, numSubspaces, codebookSize, dims)
+  *
+  * The cell-partitioned codes layout is the scale feature: a query
+  * probes nProbe of numCells cells, and the probe join's broadcast keys
+  * dynamically prune the parquet scan to those directories (Spark's
+  * dynamic partition pruning fires on the broadcast equi-join against
+  * the partition column — at deployment scale that is nProbe/numCells
+  * of the corpus read instead of all of it, before any compute).
+  * Centroids and codebooks are metadata-scale (same collect budget as
+  * the in-memory path).
+  *
+  * Query results are IDENTICAL to ivfPqTopK with the same parameters —
+  * both halves call the same shared [[Similarity.encodeIvfPq]] /
+  * [[Similarity.ivfPqScore]], so equality is by construction and
+  * q_knn_ivfpq_index verifies against the same DuckDB mirror as
+  * q_knn_ivfpq.
+  */
+object AnnIndex {
+
+  /** Build the index from `emb` (vec_id, embedding) and persist it
+    * under `dir` (overwrite semantics — a nightly rebuild replaces the
+    * previous index). */
+  def save(emb: DataFrame, dir: String, numCells: Int = 16,
+      numSubspaces: Int = 8, codebookSize: Int = 16,
+      dims: Int = 64): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDims = dims / numSubspaces
+    require(subDims * numSubspaces == dims, "dims must split evenly")
+    val centroids = Similarity.ivfCentroids(emb, numCells)
+    val cbs = Similarity.pqCodebooks(emb, numSubspaces, codebookSize, subDims)
+    centroids.zipWithIndex.map { case (w, c) => (c, w.toSeq) }.toSeq
+      .toDF("cell", "weights")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    cbs.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (w, code) => (m, code, w.toSeq) }
+    }.toSeq.toDF("subspace", "code", "weights")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((numCells, numSubspaces, codebookSize, dims))
+      .toDF("num_cells", "num_subspaces", "codebook_size", "dims")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    Similarity.encodeIvfPq(emb, centroids, cbs, subDims)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Probe a persisted index: top-k ADC candidates from the probed
+    * cells' code partitions, exact-cosine re-rank against `emb` (the
+    * raw-vector store lives outside the index). Output schema and
+    * values match ivfPqTopK exactly. */
+  def topK(spark: SparkSession, dir: String, emb: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 4,
+      refine: Int = 5): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val numSubspaces = meta.getAs[Int]("num_subspaces")
+    val subDims = meta.getAs[Int]("dims") / numSubspaces
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[Seq[Double]]("weights").toArray)
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("subspace", "code").collect()
+    val cbs = cbRows.groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getAs[Int]("code"))
+        .map(_.getAs[Seq[Double]]("weights").toArray))
+      .toArray
+    // the partition column comes back typed by directory inference;
+    // normalize to the int the scoring join expects
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("codes"))
+    Similarity.ivfPqScore(codes, emb, queries, centroids, cbs,
+      k, nProbe, refine, subDims)
+  }
+}

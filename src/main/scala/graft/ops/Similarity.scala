@@ -279,7 +279,7 @@ object Similarity {
     * them) are bit-identical across partitionings, runs, and engines
     * (the DuckDB mirror). Centroids are metadata-scale (C×dims doubles)
     * and legitimately live on the driver. */
-  private def ivfCentroids(emb: DataFrame, numCells: Int): Array[Array[Double]] =
+  private[ops] def ivfCentroids(emb: DataFrame, numCells: Int): Array[Array[Double]] =
     lloydCentroids(emb, numCells, iters = 1)
 
   /** `iters` exact-decimal Lloyd iterations from first-`k`-by-id seeds.
@@ -421,7 +421,7 @@ object Similarity {
     * ivfPqTopK: seeds = subvectors of the first `codebookSize` vectors
     * by id, then one exact-decimal Lloyd step per (subspace, code);
     * empty cells keep their seed. Metadata-scale (M×C×subDims). */
-  private def pqCodebooks(emb: DataFrame, numSubspaces: Int,
+  private[ops] def pqCodebooks(emb: DataFrame, numSubspaces: Int,
       codebookSize: Int, subDims: Int): Array[Array[Array[Double]]] = {
     val sub = pqSub(subDims) _
     val seedVecs = emb.select(col("vec_id"), col("embedding"))
@@ -525,12 +525,41 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
       numCells: Int = 16, nProbe: Int = 4, numSubspaces: Int = 8,
       codebookSize: Int = 16, dims: Int = 64, refine: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val subDims = dims / numSubspaces
     require(subDims * numSubspaces == dims, "dims must split evenly")
-    val sub = pqSub(subDims) _
     val centroids = ivfCentroids(emb, numCells)
+    val cbs = pqCodebooks(emb, numSubspaces, codebookSize, subDims)
+    ivfPqScore(encodeIvfPq(emb, centroids, cbs, subDims), emb, queries,
+      centroids, cbs, k, nProbe, refine, subDims)
+  }
+
+  /** Build side of IVF-PQ, shared by ivfPqTopK and the persisted
+    * AnnIndex: route each vector to its inverted cell and compress it
+    * to per-subspace codebook codes. */
+  private[ops] def encodeIvfPq(emb: DataFrame,
+      centroids: Array[Array[Double]], cbs: Array[Array[Array[Double]]],
+      subDims: Int): DataFrame = {
+    val sub = pqSub(subDims) _
     val assign = udf((v: Seq[Float]) => nearestCell(centroids)(v))
+    val encode = udf((v: Seq[Float]) => {
+      val dv = v.map(_.toDouble).toIndexedSeq
+      Array.tabulate(cbs.length)(m => pqArgmin(cbs(m), sub(dv, m)))
+    })
+    emb.select(col("vec_id"),
+      assign(col("embedding")).as("cell"),
+      encode(col("embedding")).as("codes"))
+  }
+
+  /** Query side of IVF-PQ over an already-encoded (vec_id, cell, codes)
+    * frame — `codes` may be freshly built (ivfPqTopK) or scanned back
+    * from a persisted AnnIndex, where the probe join's broadcast keys
+    * dynamically prune the cell-partitioned parquet layout. `emb`
+    * supplies raw vectors for the exact re-rank only. */
+  private[ops] def ivfPqScore(codes: DataFrame, emb: DataFrame,
+      queries: DataFrame, centroids: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]], k: Int, nProbe: Int,
+      refine: Int, subDims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val probesU = udf((v: Seq[Float]) => {
       val ds = centroids.zipWithIndex.map { case (cv, c) =>
         var d = 0.0; var i = 0
@@ -539,22 +568,13 @@ object Similarity {
       }
       ds.sortBy(_._2).take(nProbe).map(_._1)
     })
-    val cbs = pqCodebooks(emb, numSubspaces, codebookSize, subDims)
-    val encode = udf((v: Seq[Float]) => {
-      val dv = v.map(_.toDouble).toIndexedSeq
-      Array.tabulate(numSubspaces)(m => pqArgmin(cbs(m), sub(dv, m)))
-    })
-    val dtables = pqDtables(queries, cbs, numSubspaces, codebookSize, subDims)
+    val dtables = pqDtables(queries, cbs, cbs.length, cbs.head.length, subDims)
     val adistU = udf((codes: Seq[Int], qid: Long) => {
       val dt = dtables(qid)
       var s = 0.0; var m = 0
       while (m < codes.length) { s += dt(m)(codes(m)); m += 1 }
       s
     })
-
-    val codes = emb.select(col("vec_id"),
-      assign(col("embedding")).as("cell"),
-      encode(col("embedding")).as("codes"))
     val qcells = broadcast(queries
       .select(col("vec_id").as("query_id"),
         explode(probesU(col("embedding"))).as("cell")))

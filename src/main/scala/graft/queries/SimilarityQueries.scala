@@ -187,8 +187,26 @@ object SimilarityQueries extends QueryModule {
       queryVecs(spark, dir), K, MmrCandK, MmrLambda)
       .orderBy(col("query_id"), col("rk"))
 
+  /** Persisted-index round trip: build + save the IVF-PQ index to a
+    * cell-partitioned parquet layout, load it back, probe it. Results
+    * are identical to q_knn_ivfpq by construction (both halves share
+    * encodeIvfPq/ivfPqScore), so this verifies the persistence layer —
+    * schema round-trip, partition-column typing, codebook ordering —
+    * against the same independent DuckDB rebuild. The index dir is
+    * keyed by the data dir so scale factors never collide. */
+  def knnIvfPqIndex(spark: SparkSession, dir: String): DataFrame = {
+    val ixDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ann_index_" + java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes("UTF-8")).toString.take(8)).getAbsolutePath
+    graft.ops.AnnIndex.save(Tables.embeddings(spark, dir), ixDir)
+    graft.ops.AnnIndex.topK(spark, ixDir,
+      Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_mmr" -> mmr,
+    "q_knn_ivfpq_index" -> knnIvfPqIndex,
     "q_sim_pagerank" -> pagerank,
     "q_dedup_representatives" -> representatives,
     "q_sim_kmeans" -> kmeans,
@@ -746,6 +764,9 @@ object SimilarityQueries extends QueryModule {
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,
+    // the persisted-index round trip must reproduce the in-memory
+    // composition bit-for-bit, so it shares its mirror
+    "q_knn_ivfpq_index" -> knnIvfPqSql,
     "q_sim_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
