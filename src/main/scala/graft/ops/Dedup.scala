@@ -72,20 +72,53 @@ object Dedup {
     * ~2s at sf0.1). The exploded frame shuffles once on the bucket key. */
   def lshPairs(sig: DataFrame, idCol: String, numPerms: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
+    val banded = bandedFrame(sig, idCol, numPerms, rowsPerBand)
+    val vcols = (0 until rowsPerBand).map(r => s"v$r")
+    val left = banded.withColumnRenamed(idCol, "id_a")
+    val right = banded.withColumnRenamed(idCol, "id_b")
+    left.join(right, ("band" +: vcols).toSeq)
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** One row per (id, band, band values) — the exploded LSH bucket frame
+    * shared by the self-join (lshPairs) and the incremental corpus join
+    * (lshPairsAgainst). */
+  private def bandedFrame(sig: DataFrame, idCol: String, numPerms: Int,
+      rowsPerBand: Int): DataFrame = {
     val numBands = numPerms / rowsPerBand
     val vcols = (0 until rowsPerBand).map(r => s"v$r")
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band") +:
         (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").as(s"v$r")): _*)
     }
-    val banded = sig
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol) +: ("band" +: vcols).map(c => col(s"bs.$c").as(c)): _*)
-    val left = banded.withColumnRenamed(idCol, "id_a")
-    val right = banded.withColumnRenamed(idCol, "id_b")
-    left.join(right, ("band" +: vcols).toSeq)
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+  }
+
+  /** Incremental LSH: candidate pairs between an INCOMING batch and an
+    * EXISTING corpus — the daily-refresh admission check (does this new
+    * document near-dup anything we already have?). Same banding as
+    * lshPairs but the join is incoming × corpus only: no corpus-corpus
+    * work (the corpus was deduped when it was ingested) and no
+    * incoming-incoming pairs (run lshPairs on the batch separately if
+    * intra-batch dups matter). Output: (incoming_id, corpus_id, n_bands).
+    *
+    * Scale: the corpus side is the big frame; the equi-join shuffles on
+    * the (band, values) bucket key exactly like the self-join, and the
+    * incoming side is typically a small fraction — at deployment scale
+    * the corpus's banded frame is the ingest-time artifact worth
+    * persisting (write once, join every batch against it). */
+  def lshPairsAgainst(corpusSig: DataFrame, incomingSig: DataFrame,
+      idCol: String, numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val vcols = (0 until rowsPerBand).map(r => s"v$r")
+    val inc = bandedFrame(incomingSig, idCol, numPerms, rowsPerBand)
+      .withColumnRenamed(idCol, "incoming_id")
+    val corp = bandedFrame(corpusSig, idCol, numPerms, rowsPerBand)
+      .withColumnRenamed(idCol, "corpus_id")
+    inc.join(corp, ("band" +: vcols).toSeq)
+      .groupBy(col("incoming_id"), col("corpus_id"))
       .agg(count(lit(1)).as("n_bands"))
   }
 

@@ -189,8 +189,40 @@ object DedupQueries extends QueryModule {
       Tables.documents(spark, dir), "doc_id", "text", SubN)
       .orderBy(col("doc_id"))
 
+  /** Incremental admission check: docs with doc_id % 10 = 7 play the
+    * incoming batch, the rest the existing corpus. Per incoming doc:
+    * how many corpus near-dup candidates its MinHash bands collide
+    * with, the strongest match (most shared bands, ties → smallest
+    * corpus id), and the admit verdict (no collision at all). Docs with
+    * zero collisions survive the left join with zeros/null — the
+    * admitted set IS the frame, not just the flagged rows. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val inc = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val cand = Dedup.lshPairsAgainst(
+      Dedup.minhashSignature(corpus, "doc_id", "text"),
+      Dedup.minhashSignature(inc, "doc_id", "text"), "doc_id")
+    val best = cand.groupBy(col("incoming_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(struct((-col("n_bands")).as("nb"), col("corpus_id").as("id")))
+          .as("_best"))
+      .select(col("incoming_id"), col("n_candidates"),
+        col("_best").getField("id").as("best_match_id"),
+        (-col("_best").getField("nb")).as("best_shared_bands"))
+    inc.select(col("doc_id").as("incoming_id"))
+      .join(best, Seq("incoming_id"), "left")
+      .select(col("incoming_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_match_id"),
+        coalesce(col("best_shared_bands"), lit(0L)).as("best_shared_bands"),
+        col("n_candidates").isNull.as("admit"))
+      .orderBy(col("incoming_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact,
+    "q_dedup_incremental" -> incremental,
     "q_dedup_substring" -> substringDup,
     "q_dedup_winnow_pairs" -> winnowPairs,
     "q_dedup_clusters" -> winnowClusters,
@@ -372,6 +404,40 @@ object DedupQueries extends QueryModule {
         |ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_minhash_sig" -> (sigCte +
       "\nSELECT * FROM sig ORDER BY doc_id"),
+    // incremental admission check: same sig CTE, band joins restricted
+    // to incoming (%10=7) × corpus (%10<>7); best match + verdict via
+    // window rank, zero-candidate docs kept by the left join
+    "q_dedup_incremental" -> (sigCte +
+      """, cand AS (
+        |""".stripMargin +
+      (0 until 4).map(b =>
+        s"  SELECT i.doc_id AS incoming_id, c.doc_id AS corpus_id FROM sig i JOIN sig c\n" +
+        s"    ON i.m${2 * b} = c.m${2 * b} AND i.m${2 * b + 1} = c.m${2 * b + 1}\n" +
+        s"    AND i.doc_id % 10 = 7 AND c.doc_id % 10 <> 7")
+        .mkString("\n  UNION ALL\n") +
+      """
+        |), agg AS (
+        |  SELECT incoming_id, corpus_id, COUNT(*) AS n_bands FROM cand
+        |  GROUP BY incoming_id, corpus_id
+        |), best AS (
+        |  SELECT incoming_id, corpus_id AS best_match_id,
+        |    n_bands AS best_shared_bands,
+        |    COUNT(*) OVER (PARTITION BY incoming_id) AS n_candidates,
+        |    ROW_NUMBER() OVER (PARTITION BY incoming_id
+        |      ORDER BY n_bands DESC, corpus_id) AS rn
+        |  FROM agg
+        |), base AS (
+        |  SELECT doc_id AS incoming_id FROM documents
+        |  WHERE doc_id % 10 = 7 AND text IS NOT NULL
+        |)
+        |SELECT b.incoming_id,
+        |  COALESCE(bst.n_candidates, 0) AS n_candidates,
+        |  bst.best_match_id,
+        |  COALESCE(bst.best_shared_bands, 0) AS best_shared_bands,
+        |  bst.n_candidates IS NULL AS admit
+        |FROM base b LEFT JOIN (SELECT * FROM best WHERE rn = 1) bst
+        |  USING (incoming_id)
+        |ORDER BY incoming_id""".stripMargin),
     "q_dedup_minhash_pairs" -> (sigCte +
       """, cand AS (
         |""".stripMargin +
