@@ -85,7 +85,7 @@ object Dedup {
   /** One row per (id, band, band values) — the exploded LSH bucket frame
     * shared by the self-join (lshPairs) and the incremental corpus join
     * (lshPairsAgainst). */
-  private def bandedFrame(sig: DataFrame, idCol: String, numPerms: Int,
+  private[graft] def bandedFrame(sig: DataFrame, idCol: String, numPerms: Int,
       rowsPerBand: Int): DataFrame = {
     val numBands = numPerms / rowsPerBand
     val vcols = (0 until rowsPerBand).map(r => s"v$r")

@@ -361,6 +361,40 @@ object StreamingRefresh {
       .select(col(idCol), col("gram"))
   }
 
+  /** Streaming incremental admission: the stream form of
+    * `Dedup.lshPairsAgainst` — each arriving doc's MinHash bands are
+    * probed against the STATIC corpus signature frame via a
+    * stream-static equi-join on the (band, values) bucket key, so a
+    * near-dup arrival is flagged the micro-batch it arrives (stateless,
+    * append-mode clean: no aggregation state, no watermark).
+    *
+    * Emits one (incoming_id, corpus_id, band) row per band collision —
+    * the hit stream; the per-pair n_bands rollup and the per-doc admit
+    * verdict are batch aggregations over the drained sink, exactly like
+    * the other streaming legs leave rollups to the consumer
+    * (AdmissionStreamSpec pins drain ≡ batch). The banded corpus frame
+    * is persisted once so the static subtree is not re-derived every
+    * micro-batch; it is corpus-band-scale (4 rows of 3 longs per doc) —
+    * a deployment refreshing against a 100 TB corpus persists it to a
+    * table at ingest time instead (the write-once artifact
+    * lshPairsAgainst's scaladoc calls out) and passes THAT in as
+    * `corpusSig`. */
+  def admissionStream(docs: DataFrame, corpusSig: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val vcols = (0 until rowsPerBand).map(r => s"v$r")
+    val corp = graft.ops.Dedup
+      .bandedFrame(corpusSig, idCol, numPerms, rowsPerBand)
+      .withColumnRenamed(idCol, "corpus_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inc = graft.ops.Dedup.bandedFrame(
+      graft.ops.Dedup.minhashSignature(docs, idCol, textCol, numPerms),
+      idCol, numPerms, rowsPerBand)
+      .withColumnRenamed(idCol, "incoming_id")
+    inc.join(corp, ("band" +: vcols).toSeq)
+      .select(col("incoming_id"), col("corpus_id"), col("band"))
+  }
+
   /** Streaming as-of join: the incremental form of `ops.AsofJoin`. Input
     * is one pre-tagged feed of (key, ts_us, side, id) rows — side 0 =
     * right/reference stream, side 1 = left/probe stream; each left row is
