@@ -56,7 +56,12 @@ object Bench {
       // the production near-dup pair generator itself: it feeds pagerank/
       // representatives/clusters, and its cost was invisible until r7
       // found it dominating those queries at 21s steady (now ~4.7s)
-      "q_sim_cosine_pairs")
+      "q_sim_cosine_pairs",
+      // r9 additions: trained NB classifier, incremental corpus
+      // admission, and the persisted-index round trip (whose time is
+      // dominated by the index WRITE — the build-once cost, reported so
+      // the trendline covers both halves of the serving shape)
+      "q_text_nb_classify", "q_dedup_incremental", "q_knn_ivfpq_index")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

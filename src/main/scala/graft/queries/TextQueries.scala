@@ -96,12 +96,34 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  private val BpeMerges = 8
+
+  /** Trained BPE merge table: the 8 highest-frequency character-pair
+    * merges learned from the corpus vocabulary (rank, symbols, winning
+    * pair count). The DuckDB mirror replays all 8 training rounds as
+    * unrolled CTEs over the same framed-string segmentation. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.mergeTable(
+      Tables.documents(spark, dir), "text", BpeMerges)
+      .orderBy(col("merge_rank"))
+
+  /** Per-document REAL token counts under the trained BPE vocabulary —
+    * tokenize-by-lookup against the final segmentation, the number the
+    * token-budget operators estimate. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Bpe.tokenCounts(docs, docs, "doc_id", "text", BpeMerges)
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> langId,
     "q_text_quality" -> quality,
     "q_text_fingerprint" -> fingerprints,
     "q_text_nb_classify" -> nbClassify,
+    "q_text_bpe_merges" -> bpeMerges,
+    "q_text_bpe_tokens" -> bpeTokens,
     "q_text_source_report" -> sourceReport)
 
   // DuckDB mirrors. Shared fragments keep Spark and SQL in lockstep; every
@@ -123,6 +145,44 @@ object TextQueries extends QueryModule {
        | + 0.3 * (${scoreSql(enList)})
        | + 0.15 * (1.0 - LEAST($punct / GREATEST($n, 1.0) * 10.0, 1.0))
        | + 0.15 * (1.0 - LEAST($digit / GREATEST($n, 1.0) * 10.0, 1.0))""".stripMargin.replace("\n", "")
+  }
+
+  /** Unrolled BPE training rounds: seg0 is the framed character
+    * segmentation (chr(1) sym chr(2) per symbol — same frames as
+    * ops.Bpe); round r counts adjacent pairs weighted by word count,
+    * b$r picks the winner (count DESC, then lexicographic), seg${r+1}
+    * applies it via the same literal replace. Integer math only. */
+  private def bpeCte(k: Int): String = {
+    val base =
+      """WITH tok AS (
+        |  SELECT doc_id, t FROM documents,
+        |    UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS u(t)
+        |), words AS (
+        |  SELECT t AS w, COUNT(*) AS cnt FROM tok GROUP BY t
+        |), seg0 AS (
+        |  SELECT w, cnt,
+        |    regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS seg
+        |  FROM words
+        |)""".stripMargin
+    val rounds = (0 until k).map { r =>
+      s""", p$r AS (
+         |  SELECT x.a, x.b, CAST(SUM(x.cnt) AS BIGINT) AS s FROM (
+         |    SELECT q.cnt, q.syms[CAST(u.i AS INT)] AS a,
+         |      q.syms[CAST(u.i AS INT) + 1] AS b
+         |    FROM (SELECT cnt, string_split(substr(seg, 2, length(seg) - 2),
+         |        chr(2) || chr(1)) AS syms FROM seg$r) q,
+         |      UNNEST(range(1, len(q.syms))) AS u(i)
+         |  ) x GROUP BY x.a, x.b
+         |), b$r AS (
+         |  SELECT a, b, s FROM p$r ORDER BY s DESC, a, b LIMIT 1
+         |), seg${r + 1} AS (
+         |  SELECT s.w, s.cnt,
+         |    replace(s.seg, chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2),
+         |      chr(1) || b.a || b.b || chr(2)) AS seg
+         |  FROM seg$r s CROSS JOIN b$r b
+         |)""".stripMargin
+    }.mkString
+    base + rounds
   }
 
   override def oracle: Map[String, String] = Map(
@@ -180,6 +240,22 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps[1] AS first_fp,
         |  md5(array_to_string(fps, ',')) AS checksum
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_text_bpe_merges" -> (bpeCte(BpeMerges) + "\n" +
+      (0 until BpeMerges).map(r =>
+        s"SELECT $r AS merge_rank, a AS sym_a, b AS sym_b, s AS pair_count FROM b$r")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY merge_rank"),
+    "q_text_bpe_tokens" -> (bpeCte(BpeMerges) +
+      s""", vocab AS (
+         |  SELECT w, len(string_split(substr(seg, 2, length(seg) - 2),
+         |    chr(2) || chr(1))) AS n_syms
+         |  FROM seg$BpeMerges
+         |)
+         |SELECT t.doc_id,
+         |  CAST(SUM(COALESCE(v.n_syms, length(t.t))) AS BIGINT) AS n_bpe_tokens,
+         |  COUNT(*) AS n_words
+         |FROM tok t LEFT JOIN vocab v ON t.t = v.w
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
     // Full from-scratch NB retrain: same tokenization, same 9-rounded
     // log terms cast to DECIMAL(28,12), same exact decimal score
     // arithmetic, same max-score/min-label argmax (via window order).
