@@ -74,7 +74,15 @@ class JobCountSpec extends SparkSpecBase {
     "q_knn_mmr" -> 64,
     "q_sim_kmeans" -> 14,
     "q_sim_semdedup" -> 17,
-    "q_sim_clusters" -> 33)
+    "q_sim_clusters" -> 33,
+    // r9-continuation additions with construction-time collects (the
+    // NB class constants, the BPE per-round argmaxes) — the pin bounds
+    // their metadata-collect budget the same way it bounds the graph
+    // family's loop barriers
+    "q_text_nb_classify" -> 30,
+    "q_text_bpe_merges" -> 26,
+    "q_text_bpe_tokens" -> 28,
+    "q_dedup_incremental" -> 11)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {
