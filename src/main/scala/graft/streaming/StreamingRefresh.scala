@@ -395,6 +395,25 @@ object StreamingRefresh {
       .select(col("incoming_id"), col("corpus_id"), col("band"))
   }
 
+  /** Streaming classification: apply an exported NB model
+    * ([[graft.ops.TextClassify.trainModel]]) to a document feed — the
+    * train-offline / score-online deployment shape. The model rides a
+    * closure broadcast into ONE stateless projection (no join, no
+    * aggregation state, no watermark), so every arriving doc is labeled
+    * in its own micro-batch and the output schema matches the batch
+    * scorer: (idCol, label_pred, score, n_vocab_tokens). Scores are
+    * bit-equal to [[graft.ops.TextClassify.naiveBayes]] on the same
+    * training frame (ClassifyStreamSpec pins it) — the model carries
+    * the exact decimal constants the batch plan inlines as literals. */
+  def classifyStream(docs: DataFrame, model: graft.ops.TextClassify.NbModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scoreU = udf((text: String) => model.score(Option(text).getOrElse("")))
+    docs
+      .select(col(idCol), scoreU(col(textCol)).as("_r"))
+      .select(col(idCol), col("_r._1").as("label_pred"),
+        col("_r._2").as("score"), col("_r._3").as("n_vocab_tokens"))
+  }
+
   /** Streaming as-of join: the incremental form of `ops.AsofJoin`. Input
     * is one pre-tagged feed of (key, ts_us, side, id) rows — side 0 =
     * right/reference stream, side 1 = left/probe stream; each left row is
