@@ -46,9 +46,9 @@ object Bpe {
   private val O = "\u0001" // symbol open frame
   private val C = "\u0002" // symbol close frame
 
-  /** Tokens of a text column: whitespace split, empties dropped. */
+  /** Shared tokenization contract — see TextAnalysis.tokensNonEmpty. */
   private def toks(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    TextAnalysis.tokensNonEmpty(text)
 
   /** Framed single-character segmentation of a word. */
   private def seg0(w: Column): Column =

@@ -34,8 +34,11 @@ object KeywordSearch {
   private def toks(text: Column): Column = split(text, "\\s+")
 
   /** ln rounded to 9 decimals: libm implementations agree to well under
-    * 1e-12 relative, so the rounded value is engine-stable. */
-  private def ln9(x: Column): Column = round(log(x), 9)
+    * 1e-12 relative, so the rounded value is engine-stable. Shared
+    * across the ops package — KeywordSearch, TextClassify — as THE
+    * engine-portable log primitive the DuckDB mirrors reproduce as
+    * ROUND(ln(x), 9). */
+  private[ops] def ln9(x: Column): Column = round(log(x), 9)
 
   /** Per-document term frequencies for the given term set. The term
     * filter runs inside the array BEFORE the generator, so the exploded

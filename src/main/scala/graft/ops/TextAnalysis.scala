@@ -16,6 +16,16 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** Whitespace tokens with empties dropped (a leading/trailing
+    * whitespace split yields "" in both engines; neither should count).
+    * THE shared tokenization contract of the trained-model operators —
+    * TextClassify and Bpe both build on this exact column, and their
+    * DuckDB oracles mirror it as
+    * `list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')`;
+    * a tweak here must land in those mirrors too. */
+  private[ops] def tokensNonEmpty(text: Column): Column =
+    filter(tokens(text), t => t =!= "")
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 

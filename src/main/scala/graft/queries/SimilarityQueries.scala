@@ -195,9 +195,14 @@ object SimilarityQueries extends QueryModule {
     * against the same independent DuckDB rebuild. The index dir is
     * keyed by the data dir so scale factors never collide. */
   def knnIvfPqIndex(spark: SparkSession, dir: String): DataFrame = {
+    // keyed by data dir AND process: two processes running this query
+    // concurrently (bench + verify) must not interleave one path's
+    // four-step overwrite with the other's read; within one process,
+    // sequential reps reuse/overwrite the same dir (no tmp growth)
     val ixDir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_ann_index_" + java.util.UUID.nameUUIDFromBytes(
-        dir.getBytes("UTF-8")).toString.take(8)).getAbsolutePath
+        dir.getBytes("UTF-8")).toString.take(8) +
+        "_p" + ProcessHandle.current().pid()).getAbsolutePath
     graft.ops.AnnIndex.save(Tables.embeddings(spark, dir), ixDir)
     graft.ops.AnnIndex.topK(spark, ixDir,
       Tables.embeddings(spark, dir), queryVecs(spark, dir), K)

@@ -177,9 +177,10 @@ object TextQueries extends QueryModule {
          |  SELECT a, b, s FROM p$r ORDER BY s DESC, a, b LIMIT 1
          |), seg${r + 1} AS (
          |  SELECT s.w, s.cnt,
-         |    replace(s.seg, chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2),
-         |      chr(1) || b.a || b.b || chr(2)) AS seg
-         |  FROM seg$r s CROSS JOIN b$r b
+         |    COALESCE(replace(s.seg,
+         |      chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2),
+         |      chr(1) || b.a || b.b || chr(2)), s.seg) AS seg
+         |  FROM seg$r s LEFT JOIN b$r b ON TRUE
          |)""".stripMargin
     }.mkString
     base + rounds

@@ -36,14 +36,18 @@ class AnnIndexSpec extends SparkSpecBase {
       s"expected cell=N partition dirs, got ${cells.mkString(",")}")
   }
 
-  test("probe join reaches the scan as a partition-column equi-join") {
+  test("dynamic partition pruning fires on the codes scan specifically") {
     val plan = AnnIndex.topK(spark, ixDir, emb, queries, 5)
-      .queryExecution.executedPlan.toString
-    // the candidate scan must read the partitioned layout (its cell
-    // column arrives from directory metadata, so the scan carries a
-    // partition schema) and join on the partition column — the shape
-    // dynamic partition pruning prunes at deployment scale
-    assert(plan.contains("PartitionFilters") || plan.toLowerCase.contains(
-      "dynamicpruning"), s"no partition-aware scan in:\n$plan")
+      .queryExecution.executedPlan.treeString(verbose = true)
+    // every parquet scan prints a PartitionFilters field (possibly
+    // empty), so the assertion must target THE CODES SCAN's filters:
+    // the line locating the index's codes directory has to carry a
+    // dynamicpruningexpression — that is the probe join's broadcast
+    // keys reaching the partitioned layout, the index's scale feature
+    val codesScan = plan.split('\n')
+      .filter(l => l.contains("FileScan") && l.contains(s"$ixDir/codes"))
+    assert(codesScan.nonEmpty, s"no codes scan found in:\n$plan")
+    assert(codesScan.exists(_.toLowerCase.contains("dynamicpruning")),
+      s"codes scan is not dynamically pruned:\n${codesScan.mkString("\n")}")
   }
 }
