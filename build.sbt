@@ -20,6 +20,13 @@ run / fork := true
 // `Compile / run / runner`, so this governs both; a bare
 // `run / outputStrategy` would be shadowed and lint as unused.)
 Compile / run / outputStrategy := Some(StdoutOutput)
+// ...and drop sbt's own trailing "[success] Total time: ..." line, so
+// the bench's compact JSON line is not just bare but LAST in the
+// captured stdout — a strict last-line parser then succeeds too.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task —
+// exempt it from the unused-setting lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -61,7 +61,8 @@ object Bench {
       // admission, and the persisted-index round trip (whose time is
       // dominated by the index WRITE — the build-once cost, reported so
       // the trendline covers both halves of the serving shape)
-      "q_text_nb_classify", "q_dedup_incremental", "q_knn_ivfpq_index")
+      "q_text_nb_classify", "q_dedup_incremental", "q_knn_ivfpq_index",
+      "q_text_bpe_merges", "q_text_bpe_tokens")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,
