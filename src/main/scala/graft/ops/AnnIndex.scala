@@ -57,6 +57,33 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** Load the index's quantizers: (centroids by cell, codebooks by
+    * (subspace, code), subspace dimensionality). Driver-side,
+    * metadata-scale. */
+  private[graft] def loadQuantizers(spark: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Int) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val numSubspaces = meta.getAs[Int]("num_subspaces")
+    val subDims = meta.getAs[Int]("dims") / numSubspaces
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[Seq[Double]]("weights").toArray)
+    val cbs = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("subspace", "code").collect()
+      .groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getAs[Int]("code"))
+        .map(_.getAs[Seq[Double]]("weights").toArray))
+      .toArray
+    (centroids, cbs, subDims)
+  }
+
+  /** The index's encoded-corpus frame, with the directory-inferred
+    * partition column normalized to the int the scoring joins expect. */
+  private[graft] def loadCodes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("codes"))
+
   /** Probe a persisted index: top-k ADC candidates from the probed
     * cells' code partitions, exact-cosine re-rank against `emb` (the
     * raw-vector store lives outside the index). Output schema and
@@ -64,24 +91,53 @@ object AnnIndex {
   def topK(spark: SparkSession, dir: String, emb: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int = 4,
       refine: Int = 5): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val numSubspaces = meta.getAs[Int]("num_subspaces")
-    val subDims = meta.getAs[Int]("dims") / numSubspaces
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect()
-      .map(_.getAs[Seq[Double]]("weights").toArray)
-    val cbRows = spark.read.parquet(s"$dir/codebooks")
-      .orderBy("subspace", "code").collect()
-    val cbs = cbRows.groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_.getAs[Int]("code"))
-        .map(_.getAs[Seq[Double]]("weights").toArray))
-      .toArray
-    // the partition column comes back typed by directory inference;
-    // normalize to the int the scoring join expects
-    val codes = spark.read.parquet(s"$dir/codes")
-      .select(col("vec_id"), col("cell").cast("int").as("cell"),
-        col("codes"))
-    Similarity.ivfPqScore(codes, emb, queries, centroids, cbs,
-      k, nProbe, refine, subDims)
+    val (centroids, cbs, subDims) = loadQuantizers(spark, dir)
+    Similarity.ivfPqScore(loadCodes(spark, dir), emb, queries, centroids,
+      cbs, k, nProbe, refine, subDims)
+  }
+
+  /** STATELESS candidate generation against a persisted index — works
+    * on a batch OR STREAMING query frame: each query row computes its
+    * own probe cells and ADC lookup table from the broadcast quantizer
+    * constants (no driver-side collect of the queries, unlike
+    * ivfPqScore's per-query dtable map), then joins the static codes on
+    * the cell key. Emits one row per (query, candidate): (query_id,
+    * neighbor_id, adist rounded 6) — the top-k cut and exact re-rank
+    * are rollups over the drained sink, per the streaming-leg
+    * convention. `codes` must be [[loadCodes]] of the same index (the
+    * caller persists it for a long-running stream — the static subtree
+    * of a stream-static join is re-planned every micro-batch). */
+  def probeCandidates(queries: DataFrame, codes: DataFrame,
+      centroids: Array[Array[Double]], cbs: Array[Array[Array[Double]]],
+      subDims: Int, nProbe: Int = 4): DataFrame = {
+    val probesU = udf((v: Seq[Float]) => {
+      val ds = centroids.zipWithIndex.map { case (cv, c) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        (c, d)
+      }
+      ds.sortBy(_._2).take(nProbe).map(_._1)
+    })
+    // per-query ADC table computed ONCE per arriving row (numSubspaces
+    // × codebookSize doubles), then each candidate's distance is a
+    // codes-length gather over it
+    val dtableU = udf((v: Seq[Float]) => {
+      val dv = v.map(_.toDouble).toIndexedSeq
+      Array.tabulate(cbs.length, cbs.head.length)((m, c) =>
+        Similarity.pqD2(cbs(m)(c), Similarity.pqSub(subDims)(dv, m)))
+    })
+    val adistU = udf((cs: Seq[Int], dt: Seq[Seq[Double]]) => {
+      var s = 0.0; var m = 0
+      while (m < cs.length) { s += dt(m)(cs(m)); m += 1 }
+      s
+    })
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .withColumn("_dt", dtableU(col("embedding")))
+      .withColumn("cell", explode(probesU(col("embedding"))))
+    q.join(codes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adistU(col("codes"), col("_dt")), 6).as("adist"))
   }
 }

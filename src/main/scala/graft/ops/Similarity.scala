@@ -398,10 +398,10 @@ object Similarity {
     * bounded number of exact distance evaluations).
     * Output: (query_id, rk, neighbor_id, adist, cos) — rk ranks the
     * re-scored cosine descending; adist is the candidate's ADC distance. */
-  private def pqSub(subDims: Int)(v: IndexedSeq[Double], m: Int): Array[Double] =
+  private[ops] def pqSub(subDims: Int)(v: IndexedSeq[Double], m: Int): Array[Double] =
     Array.tabulate(subDims)(d => v(m * subDims + d))
 
-  private def pqD2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+  private[ops] def pqD2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
     s

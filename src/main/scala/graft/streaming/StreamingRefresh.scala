@@ -414,6 +414,28 @@ object StreamingRefresh {
         col("_r._2").as("score"), col("_r._3").as("n_vocab_tokens"))
   }
 
+  /** Streaming ANN probes against a persisted [[graft.ops.AnnIndex]]:
+    * query vectors arrive as a stream, each row computes its own probe
+    * cells and ADC lookup table from the broadcast quantizer constants
+    * (stateless — no per-query driver collect), and the stream-static
+    * equi-join on the cell key scans only the static codes frame.
+    * Emits the candidate stream (query_id, neighbor_id, adist); the
+    * top-k cut and the exact re-rank are rollups over the drained sink
+    * (AnnProbeStreamSpec pins the rolled-up drain ≡ AnnIndex.topK).
+    * The codes frame is persisted once — the static subtree of a
+    * stream-static join is re-planned every micro-batch, and a serving
+    * deployment keeps the encoded corpus resident anyway. */
+  def annProbeStream(queries: DataFrame, ixDir: String,
+      nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val (centroids, cbs, subDims) =
+      graft.ops.AnnIndex.loadQuantizers(spark, ixDir)
+    val codes = graft.ops.AnnIndex.loadCodes(spark, ixDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.AnnIndex.probeCandidates(
+      queries, codes, centroids, cbs, subDims, nProbe)
+  }
+
   /** Streaming as-of join: the incremental form of `ops.AsofJoin`. Input
     * is one pre-tagged feed of (key, ts_us, side, id) rows — side 0 =
     * right/reference stream, side 1 = left/probe stream; each left row is
