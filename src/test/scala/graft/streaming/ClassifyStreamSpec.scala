@@ -48,4 +48,19 @@ class ClassifyStreamSpec extends SparkSpecBase {
     assert(batch.nonEmpty)
     q.stop()
   }
+
+  test("model parquet round trip scores bit-equally") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sfDir)
+    val model = graft.ops.TextClassify.trainModel(
+      docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+    val dir = Files.createTempDirectory("nbmodel").toFile.getAbsolutePath
+    graft.ops.TextClassify.saveModel(model, spark, dir)
+    val loaded = graft.ops.TextClassify.loadModel(spark, dir)
+    val texts = docs.filter(col("doc_id") % 5 === 0)
+      .select("text").collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    texts.foreach(t => assert(loaded.score(t) == model.score(t)))
+    assert(loaded.classes == model.classes)
+  }
 }
