@@ -27,7 +27,8 @@ object SparkEntry {
     PromptQueries,
     CoverageQueries,
     CorpusQueries,
-    SearchQueries)
+    SearchQueries,
+    LayoutQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+
+/** Z-order (Morton-curve) clustered table layout — the data-skipping
+  * primitive a 100 TB deployment needs for multi-column selective scans.
+  *
+  * A table laid out by one sort key prunes scans on that key only; a
+  * conjunctive predicate over two columns still reads every file the
+  * first column's range admits. Interleaving the bits of both (quantized)
+  * columns into one z-value and range-partitioning the write on it gives
+  * every file a small axis-aligned bounding box in (x, y) space, so
+  * file-level min/max statistics prune on BOTH columns at once — the
+  * layout strategy Delta OPTIMIZE ZORDER / Hudi clustering use, built
+  * here from public bit-interleaving arithmetic (Morton 1966).
+  *
+  * Everything is exact integer arithmetic on longs (magic-mask bit
+  * spread + floored integer division), so the identical formula runs in
+  * DuckDB for the oracle and the z-values are reproducible across
+  * engines — no floating-point quantization drift.
+  *
+  * Scale notes:
+  *   - the only shuffle is the `repartitionByRange` that places rows into
+  *     their z-range file — exactly one pass, the same cost as a sorted
+  *     rewrite;
+  *   - the min/max quantization stats are a 1-row global aggregate
+  *     broadcast under every row (metadata-scale, PlanGuard-bounded);
+  *   - nothing is collected to the driver; file-stats pruning reads only
+  *     parquet footers at plan time on a real lakehouse reader.
+  */
+object Layout {
+
+  /** Exact integer division (floor for nonnegative operands) on longs —
+    * `functions` has no integral divide, and routing through doubles
+    * would silently lose exactness past 2^53 at real id magnitudes. */
+  private def idiv(a: Column, b: Column): Column =
+    GraftSqlBridge.column(IntegralDivide(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Spread the low 16 bits of `x` into the even bit positions of a
+    * 32-bit lane (classic magic-mask Morton spread; stays in longs). */
+  def spreadBits16(x: Column): Column = {
+    val m0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(0x33333333L))
+    m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Interleave two 16-bit quantized coordinates into one 32-bit
+    * z-value: x takes the even bits, y the odd bits. */
+  def zvalue16(qx: Column, qy: Column): Column =
+    spreadBits16(qx).bitwiseOR(shiftleft(spreadBits16(qy), 1))
+
+  /** Min-max quantize a nonnegative integral column into [0, 65535]:
+    * `((v - min) * 65536) div (max - min + 1)` — exact long arithmetic,
+    * monotone in v, and identical to DuckDB's `//` on the same inputs. */
+  def quantize16(v: Column, minV: Column, maxV: Column): Column =
+    idiv((v.cast("long") - minV.cast("long")) * lit(65536L),
+      maxV.cast("long") - minV.cast("long") + lit(1L))
+
+  /** The per-row z-value frame: `df` plus `qx`, `qy`, `zvalue` columns
+    * quantized against the table-global min/max of `xCol`/`yCol` (1-row
+    * broadcast stats — the crossJoin is a bounded global aggregate). */
+  def zorderFrame(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val stats = df.agg(
+      min(col(xCol)).cast("long").as("__min_x"),
+      max(col(xCol)).cast("long").as("__max_x"),
+      min(col(yCol)).cast("long").as("__min_y"),
+      max(col(yCol)).cast("long").as("__max_y"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("qx", quantize16(col(xCol), col("__min_x"), col("__max_x")))
+      .withColumn("qy", quantize16(col(yCol), col("__min_y"), col("__max_y")))
+      .withColumn("zvalue", zvalue16(col("qx"), col("qy")))
+      .drop("__min_x", "__max_x", "__min_y", "__max_y")
+  }
+
+  /** Rewrite `df` into `numFiles` parquet files clustered along the
+    * z-curve of (`xCol`, `yCol`). One range shuffle; rows inside each
+    * file are z-sorted so row-group stats stay tight too. */
+  def clusteredWrite(df: DataFrame, xCol: String, yCol: String,
+      path: String, numFiles: Int): Unit =
+    zorderFrame(df, xCol, yCol)
+      .repartitionByRange(numFiles, col("zvalue"))
+      .sortWithinPartitions(col("zvalue"))
+      .drop("qx", "qy", "zvalue")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file min/max statistics of two columns — the footer stats a
+    * lakehouse reader prunes on, materialized as a frame so specs can
+    * measure skippability (files whose box intersects a query box). */
+  def fileStats(spark: SparkSession, path: String,
+      xCol: String, yCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+
+  /** Count the files a conjunctive box predicate must read under the
+    * layout at `path` — i.e. files whose (x, y) bounding box intersects
+    * the query box. The skipping metric: lower is better. */
+  def filesTouched(spark: SparkSession, path: String,
+      xCol: String, yCol: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): Long =
+    fileStats(spark, path, xCol, yCol)
+      .filter(col("max_x") >= xLo && col("min_x") <= xHi &&
+        col("max_y") >= yLo && col("min_y") <= yHi)
+      .count()
+}

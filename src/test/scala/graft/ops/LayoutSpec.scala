@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: bit arithmetic vs an independent bit-by-bit reference,
+  * and the skipping claim itself — a clustered write's per-file (x, y)
+  * boxes must admit far fewer files for a conjunctive box predicate than
+  * a single-key linear layout of the same data into the same file count.
+  */
+class LayoutSpec extends SparkSpecBase {
+
+  /** Bit-by-bit Morton reference (no magic masks — independent path). */
+  private def zRef(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("zvalue16 matches the bit-by-bit Morton reference") {
+    import spark.implicits._
+    val probes = Seq(
+      (0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L),
+      (1L, 2L), (0xAAAAL, 0x5555L), (12345L, 54321L), (40000L, 1L),
+      (255L, 256L), (32768L, 32767L))
+    val got = probes.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.zvalue16(col("x"), col("y")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    probes.foreach { case (x, y) =>
+      assert(got((x, y)) === zRef(x, y), s"mismatch at ($x, $y)")
+    }
+  }
+
+  test("quantize16 is exact integer math, monotone, and in range") {
+    import spark.implicits._
+    // values straddling 2^53 — the magnitude where a double-division
+    // implementation silently rounds; the idiv path must stay exact
+    val minV = 9007199254740000L
+    val maxV = 9007199254741999L // span 2000
+    val vals = Seq(minV, minV + 1, minV + 999, maxV - 1, maxV)
+    val out = vals.toDF("v")
+      .select(Layout.quantize16(col("v"), lit(minV), lit(maxV)).as("q"))
+      .collect().map(_.getLong(0))
+    val expect = vals.map(v => (BigInt(v - minV) * 65536 / 2000).toLong)
+    assert(out.toSeq === expect)
+    assert(out.forall(q => q >= 0 && q <= 65535))
+    assert(out.toSeq === out.toSeq.sorted)
+  }
+
+  test("clustered layout skips most files on a 2-D box predicate") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout")
+    // x = l_partkey, y = l_orderkey: independent dimensions (TPC-H ties
+    // l_suppkey to l_partkey arithmetically, which would stretch the
+    // z-boxes along the correlation diagonal and blur the measurement)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val nFiles = 128
+    try {
+      // linear: the classic single-sort-key layout (sorted by x only)
+      li.repartitionByRange(nFiles, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").parquet(s"$tmp/linear")
+      Layout.clusteredWrite(li, "l_partkey", "l_orderkey",
+        s"$tmp/zorder", nFiles)
+
+      // query box: an eighth of each dimension, deliberately off-center
+      // ([5/16, 7/16]): a box straddling the space's center is the
+      // z-curve's known worst case (it touches all four quadrants), and
+      // a fair skipping benchmark measures the typical selective probe,
+      // not the adversarial one
+      val Array(st) = li.agg(
+        min("l_partkey").as("nx"), max("l_partkey").as("xx"),
+        min("l_orderkey").as("ny"), max("l_orderkey").as("xy")).collect()
+      val (nx, xx, ny, xy) =
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      val (xLo, xHi) = (nx + (xx - nx) * 5 / 16, nx + (xx - nx) * 7 / 16)
+      val (yLo, yHi) = (ny + (xy - ny) * 5 / 16, ny + (xy - ny) * 7 / 16)
+
+      val linear = Layout.filesTouched(spark, s"$tmp/linear",
+        "l_partkey", "l_orderkey", xLo, xHi, yLo, yHi)
+      val zorder = Layout.filesTouched(spark, s"$tmp/zorder",
+        "l_partkey", "l_orderkey", xLo, xHi, yLo, yHi)
+
+      // linear prunes on x only: ~1/8 of files survive x, but every one
+      // of them spans all of y, so the conjunction reads all of them.
+      // z-order boxes bound both axes: the box covers ~1/64 of the
+      // plane and sits inside one quadrant, so it must touch at most
+      // half of what linear touches (conservative; measured ~3-4x).
+      assert(zorder > 0 && linear > 0)
+      assert(zorder * 2 <= linear,
+        s"z-order layout did not skip: touched $zorder of $nFiles files " +
+          s"vs linear $linear")
+
+      // and both layouts return the same rows for the box predicate
+      def rows(p: String) = spark.read.parquet(p)
+        .filter(col("l_partkey").between(xLo, xHi) &&
+          col("l_orderkey").between(yLo, yHi))
+        .select("l_orderkey", "l_linenumber").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val a = rows(s"$tmp/linear")
+      assert(a.nonEmpty)
+      assert(a === rows(s"$tmp/zorder"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+}
