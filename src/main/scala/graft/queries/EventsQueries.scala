@@ -132,7 +132,23 @@ object EventsQueries extends QueryModule {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** SCD2 dimension history: each user's event_type runs collapsed into
+    * validity intervals [valid_from_us, valid_to_us) with version
+    * numbers and a current flag (graft.ops.Scd2 — one shuffle, per-key
+    * windows). The oracle rebuilds the intervals independently with
+    * DuckDB window SQL. */
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd2.history(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id")),
+      "user_id", "event_type", "us", "event_id")
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_scd2" -> scd2,
     "q_events_windowed" -> windowed,
     "q_events_sessions" -> sessions,
     "q_events_type_pivot" -> typePivot,
@@ -141,6 +157,24 @@ object EventsQueries extends QueryModule {
     "q_events_retention" -> retention)
 
   override def oracle: Map[String, String] = Map(
+    "q_events_scd2" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN LAG(event_id) OVER w IS NULL
+        |           OR (LAG(event_type) OVER w) IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_type, us,
+        |    CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+        |    LEAD(us) OVER w2 AS valid_to_us
+        |  FROM flagged WHERE chg = 1
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, version, event_type, us AS valid_from_us,
+        |  valid_to_us,
+        |  CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM runs ORDER BY user_id, version""".stripMargin,
     "q_events_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, COUNT(*) AS n_events,
