@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{KeywordSearch, Similarity, Sketches}
+import graft.ops.{FreqSketch, KeywordSearch, Similarity, Sketches}
 
 /** Lexical retrieval + statistical LM scoring over `documents`: BM25
   * top-k for a bag-of-terms query and unigram-LM negative log-likelihood
@@ -155,7 +155,32 @@ object SearchQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  private val CmsDepth = 4
+  private val CmsWidth = 2048
+
+  /** Count-min sketch over the corpus's per-doc-distinct 3-gram
+    * shingles (the dedup family's vocabulary — ~16k distinct grams at
+    * sf0.001, so the 4 x 2048 matrix is under real collision pressure,
+    * unlike the fixture's 31-word unigram vocab): build the counter
+    * matrix, then point-estimate the 20 most frequent grams against it
+    * next to their exact counts (est_n >= exact_n by construction — the
+    * spec pins the bound, the oracle rebuilds the exact counters via
+    * the same portable md5-prefix hash in SQL). */
+  def cmsTopK(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(graft.functions.GraftFunctions.shingles(col("text"), 3))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    val sketch = FreqSketch.countMin(vocab, "gram", "cnt",
+      CmsDepth, CmsWidth)
+    val top = vocab.orderBy(col("cnt").desc, col("gram")).limit(20)
+    FreqSketch.estimate(sketch, top, "gram", CmsDepth, CmsWidth)
+      .select(col("gram"), col("cnt").as("exact_n"), col("est_n"))
+      .orderBy(col("exact_n").desc, col("gram"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_cms_topk" -> cmsTopK,
     "q_search_bm25" -> bm25,
     "q_search_hybrid_rrf" -> hybridRrf,
     "q_corpus_unigram_nll" -> unigramNll,
@@ -379,7 +404,40 @@ object SearchQueries extends QueryModule {
        |FROM tok JOIN terms USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val cmsSql: String =
+    s"""WITH t AS (
+       |  SELECT text, regexp_split_to_array(text, '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT unnest(CASE WHEN len(w) < 3 THEN [text]
+       |    ELSE list_distinct(list_transform(range(1, greatest(len(w)-2,0)+1),
+       |      i -> array_to_string(list_transform(range(i, i+3), j -> w[j]), ' '))) END)
+       |    AS gram
+       |  FROM t),
+       |vocab AS (SELECT gram, COUNT(*) AS cnt FROM sh GROUP BY 1),
+       |depths AS (SELECT unnest(range(0, $CmsDepth)) AS depth),
+       |cells AS (
+       |  SELECT d.depth,
+       |    CAST('0x' || substr(md5(CAST(d.depth AS VARCHAR) || ':' || v.gram),
+       |      1, 15) AS BIGINT) % $CmsWidth AS cell,
+       |    v.cnt
+       |  FROM vocab v CROSS JOIN depths d),
+       |sketch AS (
+       |  SELECT depth, cell, CAST(SUM(cnt) AS BIGINT) AS counter
+       |  FROM cells GROUP BY 1, 2),
+       |top AS (SELECT gram, cnt FROM vocab ORDER BY cnt DESC, gram LIMIT 20),
+       |probes AS (
+       |  SELECT t.gram, t.cnt, d.depth,
+       |    CAST('0x' || substr(md5(CAST(d.depth AS VARCHAR) || ':' || t.gram),
+       |      1, 15) AS BIGINT) % $CmsWidth AS cell
+       |  FROM top t CROSS JOIN depths d)
+       |SELECT p.gram, p.cnt AS exact_n, MIN(s.counter) AS est_n
+       |FROM probes p JOIN sketch s USING (depth, cell)
+       |GROUP BY p.gram, p.cnt
+       |ORDER BY exact_n DESC, gram""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q_corpus_cms_topk" -> cmsSql,
     "q_search_bm25" -> bm25Sql,
     "q_search_hybrid_rrf" -> hybridSql,
     "q_corpus_unigram_nll" -> nllSql,

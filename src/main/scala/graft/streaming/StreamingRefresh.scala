@@ -81,6 +81,19 @@ object StreamingRefresh {
       .agg(kmv(col("hv")).as("sketch"))
   }
 
+  /** Streaming count-min sketch over a document stream: tokenize and
+    * feed FreqSketch.countMin — a plain streaming aggregation whose
+    * state is bounded at depth·width counter rows FOREVER (each cell a
+    * running sum), no watermark needed. The sketch is a commutative
+    * monoid, so the drained complete-mode matrix must equal the batch
+    * sketch cell-for-cell regardless of micro-batching (CmsStreamSpec
+    * pins it). */
+  def cmsStream(docs: DataFrame, depth: Int = 4, width: Int = 2048): DataFrame =
+    graft.ops.FreqSketch.countMin(
+      docs.select(explode(split(col("text"), "\\s+")).as("word"),
+        lit(1L).as("cnt")),
+      "word", "cnt", depth, width)
+
   /** J1–J3 as an INCREMENTAL stream: per-file change detection with
     * `flatMapGroupsWithState` — the one CDC piece the declarative
     * streaming surface cannot express (the classification depends on the
