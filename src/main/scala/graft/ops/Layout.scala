@@ -35,8 +35,9 @@ object Layout {
 
   /** Exact integer division (floor for nonnegative operands) on longs —
     * `functions` has no integral divide, and routing through doubles
-    * would silently lose exactness past 2^53 at real id magnitudes. */
-  private def idiv(a: Column, b: Column): Column =
+    * would silently lose exactness past 2^53 at real id magnitudes.
+    * Shared across the ops package (BloomIndex reuses it). */
+  private[ops] def idiv(a: Column, b: Column): Column =
     GraftSqlBridge.column(IntegralDivide(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 

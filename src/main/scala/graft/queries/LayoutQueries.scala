@@ -29,10 +29,85 @@ object LayoutQueries extends QueryModule {
         col("qx"), col("qy"), col("zvalue"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  private val BloomBits = 1008 // 16 words x 63 usable bits
+  private val BloomK = 3
+  private val NProbes = 25
+
+  /** Bloom skip-index probe: per-month filters over orders.o_custkey,
+    * probed with custkeys 1..25. Output is every candidate (custkey,
+    * month) the index admits, flagged with the exact answer — no false
+    * negatives ever (BloomIndexSpec pins that over ALL keys), false
+    * positives show up as might_contain=1/exact_present=0 rows. The
+    * oracle rebuilds filter words and probe verdicts from the same
+    * portable hash in SQL. */
+  def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_custkey"))
+    val index = graft.ops.BloomIndex.build(orders, "month", "o_custkey",
+      BloomBits, BloomK)
+    val probes = spark.range(1, NProbes + 1L).select(col("id").as("custkey"))
+    val cand = graft.ops.BloomIndex.mightContain(index, probes, "custkey",
+      BloomBits, BloomK)
+      .select(col("custkey"), col("part").as("month"))
+    val exact = orders
+      .filter(col("o_custkey").between(1L, NProbes.toLong))
+      .select(col("o_custkey").as("custkey"), col("month"))
+      .distinct()
+      .withColumn("exact_present", lit(1))
+    cand.join(exact, Seq("custkey", "month"), "left")
+      .select(col("custkey"), col("month"), lit(1).as("might_contain"),
+        coalesce(col("exact_present"), lit(0)).as("exact_present"))
+      .orderBy(col("custkey"), col("month"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_layout_zorder" -> zorder)
+    "q_layout_zorder" -> zorder,
+    "q_index_bloom" -> bloomProbe)
 
   override def oracle: Map[String, String] = Map(
+    "q_index_bloom" ->
+      s"""WITH pk AS (
+         |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month, o_custkey
+         |  FROM orders),
+         |seeds AS (SELECT unnest(range(0, $BloomK)) AS seed),
+         |pos AS (
+         |  SELECT month, seed,
+         |    CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' ||
+         |      CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % $BloomBits
+         |      AS pos
+         |  FROM pk CROSS JOIN seeds),
+         |bitsrc AS (
+         |  SELECT DISTINCT month, pos // 63 AS word,
+         |    (1::BIGINT) << CAST(pos % 63 AS INTEGER) AS mask
+         |  FROM pos),
+         |idx AS (
+         |  SELECT month, word, CAST(SUM(mask) AS BIGINT) AS bits
+         |  FROM bitsrc GROUP BY 1, 2),
+         |probes AS (SELECT unnest(range(1, ${NProbes + 1})) AS custkey),
+         |ppos AS (
+         |  SELECT custkey, seed,
+         |    CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' ||
+         |      CAST(custkey AS VARCHAR)), 1, 15) AS BIGINT) % $BloomBits
+         |      AS pos
+         |  FROM probes CROSS JOIN seeds),
+         |pw AS (
+         |  SELECT custkey, seed, pos // 63 AS word,
+         |    (1::BIGINT) << CAST(pos % 63 AS INTEGER) AS mask
+         |  FROM ppos),
+         |cand AS (
+         |  SELECT p.custkey, i.month
+         |  FROM pw p JOIN idx i ON p.word = i.word AND (i.bits & p.mask) <> 0
+         |  GROUP BY p.custkey, i.month
+         |  HAVING COUNT(DISTINCT p.seed) = $BloomK),
+         |exact AS (
+         |  SELECT DISTINCT o_custkey AS custkey,
+         |    strftime(o_orderdate, '%Y-%m') AS month
+         |  FROM orders WHERE o_custkey BETWEEN 1 AND $NProbes)
+         |SELECT c.custkey, c.month, 1 AS might_contain,
+         |  CASE WHEN e.custkey IS NOT NULL THEN 1 ELSE 0 END AS exact_present
+         |FROM cand c LEFT JOIN exact e USING (custkey, month)
+         |ORDER BY custkey, month""".stripMargin,
     "q_layout_zorder" ->
       // the same Morton magic-mask chain in DuckDB integer arithmetic:
       // masks 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555
