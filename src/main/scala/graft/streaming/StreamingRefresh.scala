@@ -94,6 +94,48 @@ object StreamingRefresh {
         lit(1L).as("cnt")),
       "word", "cnt", depth, width)
 
+  /** Streaming SCD2 (ops.Scd2's incremental face): per-key state is the
+    * OPEN interval (attr, valid_from_us, open_tie); an attr change
+    * closes it, and only CLOSED intervals are appended downstream —
+    * production appends them to the dimension table while the open
+    * tails live in the state store. Within a micro-batch a key's rows
+    * fold in (us, tie) order; arrival is assumed in-order per key
+    * ACROSS batches (the lineDedupStream contract) — repairing
+    * out-of-order history is the batch Scd2.merge reconstruction's job.
+    * State per key: one (attr, long, long) triple — bounded by distinct
+    * keys, hash-partitioned by groupByKey. */
+  def scd2Stream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[(String, Long, Long)]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, Long, Long, Long)]
+          ordered.foreach { case (_, attr, us, tie) =>
+            cur match {
+              case None => cur = Some((attr, us, tie))
+              case Some((a, from, t0)) if a != attr =>
+                out += ((key, a, from, us, t0))
+                cur = Some((attr, us, tie))
+              case _ => () // same attr: the open interval absorbs it
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "event_type", "valid_from_us", "valid_to_us",
+        "open_tie")
+  }
+
   /** J1–J3 as an INCREMENTAL stream: per-file change detection with
     * `flatMapGroupsWithState` — the one CDC piece the declarative
     * streaming surface cannot express (the classification depends on the
