@@ -200,4 +200,54 @@ object Graph {
       .select(col(idCol), col("cluster_id"), col("degree"), col("pagerank"),
         (col(idCol) === col("_rep_id")).as("is_representative"))
   }
+
+  /** Per-vertex triangle counts by degree-ordered wedge closing
+    * (Schank & Wagner 2005, the MapReduce form in Suri & Vassilvitskii
+    * 2011): orient every undirected edge from its (degree, id)-smaller
+    * endpoint to the larger, enumerate wedges as pairs of OUT-neighbors
+    * of each vertex, and close them against the canonical edge set.
+    * Each triangle has exactly one vertex that is (degree, id)-minimal,
+    * so it is produced exactly once.
+    *
+    * Why this orientation matters at 100 TB: wedge volume is
+    * Σ outdeg(v)², and the low-to-high orientation bounds every outdeg
+    * by O(√|E|) — a power-law hub's millions of neighbors become
+    * IN-edges, so the hub generates no wedge explosion. Naive
+    * adjacency-join counting is quadratic in hub degree and dies on
+    * exactly the graphs near-dup clustering produces. Three equi-joins
+    * + one groupBy; no iteration, no driver barriers. */
+  def triangleCounts(vertices: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge set (a < b), self-loops dropped
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val oriented = e0
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("d")))
+          .otherwise(struct(col("b").as("s"), col("a").as("d"))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    // wedges: unordered out-neighbor pairs, canonicalized by id so the
+    // closing lookup is a single equi-join against e0's (a < b) form
+    val o1 = oriented.select(col("s"), col("d").as("d1"))
+    val o2 = oriented.select(col("s"), col("d").as("d2"))
+    val wedges = o1.join(o2, Seq("s")).filter(col("d1") < col("d2"))
+    val tris = wedges.join(e0,
+      col("d1") === col("a") && col("d2") === col("b"))
+      .select(col("s"), col("d1"), col("d2"))
+    val perVertex = tris
+      .select(explode(array(col("s"), col("d1"), col("d2"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    vertices.select(col(idCol).cast("long").as(idCol))
+      .join(perVertex.withColumnRenamed("v", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -158,6 +158,23 @@ object SimilarityQueries extends QueryModule {
   private val PrIters = 3
   private val PrDamping = 0.85
 
+  /** Per-vertex triangle counts over the SAME adaptive near-dup pair
+    * graph as pagerank — the local-clustering signal (a vertex inside a
+    * tight duplicate clique has many triangles; a chain of borderline
+    * matches has none). Spark runs the degree-ordered wedge-closing
+    * algorithm (Graph.triangleCounts); the mirror counts a < b < c
+    * edge triples over the PRE-VERIFIED pair dump — an independent
+    * formulation, so agreement checks the semantics, not the method. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.cosinePairsAdaptive(emb, Threshold,
+      targetOccupancy = Occupancy, targetRecall = Recall, maxPlanes = MaxB)
+      .select(col("vec_a"), col("vec_b"))
+    graft.ops.Graph.triangleCounts(emb.select(col("vec_id")), "vec_id",
+      pairs, "vec_a", "vec_b")
+      .orderBy(col("vec_id"))
+  }
+
   /** Cluster-representative capstone: connected components + PageRank
     * over the SAME adaptive pair graph, keep the most central member per
     * cluster (ties → min vec_id) — the production "which near-dup do we
@@ -213,6 +230,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_mmr" -> mmr,
     "q_knn_ivfpq_index" -> knnIvfPqIndex,
     "q_sim_pagerank" -> pagerank,
+    "q_sim_triangles" -> triangles,
     "q_dedup_representatives" -> representatives,
     "q_sim_kmeans" -> kmeans,
     "q_sim_semdedup" -> semdedup,
@@ -652,6 +670,27 @@ object SimilarityQueries extends QueryModule {
          |  FROM n LEFT JOIN gdeg ON gdeg.s = n.vec_id, nv)$steps""".stripMargin
   }
 
+  /** Triangle mirror: canonical a < b edges from the pre-verified pair
+    * dump, then the classic e(a,b) ⋈ e(b,c) ⋈ e(a,c) triple join with
+    * a < b < c — each triangle once — exploded back onto its three
+    * vertices. */
+  private def trianglesSql: String =
+    s"""WITH gpr AS (
+       |  SELECT CAST(vec_a AS BIGINT) AS va, CAST(vec_b AS BIGINT) AS vb
+       |  FROM read_parquet('${QueryModule.VerifyOutToken}/q_sim_cosine_pairs/*.parquet')),
+       |e AS (
+       |  SELECT LEAST(va, vb) AS a, GREATEST(va, vb) AS b
+       |  FROM gpr WHERE va <> vb GROUP BY 1, 2),
+       |t AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pv AS (SELECT unnest([x, y, z]) AS id FROM t),
+       |cnt AS (SELECT id, COUNT(*) AS n_triangles FROM pv GROUP BY 1)
+       |SELECT emb.vec_id, COALESCE(cnt.n_triangles, 0) AS n_triangles
+       |FROM embeddings emb LEFT JOIN cnt ON cnt.id = emb.vec_id
+       |ORDER BY vec_id""".stripMargin
+
   private def pagerankSql: String =
     pagerankCtes +
       s"""
@@ -748,6 +787,7 @@ object SimilarityQueries extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "q_knn_mmr" -> mmrSql,
     "q_sim_pagerank" -> pagerankSql,
+    "q_sim_triangles" -> trianglesSql,
     "q_dedup_representatives" -> representativesSql,
     "q_sim_kmeans" -> kmeansSql,
     "q_sim_semdedup" -> semdedupSql,
