@@ -72,6 +72,28 @@ object BloomIndex {
       .agg(sum(col("mask")).cast("long").as("bits"))
   }
 
+  /** The build, restated as a duplicate-insensitive running OR
+    * (`bit_or` aggregate) — no key-level distinct, so the identical
+    * plan runs under readStream/complete with state bounded at
+    * partitions × m/63 words forever: the streaming face of the index
+    * (new fact rows OR their bits in as they arrive; a bit already set
+    * absorbs re-arrivals). Batch output is row-identical to `build`
+    * (OR of masks ≡ sum of distinct masks — BloomStreamSpec pins both
+    * equalities). */
+  def buildIncremental(df: DataFrame, partCol: String, keyCol: String,
+      mBits: Int, k: Int): DataFrame = {
+    require(mBits % WordBits == 0, s"mBits $mBits not a multiple of 63")
+    require(k >= 1, s"need at least one hash, got $k")
+    df.select(col(partCol).as("part"), col(keyCol).as("__k"))
+      .select(col("part"),
+        explode(array((0 until k).map(lit): _*)).as("seed"), col("__k"))
+      .withColumn("pos", positionOf(col("__k"), col("seed"), mBits))
+      .select(col("part"), wordOf(col("pos")).as("word"),
+        maskOf(col("pos")).as("mask"))
+      .groupBy(col("part"), col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
   /** Candidate (probe-row, part) pairs: parts where EVERY one of the k
     * probe positions finds its bit set. Partitions missing a probed
     * word row (all-zero word) drop out of the inner join — exactly the
