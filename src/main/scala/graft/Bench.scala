@@ -62,7 +62,13 @@ object Bench {
       // dominated by the index WRITE — the build-once cost, reported so
       // the trendline covers both halves of the serving shape)
       "q_text_nb_classify", "q_dedup_incremental", "q_knn_ivfpq_index",
-      "q_text_bpe_merges", "q_text_bpe_tokens")
+      "q_text_bpe_merges", "q_text_bpe_tokens",
+      // r9 layout/warehouse/sketch additions: z-order bit math over the
+      // full lineitem, the per-month Bloom skip index probe, SCD2
+      // interval history, the CMS counter matrix, and triangle counting
+      // over the adaptive pair graph
+      "q_layout_zorder", "q_index_bloom", "q_events_scd2",
+      "q_corpus_cms_topk", "q_sim_triangles")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

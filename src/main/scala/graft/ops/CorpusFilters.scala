@@ -324,6 +324,33 @@ object CorpusFilters {
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
 
+  /** Weighted reservoir sampling without replacement (Efraimidis &
+    * Spirakis 2006, A-Res): each row draws u ∈ (0, 1] from the portable
+    * 60-bit md5 hash of its id and ranks by ln(u)/weight — the top-k
+    * under that key is a weighted sample with inclusion probability
+    * proportional to weight (the importance-weighted corpus-selection
+    * primitive: sample by quality score, token count, source priority).
+    *
+    * Deterministic: u is hash-derived, so two runs — or two engines —
+    * agree row-for-row (the DuckDB oracle recomputes the same keys).
+    * Distributed shape: orderBy+limit plans as TakeOrderedAndProject —
+    * per-partition top-k then a merge of k rows, never a global sort.
+    * FP contract: u = hv/2^60 is an IEEE-exact division, ln is rounded
+    * to 9 at the source, the /weight division result to 12 — the
+    * engine-portable double convention used across the ops package.
+    * Weights must be strictly positive. */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val hv = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long") + lit(1L)
+    val u = hv.cast("double") / lit(1152921504606846976.0) // 2^60, exact
+    docs
+      .withColumn("skey",
+        round(round(log(u), 9) / col(weightCol).cast("double"), 12))
+      .orderBy(col("skey").desc, col(idCol))
+      .limit(k)
+  }
+
   /** 32-bit selector from the md5 of the document key's decimal string:
     * the first 8 hex chars. Uniform on [0, 2^32), identical in any
     * engine with md5 — the basis for deterministic sampling that two

@@ -82,7 +82,16 @@ class JobCountSpec extends SparkSpecBase {
     "q_text_nb_classify" -> 30,
     "q_text_bpe_merges" -> 26,
     "q_text_bpe_tokens" -> 28,
-    "q_dedup_incremental" -> 11)
+    "q_dedup_incremental" -> 11,
+    // round-9 layout/warehouse/sketch additions (measured via
+    // CountJobs at sf0.001: 6 / 8 / 5 / 5 / 18) — flat pipelines whose
+    // only legitimate barriers are the broadcast stats frames and, for
+    // triangles, the shared staged pair generation
+    "q_layout_zorder" -> 8,
+    "q_index_bloom" -> 10,
+    "q_events_scd2" -> 6,
+    "q_corpus_cms_topk" -> 6,
+    "q_sim_triangles" -> 22)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {
