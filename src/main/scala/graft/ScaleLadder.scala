@@ -103,6 +103,15 @@ object ScaleLadder {
         materialize(graft.ops.Graph.clusterRepresentatives(
           emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b"))
       }),
+      ("triangle_counts", embS, embL, { emb: DataFrame =>
+        // the wedge join is the quadratic risk (Σ outdeg²); the planted
+        // pair graph is linear in n, so a healthy exponent is ~1
+        val pairs = graft.ops.Similarity
+          .cosinePairsAdaptive(emb, 0.85, maxPlanes = 24)
+          .select(col("vec_a"), col("vec_b"))
+        materialize(graft.ops.Graph.triangleCounts(
+          emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b"))
+      }),
       ("drop_substrings", docsS, docsL, { docs: DataFrame =>
         materialize(graft.ops.CorpusFilters
           .dropDuplicatedSubstrings(docs, "doc_id", "text", 4))
