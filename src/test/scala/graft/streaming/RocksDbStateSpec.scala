@@ -79,4 +79,66 @@ class RocksDbStateSpec extends SparkSpecBase {
       q.stop()
     }
   }
+
+  test("SCD2 open intervals close across batches under RocksDB state") {
+    withRocksDb {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, timestamp_micros}
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long, Long)]
+      val q = StreamingRefresh.scd2Stream(
+          input.toDF().toDF("user_id", "event_type", "us", "event_id")
+            .withColumn("ts", timestamp_micros(col("us")))).writeStream
+        .format("memory").queryName("rocksdb_scd2")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("rocksdb-scd2-ckpt").toString)
+        .start()
+      // the open interval from batch 1 must survive in RocksDB to be
+      // closed by batch 2's change
+      input.addData(Seq((1L, "bronze", 100L, 1L)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, "silver", 300L, 2L)))
+      q.processAllAvailable()
+      val out = spark.table("rocksdb_scd2")
+        .select("user_id", "event_type", "valid_from_us", "valid_to_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(out === Set((1L, "bronze", 100L, 300L)))
+      q.stop()
+    }
+  }
+
+  test("CMS counters accumulate across batches under RocksDB state") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val (depth, width) = (4, 128)
+      val q = StreamingRefresh.cmsStream(
+          input.toDF().toDF("doc_id", "text"), depth, width).writeStream
+        .format("memory").queryName("rocksdb_cms")
+        .outputMode("complete")
+        .option("checkpointLocation",
+          Files.createTempDirectory("rocksdb-cms-ckpt").toString)
+        .start()
+      input.addData(Seq((1L, "apple banana apple")))
+      q.processAllAvailable()
+      input.addData(Seq((2L, "apple cherry")))
+      q.processAllAvailable()
+      val streamed = spark.table("rocksdb_cms").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = StreamingRefresh.cmsStream(
+          Seq((1L, "apple banana apple"), (2L, "apple cherry"))
+            .toDF("doc_id", "text"), depth, width)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      // every depth row must carry all 5 tokens
+      (0 until depth).foreach { d =>
+        assert(streamed.collect { case ((`d`, _), n) => n }.sum === 5L)
+      }
+      q.stop()
+    }
+  }
 }
