@@ -94,11 +94,14 @@ object BloomIndex {
       .agg(expr("bit_or(mask)").as("bits"))
   }
 
-  /** Candidate (probe-row, part) pairs: parts where EVERY one of the k
+  /** Candidate (probe, part) pairs: parts where EVERY one of the k
     * probe positions finds its bit set. Partitions missing a probed
     * word row (all-zero word) drop out of the inner join — exactly the
     * "bit not set" verdict. The index is broadcast (metadata-scale);
-    * probes keep all their columns. */
+    * probes keep all their columns. SET semantics: probes are grouped
+    * by their full column tuple, so duplicate probe rows collapse to
+    * one candidate row per (probe-tuple, part) — carry a distinct
+    * request id column if per-row multiplicity matters downstream. */
   def mightContain(index: DataFrame, probes: DataFrame, keyCol: String,
       mBits: Int, k: Int): DataFrame = {
     val probeCols = probes.columns.map(col).toSeq

@@ -338,15 +338,20 @@ object CorpusFilters {
     * FP contract: u = hv/2^60 is an IEEE-exact division, ln is rounded
     * to 9 at the source, the /weight division result to 12 — the
     * engine-portable double convention used across the ops package.
-    * Weights must be strictly positive. */
+    * Rows with a null/zero/negative weight get a NULL key and are
+    * EXCLUDED from the sample (a 0/0 = NaN key would otherwise sort
+    * ABOVE every real key under descending order and silently hijack
+    * the top-k with degenerate rows). */
   def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     val hv = conv(substring(md5(col(idCol).cast("string").cast("binary")),
       1, 15), 16, 10).cast("long") + lit(1L)
     val u = hv.cast("double") / lit(1152921504606846976.0) // 2^60, exact
+    val w = col(weightCol).cast("double")
     docs
       .withColumn("skey",
-        round(round(log(u), 9) / col(weightCol).cast("double"), 12))
+        when(w > 0.0, round(round(log(u), 9) / w, 12)))
+      .filter(col("skey").isNotNull)
       .orderBy(col("skey").desc, col(idCol))
       .limit(k)
   }

@@ -57,7 +57,10 @@ object FreqSketch {
     * is broadcast under the probes (unbounded), so estimation scales
     * with the probe stream. Probes keep all their columns; `est_n` is
     * appended. Probe terms never seen by the sketch get est_n = 0 (the
-    * left join's missing cells — CMS's answer for absent keys). */
+    * left join's missing cells — CMS's answer for absent keys).
+    * SET semantics: probes are grouped by their full column tuple, so
+    * duplicate probe rows collapse to one output row — carry a
+    * distinct request id column if multiplicity matters. */
   def estimate(sketch: DataFrame, probes: DataFrame, termCol: String,
       depth: Int, width: Int): DataFrame = {
     val probeCols = probes.columns.map(col).toSeq

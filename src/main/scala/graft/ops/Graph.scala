@@ -216,16 +216,25 @@ object Graph {
     * adjacency-join counting is quadratic in hub degree and dies on
     * exactly the graphs near-dup clustering produces. Three equi-joins
     * + one groupBy; no iteration, no driver barriers. */
-  def triangleCounts(vertices: DataFrame, idCol: String, edges: DataFrame,
-      srcCol: String, dstCol: String): DataFrame = {
-    // canonical undirected edge set (a < b), self-loops dropped
-    val e0 = edges
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+  /** Canonical undirected edge set (a < b numerically — the cast to
+    * long happens BEFORE least/greatest, so string id columns cannot
+    * sneak in a lexicographic order that breaks the a < b invariant),
+    * self-loops and duplicates dropped. */
+  private[ops] def canonicalEdges(edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame =
+    edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+
+  /** The degree-ordered orientation of a canonical edge set: each edge
+    * directed from its (degree, id)-smaller endpoint (s) to the larger
+    * (d). Exposed `private[ops]` so TriangleSpec asserts the hub-safety
+    * property on THIS code path, not a spec-local re-implementation. */
+  private[ops] def orientByDegree(e0: DataFrame): DataFrame = {
     val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val oriented = e0
+    e0
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
       .select(
@@ -234,6 +243,12 @@ object Graph {
           struct(col("a").as("s"), col("b").as("d")))
           .otherwise(struct(col("b").as("s"), col("a").as("d"))).as("e"))
       .select(col("e.s").as("s"), col("e.d").as("d"))
+  }
+
+  def triangleCounts(vertices: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val e0 = canonicalEdges(edges, srcCol, dstCol)
+    val oriented = orientByDegree(e0)
     // wedges: unordered out-neighbor pairs, canonicalized by id so the
     // closing lookup is a single equi-join against e0's (a < b) form
     val o1 = oriented.select(col("s"), col("d").as("d1"))

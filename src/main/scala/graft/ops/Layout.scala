@@ -57,11 +57,19 @@ object Layout {
     spreadBits16(qx).bitwiseOR(shiftleft(spreadBits16(qy), 1))
 
   /** Min-max quantize a nonnegative integral column into [0, 65535]:
-    * `((v - min) * 65536) div (max - min + 1)` — exact long arithmetic,
-    * monotone in v, and identical to DuckDB's `//` on the same inputs. */
+    * `((v - min) * 65536) div (max - min + 1)` — exact, monotone in v,
+    * and identical to DuckDB's `//` on the same inputs. The product is
+    * taken in DECIMAL(38,0): a span wider than 2^47 would overflow the
+    * long multiply and wrap the quantized value negative (snowflake-
+    * style id magnitudes are exactly where that silent corruption would
+    * land); decimal keeps the full product exact at any long span. */
   def quantize16(v: Column, minV: Column, maxV: Column): Column =
-    idiv((v.cast("long") - minV.cast("long")) * lit(65536L),
-      maxV.cast("long") - minV.cast("long") + lit(1L))
+    idiv(
+      (v.cast("long") - minV.cast("long")).cast("decimal(38,0)") *
+        lit(65536L).cast("decimal(38,0)"),
+      (maxV.cast("long") - minV.cast("long") + lit(1L))
+        .cast("decimal(38,0)"))
+      .cast("long")
 
   /** The per-row z-value frame: `df` plus `qx`, `qy`, `zvalue` columns
     * quantized against the table-global min/max of `xCol`/`yCol` (1-row

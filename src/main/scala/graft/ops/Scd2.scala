@@ -15,16 +15,26 @@ import org.apache.spark.sql.functions._
   * a single exchange. Per-key windows, never global: scales with keys.
   *
   * `merge` is deliberately a RECONSTRUCTION, not an in-place
-  * close-and-insert: the history of a log is a pure function of its
-  * change points, so merging a batch is "union the batch with the
+  * close-and-insert: merging a batch is "union the batch with the
   * dimension's opening rows and re-run history". That formulation is
-  * idempotent (re-merging the same batch is a no-op), commutative in
-  * arrival order, and — unlike close-and-insert — correct for LATE
-  * (retroactive) events, which split an existing interval instead of
-  * corrupting the tail. The price is rewriting the key's history rows;
-  * at 100 TB the dimension is metadata-scale next to the fact tables,
-  * and only touched keys change (the union is keyed, the windows are
-  * per-key).
+  * idempotent (re-merging the same batch is a no-op) and EXACT — equal
+  * to rebuilding from the full raw log — whenever each key's updates
+  * arrive at-or-after that key's latest logged event (the normal
+  * append flow), including re-sends of already-seen change points.
+  *
+  * For genuinely LATE (retroactive) events the result is the history
+  * of (recorded change points ∪ updates): always interval-consistent,
+  * and it splits the interval the late event lands in — but the
+  * dimension is a LOSSY summary (events that did not change state were
+  * collapsed into their run and are unrecoverable), so if a collapsed
+  * event later RE-ASSERTED the old value inside that run, no
+  * dimension-only merge can resurrect it (Scd2Spec pins this exact
+  * semantic). When the raw change log is retained, full retroactive
+  * repair is simply `history(log ∪ updates)` — reconstruction makes
+  * that the same code path. The price of merge is rewriting the key's
+  * history rows; at 100 TB the dimension is metadata-scale next to the
+  * fact tables, and only touched keys change (the union is keyed, the
+  * windows are per-key).
   */
 object Scd2 {
 

@@ -106,6 +106,8 @@ object StreamingRefresh {
     * keys, hash-partitioned by groupByKey. */
   def scd2Stream(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    requireIntegralId(events, "user_id", "scd2Stream")
+    requireIntegralId(events, "event_id", "scd2Stream")
     val spark = events.sparkSession
     import spark.implicits._
     events

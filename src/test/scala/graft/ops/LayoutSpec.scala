@@ -53,6 +53,23 @@ class LayoutSpec extends SparkSpecBase {
     assert(out.toSeq === out.toSeq.sorted)
   }
 
+  test("quantize16 survives spans past 2^47 (long-multiply overflow zone)") {
+    import spark.implicits._
+    // span 2^50: (v-min)*65536 would hit 2^66 and wrap negative in
+    // long arithmetic; the decimal product must stay exact
+    val minV = 0L
+    val maxV = (1L << 50) - 1L
+    val span = BigInt(1) << 50
+    val vals = Seq(0L, 1L << 49, maxV - 1, maxV,
+      3L * (1L << 48), (1L << 50) / 3)
+    val out = vals.toDF("v")
+      .select(Layout.quantize16(col("v"), lit(minV), lit(maxV)).as("q"))
+      .collect().map(_.getLong(0))
+    val expect = vals.map(v => (BigInt(v) * 65536 / span).toLong)
+    assert(out.toSeq === expect)
+    assert(out.forall(q => q >= 0 && q <= 65535))
+  }
+
   test("clustered layout skips most files on a 2-D box predicate") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-layout")
     // x = l_partkey, y = l_orderkey: independent dimensions (TPC-H ties

@@ -62,6 +62,34 @@ class Scd2Spec extends SparkSpecBase {
       ("bronze", 100L, 200L), ("silver", 200L, 300L), ("gold", 300L, null)))
   }
 
+  test("lossy-summary boundary: a late event inside a collapsed run " +
+    "reconstructs from recorded change points, not the unrecoverable log") {
+    import spark.implicits._
+    // log: A@100, A@200 (collapsed into A's run), B@300. A late B@150
+    // lands inside the collapsed run; the FULL log's history would
+    // re-assert A at 200 — but A@200 was collapsed away, so the best
+    // any dimension-only merge can do is history(openings ∪ late).
+    // This pins merge to exactly that (documented) semantic, and pins
+    // that retained-log repair recovers the full answer.
+    val log = Seq(
+      (7L, "A", 100L, 1L), (7L, "A", 200L, 2L), (7L, "B", 300L, 3L))
+      .toDF("user_id", "event_type", "us", "event_id")
+    val late = Seq((7L, "B", 150L, 9L))
+      .toDF("user_id", "event_type", "us", "event_id")
+    val dim = Scd2.history(log, "user_id", "event_type", "us", "event_id")
+    val merged = Scd2.merge(dim, late, "user_id", "event_type", "us", "event_id")
+    // dimension-only merge: B wins from 150 until the recorded B@300
+    // opening collapses into it — A's 200 re-assertion is gone
+    assert(canon(merged).map(r => (r(2), r(3), r(4))) === Seq(
+      ("A", 100L, 150L), ("B", 150L, null)))
+    // retained-log repair is the same code path and recovers everything
+    val repaired = Scd2.history(log.unionByName(late),
+      "user_id", "event_type", "us", "event_id")
+    assert(canon(repaired).map(r => (r(2), r(3), r(4))) === Seq(
+      ("A", 100L, 150L), ("B", 150L, 200L),
+      ("A", 200L, 300L), ("B", 300L, null)))
+  }
+
   test("intervals are contiguous per key: valid_to == next valid_from") {
     val full = Scd2.history(eventsLog(sfDir),
       "user_id", "event_type", "us", "event_id")

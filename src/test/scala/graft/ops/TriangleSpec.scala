@@ -61,24 +61,27 @@ class TriangleSpec extends SparkSpecBase {
     import spark.implicits._
     // a 200-leaf hub plus a small clique: the hub's edges must all
     // orient TOWARD it (leaves have degree 1), so its out-degree is 0
-    // and the wedge self-join generates no hub explosion
+    // and the wedge self-join generates no hub explosion — asserted on
+    // the PRODUCTION orientation path, not a spec-local copy
     val hub = (2L to 201L).map(i => (1L, i))
     val clique = Seq((202L, 203L), (203L, 204L), (202L, 204L))
     val edges = (hub ++ clique).toDF("s", "d")
-    val e0 = edges
-      .select(least(col("s"), col("d")).as("a"),
-        greatest(col("s"), col("d")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val oriented = e0
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-      .select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")),
-          col("a")).otherwise(col("b")).as("s"))
+    val oriented = Graph.orientByDegree(
+      Graph.canonicalEdges(edges, "s", "d"))
     val hubOut = oriented.filter(col("s") === 1L).count()
     assert(hubOut === 0L, s"hub emitted $hubOut out-edges")
+    // every canonical edge is oriented exactly once
+    assert(oriented.count() === 203L)
+  }
+
+  test("string id columns canonicalize numerically, not lexicographically") {
+    import spark.implicits._
+    // ids 9, 10, 11: least('10','9') = '10' lexicographically, which
+    // would break the a < b invariant and silently drop the triangle
+    val edges = Seq(("9", "10"), ("10", "11"), ("9", "11")).toDF("s", "d")
+    val got = Graph.triangleCounts(
+      Seq(9L, 10L, 11L).toDF("id"), "id", edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(9L -> 1L, 10L -> 1L, 11L -> 1L))
   }
 }
