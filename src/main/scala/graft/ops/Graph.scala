@@ -245,6 +245,52 @@ object Graph {
       .select(col("e.s").as("s"), col("e.d").as("d"))
   }
 
+  /** k-core membership by iterative peeling: repeatedly delete
+    * vertices whose degree among SURVIVORS is < k until fixpoint. The
+    * 2-core of a near-dup graph separates genuinely cliquey duplicate
+    * clusters (cycles survive) from chain/tree artifacts of borderline
+    * pair thresholds (peeled away) — a structure diagnostic before
+    * trusting cluster representatives.
+    *
+    * Scale shape: each round is one degree aggregation over the
+    * surviving |E| plus two anti-joins on the peeled vertex set, with
+    * the edge frame re-staged per round through the Checkpoints seam
+    * (lineage stays O(1), executor loss survivable in reliable mode).
+    * Rounds are data-dependent (the peeling depth — the graph's
+    * degeneracy ordering depth, typically a handful on near-dup
+    * graphs); each costs ONE driver barrier for the convergence count,
+    * the same loop discipline as connectedComponents. */
+  def kCore(vertices: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    var e = Checkpoints.stage(canonicalEdges(edges, srcCol, dstCol),
+      eager = true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // stage the peel set so the convergence count and the two
+      // anti-joins share one materialization — ONE barrier per round
+      val peeled = Checkpoints.stage(
+        deg.filter(col("deg") < k).select(col("v")), eager = true)
+      if (peeled.count() == 0) converged = true
+      else {
+        e = Checkpoints.stage(e
+          .join(peeled.select(col("v").as("a")), Seq("a"), "left_anti")
+          .join(peeled.select(col("v").as("b")), Seq("b"), "left_anti")
+          .select(col("a"), col("b")), eager = true)
+        rounds += 1
+      }
+    }
+    val inCore = e.select(explode(array(col("a"), col("b"))).as(idCol))
+      .distinct().withColumn("in_core", lit(1))
+    vertices.select(col(idCol).cast("long").as(idCol))
+      .join(inCore, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("in_core"), lit(0)).as("in_core"))
+  }
+
   def triangleCounts(vertices: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
     val e0 = canonicalEdges(edges, srcCol, dstCol)

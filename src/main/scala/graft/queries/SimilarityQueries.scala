@@ -231,6 +231,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_ivfpq_index" -> knnIvfPqIndex,
     "q_sim_pagerank" -> pagerank,
     "q_sim_triangles" -> triangles,
+    "q_sim_kcore" -> kcore,
     "q_dedup_representatives" -> representatives,
     "q_sim_kmeans" -> kmeans,
     "q_sim_semdedup" -> semdedup,
@@ -670,6 +671,51 @@ object SimilarityQueries extends QueryModule {
          |  FROM n LEFT JOIN gdeg ON gdeg.s = n.vec_id, nv)$steps""".stripMargin
   }
 
+  /** 2-core membership over the same adaptive pair graph: iterative
+    * peeling of degree-<2 vertices until fixpoint (Graph.kCore) —
+    * cliquey duplicate clusters survive, chain/tree artifacts of
+    * borderline thresholds peel away. The mirror unrolls the peeling
+    * rounds as CTEs over the pre-verified pair dump. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.cosinePairsAdaptive(emb, Threshold,
+      targetOccupancy = Occupancy, targetRecall = Recall, maxPlanes = MaxB)
+      .select(col("vec_a"), col("vec_b"))
+    graft.ops.Graph.kCore(emb.select(col("vec_id")), "vec_id",
+      pairs, "vec_a", "vec_b", k = 2)
+      .orderBy(col("vec_id"))
+  }
+
+  private val KcoreUnrolledRounds = 8
+
+  /** k-core mirror: 8 unrolled peel rounds (the fixture graph's
+    * peeling depth is ~2-3; converged rounds are no-ops, so any
+    * depth ≤ 8 verifies exactly — a deeper graph would mismatch
+    * loudly, never silently). */
+  private def kcoreSql: String = {
+    val rounds = (1 to KcoreUnrolledRounds).map { i =>
+      s""", bad$i AS (
+         |  SELECT v FROM (SELECT unnest([a, b]) AS v FROM r${i - 1})
+         |  GROUP BY v HAVING COUNT(*) < 2),
+         |r$i AS (
+         |  SELECT a, b FROM r${i - 1}
+         |  WHERE a NOT IN (SELECT v FROM bad$i)
+         |    AND b NOT IN (SELECT v FROM bad$i))""".stripMargin
+    }.mkString
+    s"""WITH gpr AS (
+       |  SELECT CAST(vec_a AS BIGINT) AS va, CAST(vec_b AS BIGINT) AS vb
+       |  FROM read_parquet('${QueryModule.VerifyOutToken}/q_sim_cosine_pairs/*.parquet')),
+       |r0 AS (
+       |  SELECT LEAST(va, vb) AS a, GREATEST(va, vb) AS b
+       |  FROM gpr WHERE va <> vb GROUP BY 1, 2)$rounds,
+       |surv AS (
+       |  SELECT DISTINCT unnest([a, b]) AS id FROM r$KcoreUnrolledRounds)
+       |SELECT emb.vec_id,
+       |  CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS in_core
+       |FROM embeddings emb LEFT JOIN surv s ON s.id = emb.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Triangle mirror: canonical a < b edges from the pre-verified pair
     * dump, then the classic e(a,b) ⋈ e(b,c) ⋈ e(a,c) triple join with
     * a < b < c — each triangle once — exploded back onto its three
@@ -788,6 +834,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_mmr" -> mmrSql,
     "q_sim_pagerank" -> pagerankSql,
     "q_sim_triangles" -> trianglesSql,
+    "q_sim_kcore" -> kcoreSql,
     "q_dedup_representatives" -> representativesSql,
     "q_sim_kmeans" -> kmeansSql,
     "q_sim_semdedup" -> semdedupSql,
