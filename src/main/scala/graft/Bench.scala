@@ -124,16 +124,24 @@ object Bench {
     * accumulated executor/GC/host pressure late in the suite —
     * BENCH_r08 recorded q_group_ordered_concat at 7.64s median while
     * the same HEAD measured 1.24s in isolation. Any query whose steady
-    * median exceeds 3× its own same-run baseline (cold time for the
-    * frozen core; min steady rep for the extras) by more than an
+    * median exceeds 2.5× its own same-run baseline by more than an
     * absolute 0.5s is re-measured at END of run — median of 3 fresh
     * reps after the rest of the suite has quiesced — and the isolated
     * number is reported alongside in `adjudicated`. The recorded
     * median is NOT overwritten: both numbers ship, so the trendline
-    * stays honest and the outlier is explained in the same artifact. */
+    * stays honest and the outlier is explained in the same artifact.
+    *
+    * The baseline is the query's own MIN steady rep (for the frozen
+    * core, min(cold, min-rep)) and the trigger is 2.5× — r9's rule
+    * (3× of cold) let q_text_stats ship a 1.34s median that was 2.9×
+    * its own 0.468s min because cold (0.616s) set the bar at 1.85s:
+    * a single noise rep became the recorded number with no
+    * `adjudicated` entry. Median-vs-min closes that: a genuinely slow
+    * query has a slow min too (no spurious re-measure), while one
+    * poisoned rep leaves the min fast and trips the trigger. */
   /** The selection rule alone, pure and spec-testable (BenchLogicSpec):
     * a query is re-measured iff its median is valid, it has a valid
-    * baseline, AND it exceeds BOTH the 3× relative and the 0.5 s
+    * baseline, AND it exceeds BOTH the 2.5× relative and the 0.5 s
     * absolute threshold — the absolute guard keeps sub-second queries
     * from burning end-of-run re-measures on noise. `measure` returns
     * the isolated number (or -1.0 for a failed re-measure, which ships
@@ -144,7 +152,7 @@ object Bench {
       measure: String => Option[Double]): Seq[(String, Double)] =
     medians.flatMap { case (name, med) =>
       val base = baseline.getOrElse(name, -1.0)
-      if (med < 0 || base <= 0 || med <= 3 * base || med - base <= 0.5) None
+      if (med < 0 || base <= 0 || med <= 2.5 * base || med - base <= 0.5) None
       else measure(name).map(name -> _)
     }
 
@@ -247,11 +255,17 @@ object Bench {
     val (extraResults, extraMin) = timeSetMedian(spark, sfDir, extras, SteadyReps)
     val totalExtra = extraResults.collect { case (_, v) if v >= 0 => v }.sum
 
-    // end-of-run outlier adjudication (see adjudicateOutliers): frozen
-    // core baselines against its cold pass, extras (which have no cold
-    // pass) against their own min steady rep
+    // end-of-run outlier adjudication (see adjudicateOutliers): every
+    // query baselines against its own min steady rep — for the frozen
+    // core, min(cold, min-rep), so a cold pass that happened to be the
+    // only clean measurement still anchors the trigger
+    val coldMap = cold.toMap
+    val coreBase = resultsMin.map { case (n, m) =>
+      val c = coldMap.getOrElse(n, -1.0)
+      n -> (if (m >= 0 && c >= 0) math.min(m, c) else math.max(m, c))
+    }.toMap
     val adjudicated =
-      adjudicateOutliers(spark, sfDir, results, cold.toMap) ++
+      adjudicateOutliers(spark, sfDir, results, coreBase) ++
       adjudicateOutliers(spark, sfDir, extraResults, extraMin.toMap)
     // the headline `value` uses the adjudicated number where one exists
     // (the isolated re-measure is the number that extrapolates to a
@@ -262,7 +276,7 @@ object Bench {
     val totalAdj = results
       .collect { case (n, v) if v >= 0 => adjMap.getOrElse(n, v) }.sum
 
-    val line = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","queries":${jsonNum(results)},"queries_min":${jsonNum(resultsMin)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"adjudicated":${jsonNum(adjudicated)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"r9-cold+steady-median$SteadyReps+adjudicate","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-median"},"rows":$rows,"queries_extra":${jsonNum(extraResults)},"queries_extra_min":${jsonNum(extraMin)},"total_extra":${f3(totalExtra)},"bucketed_ingest_sec":${f3(ingestSec)},"extras_note":"r5+ additions, steady medians, excluded from the frozen total; bucketed ingest timed separately","sf":"$sfDir"$small}"""
+    val line = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","queries":${jsonNum(results)},"queries_min":${jsonNum(resultsMin)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"adjudicated":${jsonNum(adjudicated)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"r10-cold+steady-median$SteadyReps+adjudicate-minbase2.5x","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-median"},"rows":$rows,"queries_extra":${jsonNum(extraResults)},"queries_extra_min":${jsonNum(extraMin)},"total_extra":${f3(totalExtra)},"bucketed_ingest_sec":${f3(ingestSec)},"extras_note":"r5+ additions, steady medians, excluded from the frozen total; bucketed ingest timed separately","sf":"$sfDir"$small}"""
     // The full-detail line goes ONLY to BENCH_LAST.json — r7 proved it
     // outgrows the driver's ~2000-char stdout tail window, and r8 proved
     // that printing BOTH a full and a compact line leaves a first-match
@@ -272,7 +286,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     catch { case _: Throwable => () }
-    val compact = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","compact":true,"queries":${jsonNum(results)},"adjudicated":${jsonNum(adjudicated)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"total_cold":${f3(totalCold)},"total_extra":${f3(totalExtra)},"bucketed_ingest_sec":${f3(ingestSec)},"methodology":"r9-cold+steady-median$SteadyReps+adjudicate","sf":"$sfDir","full":"BENCH_LAST.json"}"""
+    val compact = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","compact":true,"queries":${jsonNum(results)},"adjudicated":${jsonNum(adjudicated)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"total_cold":${f3(totalCold)},"total_extra":${f3(totalExtra)},"bucketed_ingest_sec":${f3(ingestSec)},"methodology":"r10-cold+steady-median$SteadyReps+adjudicate-minbase2.5x","sf":"$sfDir","full":"BENCH_LAST.json"}"""
     println(compact)
     spark.stop()
   }

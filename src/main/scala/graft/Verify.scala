@@ -53,19 +53,38 @@ object Verify {
           .foreach(f => Files.deleteIfExists(f))
         finally walk.close()
       }
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // Dump order: the staged-pair PRODUCER first, so its verified pair
+    // parquet can be shared by the five graph-family consumers (see
+    // SimilarityQueries.stagedPairs) — each other query's failure is
+    // isolated (dump the rest, record the error: a partial gate beats
+    // an empty one) and per-query wall-clock is recorded so gate-cost
+    // growth is visible per round, not just in aggregate.
+    val PairProducer = "q_sim_cosine_pairs"
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+    val ordered = selected.filter(_._1 == PairProducer) ++
+      selected.filterNot(_._1 == PairProducer)
+    val errors = Seq.newBuilder[(String, String)]
+    val secs = Seq.newBuilder[(String, Double)]
+    ordered.foreach { case (name, fn) =>
       val target = Paths.get(s"$outDir/$name")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(target.toString)
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(target.toString)
+        if (name == PairProducer)
+          graft.queries.SimilarityQueries.stagedPairs =
+            Some(target.toString)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
         try deleteRecursively(target)
         catch { case c: Throwable => System.err.println(
           s"[verify] cleanup of stale $name dump failed: ${c.getMessage}") }
       }
+      secs += name -> (System.nanoTime() - t0) / 1e9
     }
+    graft.queries.SimilarityQueries.stagedPairs = None
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -86,6 +105,20 @@ object Verify {
         s"${q(k)}: ${q(v.replace(graft.queries.QueryModule.VerifyOutToken, absOut))}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // gate forensics (driver ignores these; verify_local.py and the
+    // round notes read them): which dumps failed, and what each cost
+    def f3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.result().map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/verify_dump_secs.json"),
+      secs.result().map { case (k, v) => s"${q(k)}: ${f3(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
+    // rc stays 0 even when some dump failed: a partial gate (the driver
+    // compares every dump that exists; a MISSING dump is a loud FAIL
+    // row) beats an rc!=0 run the driver might discard wholesale —
+    // verify_errors.json carries the failure detail.
   }
 }

@@ -31,9 +31,44 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed version numbers under `dir`, ascending. A version is
+    * committed iff its `_COMMITTED` marker exists — file CREATION is
+    * the atomic publish point (atomic on HDFS and local; no
+    * rename-overwrite semantics to reason about). */
+  private def committedVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .flatMap(s => s.getPath.getName.stripPrefix("v_").toLongOption
+        .filter(_ => fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_COMMITTED"))))
+      .sorted
+  }
+
+  /** The directory holding the CURRENT committed index build: the
+    * highest committed `v_<n>` when the versioned layout is present,
+    * else `dir` itself (pre-r10 flat layout, still readable). */
+  private[graft] def resolveDir(spark: SparkSession, dir: String): String =
+    committedVersions(spark, dir).lastOption
+      .map(v => s"$dir/v_$v").getOrElse(dir)
+
   /** Build the index from `emb` (vec_id, embedding) and persist it
-    * under `dir` (overwrite semantics — a nightly rebuild replaces the
-    * previous index). */
+    * under `dir`. Rebuild-while-serving safe: each build writes into a
+    * fresh `v_<n>` directory and publishes it by CREATING the
+    * `_COMMITTED` marker (atomic; an aborted build leaves an
+    * uncommitted directory readers never resolve) — a reader that
+    * resolved the previous version mid-probe keeps reading a complete,
+    * self-consistent quadruple; it can never see quantizers from one
+    * build and codes from another (the pre-r10 four-overwrite layout
+    * could). The previous committed version is retained for exactly
+    * those in-flight readers; older versions and aborted build dirs
+    * are garbage-collected here. */
   def save(emb: DataFrame, dir: String, numCells: Int = 16,
       numSubspaces: Int = 8, codebookSize: Int = 16,
       dims: Int = 64): Unit = {
@@ -41,25 +76,44 @@ object AnnIndex {
     import spark.implicits._
     val subDims = dims / numSubspaces
     require(subDims * numSubspaces == dims, "dims must split evenly")
+    val prior = committedVersions(spark, dir)
+    val next = prior.lastOption.getOrElse(0L) + 1
+    val vdir = s"$dir/v_$next"
     val centroids = Similarity.ivfCentroids(emb, numCells)
     val cbs = Similarity.pqCodebooks(emb, numSubspaces, codebookSize, subDims)
     centroids.zipWithIndex.map { case (w, c) => (c, w.toSeq) }.toSeq
       .toDF("cell", "weights")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      .repartition(1).write.mode("overwrite").parquet(s"$vdir/centroids")
     cbs.zipWithIndex.flatMap { case (cb, m) =>
       cb.zipWithIndex.map { case (w, code) => (m, code, w.toSeq) }
     }.toSeq.toDF("subspace", "code", "weights")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebooks")
     Seq((numCells, numSubspaces, codebookSize, dims))
       .toDF("num_cells", "num_subspaces", "codebook_size", "dims")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .repartition(1).write.mode("overwrite").parquet(s"$vdir/meta")
     Similarity.encodeIvfPq(emb, centroids, cbs, subDims)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/codes")
+    val (fs, _) = fsOf(spark, dir)
+    fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"),
+      false).close() // atomic publish; `false` = fail loudly on a clash
+    // GC: every committed version except the new one and its
+    // predecessor, plus any UNcommitted build dir left by an abort
+    val keep = Set(next) ++ prior.lastOption
+    val (fs2, p) = fsOf(spark, dir)
+    fs2.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .filter(s => !s.getPath.getName.stripPrefix("v_").toLongOption
+        .exists(keep))
+      .foreach(s => fs2.delete(s.getPath, true))
   }
 
   /** Load the index's quantizers: (centroids by cell, codebooks by
     * (subspace, code), subspace dimensionality). Driver-side,
-    * metadata-scale. */
+    * metadata-scale. `dir` must already be version-resolved
+    * ([[resolveDir]]) — resolving HERE would let a rebuild that commits
+    * between the quantizer and codes loads hand the caller a mixed
+    * index; the caller resolves ONCE and passes the pinned build dir
+    * to both loads. */
   private[graft] def loadQuantizers(spark: SparkSession, dir: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]], Int) = {
     val meta = spark.read.parquet(s"$dir/meta").head()
@@ -91,8 +145,9 @@ object AnnIndex {
   def topK(spark: SparkSession, dir: String, emb: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int = 4,
       refine: Int = 5): DataFrame = {
-    val (centroids, cbs, subDims) = loadQuantizers(spark, dir)
-    Similarity.ivfPqScore(loadCodes(spark, dir), emb, queries, centroids,
+    val vdir = resolveDir(spark, dir) // pin ONE committed build
+    val (centroids, cbs, subDims) = loadQuantizers(spark, vdir)
+    Similarity.ivfPqScore(loadCodes(spark, vdir), emb, queries, centroids,
       cbs, k, nProbe, refine, subDims)
   }
 

@@ -125,18 +125,29 @@ object Bpe {
   /** Per-document REAL BPE token counts under a vocabulary trained on
     * `trainDocs`: each document's words join the trained vocabulary's
     * final segmentation (an equi-join on the word — the deployment
-    * shape: tokenize by lookup, never by re-merging), out-of-vocabulary
-    * words fall back to their character count (zero merges apply). */
+    * shape: tokenize by lookup for the overwhelmingly-common in-vocab
+    * case). Out-of-vocabulary words get the trained merge table
+    * REPLAYED on their character segmentation — standard BPE applies
+    * learned merges to unseen words too, so an unseen word built from
+    * frequent merged pairs counts its true (smaller) token count, not
+    * its character count (the pre-r10 fallback, which overstated).
+    * The replay is a rank-ordered fold of literal framed replaces —
+    * one projection chain, codegen-friendly, no extra shuffle; it is
+    * exactly the training-side re-segmentation step, so lookup and
+    * replay can never disagree on a shared word. */
   def tokenCounts(trainDocs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, numMerges: Int): DataFrame = {
-    val vocab = train(trainDocs, textCol, numMerges)._2
-      .select(col("w"), col("n_syms"))
+    val (merges, segFinal) = train(trainDocs, textCol, numMerges)
+    val vocab = segFinal.select(col("w"), col("n_syms"))
+    val oovSeg = merges.foldLeft(seg0(col("w"))) { (s, m) =>
+      replace(s, lit(s"$O${m.a}$C$O${m.b}$C"), lit(s"$O${m.a}${m.b}$C"))
+    }
     docs.select(col(idCol), explode(toks(col(textCol))).as("w"))
       .join(vocab, Seq("w"), "left")
       .groupBy(col(idCol))
       .agg(
-        sum(coalesce(col("n_syms").cast("long"), length(col("w")).cast("long")))
-          .as("n_bpe_tokens"),
+        sum(coalesce(col("n_syms").cast("long"),
+          size(symsOf(oovSeg)).cast("long"))).as("n_bpe_tokens"),
         count(lit(1)).as("n_words"))
   }
 }

@@ -130,9 +130,13 @@ object Checkpoints {
       // the read-flip-restore must be atomic across threads, or two
       // concurrent keepPartitioning stages can interleave so one
       // "restores" the other's false and AQE stays off for the whole
-      // session; the lock makes the flip window race-free (a concurrent
-      // UNRELATED query compiling inside the window still sees AQE off
-      // — the documented session-visibility caveat of this seam)
+      // session; the lock makes the flip window race-free. A concurrent
+      // UNRELATED query compiling on another thread of the same session
+      // inside the window still sees BOTH pins — AQE off AND the loop's
+      // spark.sql.shuffle.partitions value — the documented
+      // session-visibility caveat of this seam (use a cloned session
+      // for loop compilation if that ever matters in practice; the
+      // registered queries compile single-threaded)
       Checkpoints.synchronized {
         val key = "spark.sql.adaptive.enabled"
         val pKey = "spark.sql.shuffle.partitions"

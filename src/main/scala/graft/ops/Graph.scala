@@ -252,38 +252,60 @@ object Graph {
     * pair thresholds (peeled away) — a structure diagnostic before
     * trusting cluster representatives.
     *
-    * Scale shape: each round is one degree aggregation over the
-    * surviving |E| plus two anti-joins on the peeled vertex set, with
-    * the edge frame re-staged per round through the Checkpoints seam
-    * (lineage stays O(1), executor loss survivable in reliable mode).
+    * Scale shape (r10, the CC/PR loop discipline): the canonical edge
+    * list stages ONCE into the loop's fixed hash-partitioned + sorted
+    * layout; each round compiles AQE-off over that staged scan — one
+    * degree aggregation plus two sort-merge anti-joins against the
+    * peel set, re-staged into the same layout (lineage O(1), executor
+    * loss survivable in reliable mode). Convergence is read off the
+    * staged frame's EDGE COUNT (peeling removes a vertex iff it
+    * removes an edge, so |E| unchanged ⇔ peel set empty) — a cheap
+    * count over just-staged blocks instead of the pre-r10 separate
+    * peel-set stage + count, cutting the round's driver barriers from
+    * three eager actions to one stage + one count (q_sim_kcore: 90 →
+    * measured via CountJobs after the rework; JobCountSpec pins it).
     * Rounds are data-dependent (the peeling depth — the graph's
-    * degeneracy ordering depth, typically a handful on near-dup
-    * graphs); each costs ONE driver barrier for the convergence count,
-    * the same loop discipline as connectedComponents. */
+    * degeneracy ordering depth, typically ~10 on near-dup graphs).
+    * Throws if fixpoint is not reached within `maxRounds` — a silently
+    * non-converged superset is never returned. */
   def kCore(vertices: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"k-core needs k >= 1, got $k")
-    var e = Checkpoints.stage(canonicalEdges(edges, srcCol, dstCol),
-      eager = true)
+    // lazy pair staging + count (the loopGeometry pattern): generation
+    // compiles under AQE, the count is the materializing action
+    val p0 = Checkpoints.stage(canonicalEdges(edges, srcCol, dstCol),
+      eager = false)
+    var nE = p0.count()
+    val loopP = loopPartitions(p0, nE)
+    def restage(df: DataFrame): DataFrame = Checkpoints.stage(
+      df.repartition(loopP, col("a")).sortWithinPartitions(col("a")),
+      eager = true, keepPartitioning = true,
+      shufflePartitions = Some(loopP))
+    var e = restage(p0)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      // stage the peel set so the convergence count and the two
-      // anti-joins share one materialization — ONE barrier per round
-      val peeled = Checkpoints.stage(
-        deg.filter(col("deg") < k).select(col("v")), eager = true)
-      if (peeled.count() == 0) converged = true
-      else {
-        e = Checkpoints.stage(e
-          .join(peeled.select(col("v").as("a")), Seq("a"), "left_anti")
-          .join(peeled.select(col("v").as("b")), Seq("b"), "left_anti")
-          .select(col("a"), col("b")), eager = true)
-        rounds += 1
-      }
+      val peeled = deg.filter(col("deg") < k).select(col("v"))
+      val e2 = restage(e
+        .join(peeled.select(col("v").as("a")), Seq("a"), "left_anti")
+        .join(peeled.select(col("v").as("b")), Seq("b"), "left_anti")
+        .select(col("a"), col("b")))
+      val n2 = e2.count()
+      if (n2 == nE) converged = true
+      else { e = e2; nE = n2; rounds += 1 }
     }
+    // a silent non-converged superset would mismatch its oracle only
+    // loudly, not explainably — fail here instead, naming the knob
+    // (peeling depth = the graph's degeneracy-ordering depth; 50 rounds
+    // is already far beyond any near-dup graph's)
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not reach fixpoint within maxRounds=$maxRounds peel " +
+          "rounds — the result would be a superset of the true k-core; " +
+          "raise maxRounds for this graph")
     val inCore = e.select(explode(array(col("a"), col("b"))).as(idCol))
       .distinct().withColumn("in_core", lit(1))
     vertices.select(col(idCol).cast("long").as(idCol))

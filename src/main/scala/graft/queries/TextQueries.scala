@@ -246,17 +246,30 @@ object TextQueries extends QueryModule {
         s"SELECT $r AS merge_rank, a AS sym_a, b AS sym_b, s AS pair_count FROM b$r")
         .mkString("\nUNION ALL\n") +
       "\nORDER BY merge_rank"),
+    // The registered query trains and scores the SAME documents, so
+    // every scored word is in-vocabulary and the lookup join is total.
+    // The Spark side's OOV path (merge replay on the char segmentation)
+    // is therefore unreachable here — rather than mirror it, the `oov`
+    // sentinel unions a poison row (doc_id -1) if any scored word ever
+    // misses the vocabulary, so a future query change that opens the
+    // OOV path fails the gate loudly instead of silently diverging.
     "q_text_bpe_tokens" -> (bpeCte(BpeMerges) +
       s""", vocab AS (
          |  SELECT w, len(string_split(substr(seg, 2, length(seg) - 2),
          |    chr(2) || chr(1))) AS n_syms
          |  FROM seg$BpeMerges
          |)
-         |SELECT t.doc_id,
-         |  CAST(SUM(COALESCE(v.n_syms, length(t.t))) AS BIGINT) AS n_bpe_tokens,
-         |  COUNT(*) AS n_words
-         |FROM tok t LEFT JOIN vocab v ON t.t = v.w
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+         |SELECT doc_id, n_bpe_tokens, n_words FROM (
+         |  SELECT t.doc_id,
+         |    CAST(SUM(v.n_syms) AS BIGINT) AS n_bpe_tokens,
+         |    COUNT(*) AS n_words
+         |  FROM tok t LEFT JOIN vocab v ON t.t = v.w
+         |  GROUP BY t.doc_id
+         |  UNION ALL
+         |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+         |  WHERE EXISTS (SELECT 1 FROM tok t LEFT JOIN vocab v
+         |                ON t.t = v.w WHERE v.w IS NULL))
+         |ORDER BY doc_id""".stripMargin),
     // Full from-scratch NB retrain: same tokenization, same 9-rounded
     // log terms cast to DECIMAL(28,12), same exact decimal score
     // arithmetic, same max-score/min-label argmax (via window order).

@@ -100,8 +100,16 @@ object StreamingRefresh {
     * production appends them to the dimension table while the open
     * tails live in the state store. Within a micro-batch a key's rows
     * fold in (us, tie) order; arrival is assumed in-order per key
-    * ACROSS batches (the lineDedupStream contract) — repairing
-    * out-of-order history is the batch Scd2.merge reconstruction's job.
+    * ACROSS batches (the lineDedupStream contract). A LATE retroactive
+    * event — one older than its key's open interval — is DROPPED here,
+    * by the same contract as a beyond-watermark row in a windowed
+    * aggregation: the stream leg is forward-only (without the drop, a
+    * late differing event would close the open interval with
+    * valid_to < valid_from — an inverted row appended downstream, and
+    * append-mode cannot retract it). Retroactive repair is the batch
+    * [[graft.ops.Scd2.merge]] reconstruction's job — rerun it over
+    * dimension ∪ late events; Scd2StreamSpec pins this exact boundary
+    * (stream drops the late event, merge splits the interval).
     * State per key: one (attr, long, long) triple — bounded by distinct
     * keys, hash-partitioned by groupByKey. */
   def scd2Stream(events: DataFrame): DataFrame = {
@@ -125,6 +133,9 @@ object StreamingRefresh {
           ordered.foreach { case (_, attr, us, tie) =>
             cur match {
               case None => cur = Some((attr, us, tie))
+              case Some((_, from, _)) if us < from =>
+                () // LATE retroactive event: forward-only leg drops it
+                   // (see scaladoc — batch Scd2.merge is the repair)
               case Some((a, from, t0)) if a != attr =>
                 out += ((key, a, from, us, t0))
                 cur = Some((attr, us, tie))
@@ -485,9 +496,13 @@ object StreamingRefresh {
   def annProbeStream(queries: DataFrame, ixDir: String,
       nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    // pin ONE committed index build for the stream's lifetime — a
+    // nightly rebuild committing mid-stream must not hand this stream
+    // the new build's codes under the old build's quantizers
+    val vdir = graft.ops.AnnIndex.resolveDir(spark, ixDir)
     val (centroids, cbs, subDims) =
-      graft.ops.AnnIndex.loadQuantizers(spark, ixDir)
-    val codes = graft.ops.AnnIndex.loadCodes(spark, ixDir)
+      graft.ops.AnnIndex.loadQuantizers(spark, vdir)
+    val codes = graft.ops.AnnIndex.loadCodes(spark, vdir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.ops.AnnIndex.probeCandidates(
       queries, codes, centroids, cbs, subDims, nProbe)

@@ -14,15 +14,19 @@ class BenchLogicSpec extends AnyFunSuite {
     Bench.selectOutliers(medians, baseline,
       n => Some(measured.getOrElse(n, 1.0)))
 
-  test("re-measures only queries over BOTH the 3x and 0.5s thresholds") {
+  test("re-measures only queries over BOTH the 2.5x and 0.5s thresholds") {
     val medians = Seq(
-      "hot" -> 7.6,      // 7.3x its 1.04 cold AND +6.5s — the r8 case
-      "small_spike" -> 0.4, // 4x its 0.1 cold but only +0.3s absolute
-      "normal" -> 1.1,   // within 3x of 1.0
-      "exactly3x" -> 3.0) // not STRICTLY over 3x of 1.0
+      "hot" -> 7.6,      // 7.3x its 1.04 min AND +6.5s — the r8 case
+      "small_spike" -> 0.4, // 4x its 0.1 min but only +0.3s absolute
+      "normal" -> 1.1,   // within 2.5x of 1.0
+      "exactly25x" -> 2.5, // not STRICTLY over 2.5x of 1.0
+      // the r9 escape this rule exists for: q_text_stats median 1.34
+      // vs own min 0.468 (2.9x, +0.87s) shipped unadjudicated under
+      // the old 3x-of-cold rule (cold 0.616 set the bar at 1.85)
+      "r9_escape" -> 1.34)
     val base = Map("hot" -> 1.04, "small_spike" -> 0.1,
-      "normal" -> 1.0, "exactly3x" -> 1.0)
-    assert(select(medians, base).map(_._1) === Seq("hot"))
+      "normal" -> 1.0, "exactly25x" -> 1.0, "r9_escape" -> 0.468)
+    assert(select(medians, base).map(_._1) === Seq("hot", "r9_escape"))
   }
 
   test("failed queries and missing baselines never adjudicate") {

@@ -68,16 +68,20 @@ class BpeSpec extends SparkSpecBase {
     assert(n("bb") == 2, "(b,b) lost the argmax; bb stays unmerged")
   }
 
-  test("token counts: vocabulary lookup with character-count OOV fallback") {
+  test("token counts: vocabulary lookup plus merge REPLAY on OOV words") {
     val train = Seq((0L, "abab abab cd")).toDF("doc_id", "text")
-    val apply0 = Seq((1L, "abab cd zzz")).toDF("doc_id", "text")
-    // merges learned on "abab": (a,b) then (ab,ab) dominate
+    // "zzz": OOV, no learned merge applies -> its 3 characters.
+    // "ababab": OOV but built from merged pairs — real BPE replays the
+    // trained table on the char segmentation: (a,b) -> [ab,ab,ab], then
+    // (ab,ab) greedy left-to-right -> [abab, ab] = 2 tokens (the
+    // pre-r10 char-count fallback would have said 6).
+    val apply0 = Seq((1L, "abab cd zzz ababab")).toDF("doc_id", "text")
     val out = Bpe.tokenCounts(train, apply0, "doc_id", "text", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val (_, nTok, nWords) = out.head
     val (_, vocabLens) = refTrain(corpusWords(Seq("abab abab cd")), 2)
-    val want = vocabLens("abab") + vocabLens("cd") + 3L // zzz OOV -> 3 chars
-    assert(nWords == 3L && nTok == want)
+    val want = vocabLens("abab") + vocabLens("cd") + 3L + 2L
+    assert(nWords == 4L && nTok == want)
   }
 
   test("corpus merges are frequency-sorted and application shrinks counts") {

@@ -91,7 +91,11 @@ class JobCountSpec extends SparkSpecBase {
     "q_index_bloom" -> 10,
     "q_events_scd2" -> 6,
     "q_corpus_cms_topk" -> 6,
-    "q_sim_triangles" -> 22)
+    "q_sim_triangles" -> 22,
+    // r10: kCore reworked onto the CC/PR loop discipline (AQE-off
+    // co-partitioned rounds; convergence read off the staged edge
+    // count) — 90 jobs before the rework, 36 measured after
+    "q_sim_kcore" -> 44)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {

@@ -82,4 +82,51 @@ class Scd2StreamSpec extends SparkSpecBase {
     assert(drained("scd2_stream2") === Set((1L, "bronze", 100L, 300L)))
     q.stop()
   }
+
+  test("late-retroactive boundary: stream drops, batch merge repairs") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val q = startStream("scd2_stream3", input)
+    // in-order flow opens gold at 500
+    input.addData(Seq((1L, "bronze", 100L, 1L), (1L, "gold", 500L, 2L)))
+    q.processAllAvailable()
+    assert(drained("scd2_stream3") === Set((1L, "bronze", 100L, 500L)))
+    // a RETROACTIVE differing event at 300 (< open interval's 500)
+    // arrives in a later batch: the forward-only stream DROPS it —
+    // without the guard it would append the inverted row
+    // (gold, 500, 300); with it, nothing is emitted and the open
+    // interval is untouched
+    input.addData(Seq((1L, "silver", 300L, 3L)))
+    q.processAllAvailable()
+    assert(drained("scd2_stream3") === Set((1L, "bronze", 100L, 500L)))
+    // ...and a subsequent in-order change still closes cleanly from
+    // the (unclobbered) state
+    input.addData(Seq((1L, "plat", 900L, 4L)))
+    q.processAllAvailable()
+    assert(drained("scd2_stream3") ===
+      Set((1L, "bronze", 100L, 500L), (1L, "gold", 500L, 900L)))
+    q.stop()
+
+    // the documented repair path: batch Scd2.merge reconstruction over
+    // dimension ∪ the late event SPLITS the interval the event lands in
+    val dim = graft.ops.Scd2.history(
+      Seq((1L, "bronze", 100L, 1L), (1L, "gold", 500L, 2L),
+        (1L, "plat", 900L, 4L))
+        .toDF("user_id", "event_type", "us", "event_id"),
+      "user_id", "event_type", "us", "event_id")
+    val repaired = graft.ops.Scd2.merge(dim,
+      Seq((1L, "silver", 300L, 3L))
+        .toDF("user_id", "event_type", "us", "event_id"),
+      "user_id", "event_type", "us", "event_id")
+      .orderBy("version")
+      .select("event_type", "valid_from_us", "valid_to_us", "is_current")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(repaired === Seq(
+      ("bronze", 100L, 300L, 0), ("silver", 300L, 500L, 0),
+      ("gold", 500L, 900L, 0), ("plat", 900L, -1L, 1)))
+  }
 }

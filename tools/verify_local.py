@@ -10,7 +10,7 @@ This is NOT the driver's code — it is a best-effort reimplementation of the
 documented compare (column-name sort + value hash) so mismatches surface
 before the driver runs.
 """
-import sys, json, glob, math
+import sys, json, glob, math, time
 
 import duckdb
 
@@ -92,19 +92,19 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
+    secs = {}  # per-oracle compare wall-clock -> <outdir>/oracle_secs.json
     spark_dirs = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{outdir}/*/")}
-    for name in sorted(spark_dirs):
+
+    def compare_one(name):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            results[name] = "NO_SPARK_OUTPUT"
-            continue
+            return "NO_SPARK_OUTPUT"
         s_cols, s_rows, s_types = table_rows(con.sql(
             "SELECT * FROM read_parquet([" +
             ",".join(f"'{f}'" for f in files) + "])"))
         if name not in oracle:
-            results[name] = f"ROWS_ONLY rows={len(s_rows)}" + (
+            return f"ROWS_ONLY rows={len(s_rows)}" + (
                 "" if len(s_rows) > 0 else " EMPTY!")
-            continue
         try:
             # Lint: HUGEINT (and DECIMAL-vs-nondecimal) oracle outputs
             # serialize differently from Spark's int64/double in the driver
@@ -112,26 +112,42 @@ def main():
             o_cols, o_rows, o_types = table_rows(con.sql(oracle[name]))
             wide = wide_cols(o_types, s_types)
         except Exception as e:
-            results[name] = f"ORACLE_SQL_ERROR: {e}"
-            continue
+            return f"ORACLE_SQL_ERROR: {e}"
         if wide:
-            results[name] = f"WIDE_TYPE_RISK cols={wide} (CAST to BIGINT/DOUBLE)"
-            continue
+            return f"WIDE_TYPE_RISK cols={wide} (CAST to BIGINT/DOUBLE)"
         if s_cols != o_cols:
-            results[name] = f"SCHEMA_MISMATCH spark={s_cols} oracle={o_cols}"
-        elif s_rows != o_rows:
+            return f"SCHEMA_MISMATCH spark={s_cols} oracle={o_cols}"
+        if s_rows != o_rows:
             diff = next((i, a, b) for i, (a, b)
                         in enumerate(zip(s_rows + [None] * len(o_rows),
                                          o_rows + [None] * len(s_rows)))
                         if a != b)
-            results[name] = (f"ROW_MISMATCH n_spark={len(s_rows)} "
-                             f"n_oracle={len(o_rows)} first_diff@{diff[0]}: "
-                             f"spark={diff[1]} oracle={diff[2]}")
-        else:
-            results[name] = f"MATCH rows={len(s_rows)}"
+            return (f"ROW_MISMATCH n_spark={len(s_rows)} "
+                    f"n_oracle={len(o_rows)} first_diff@{diff[0]}: "
+                    f"spark={diff[1]} oracle={diff[2]}")
+        return f"MATCH rows={len(s_rows)}"
+
+    for name in sorted(spark_dirs):
+        t0 = time.time()
+        results[name] = compare_one(name)
+        secs[name] = round(time.time() - t0, 3)
     missing = set(oracle) - spark_dirs
     for name in missing:
         results[name] = "NO_SPARK_OUTPUT_FOR_ORACLE"
+    # Gate-cost forensics: per-oracle compare seconds, so a mirror that
+    # outgrows the ~30s single-oracle budget (see COVERAGE.md gate-cost
+    # note) is visible the round it happens, not when the driver's
+    # whole-gate wall-clock blows. Heaviest-first on stderr for a quick
+    # read; full map in oracle_secs.json next to the dumps.
+    with open(f"{outdir}/oracle_secs.json", "w") as f:
+        json.dump(secs, f, sort_keys=True)
+    worst = sorted(secs.items(), key=lambda kv: -kv[1])[:8]
+    print("[time] slowest compares: " +
+          ", ".join(f"{n}={s}s" for n, s in worst), file=sys.stderr)
+    over = {n: s for n, s in secs.items() if s > 30}
+    if over:
+        print(f"[time] OVER-BUDGET (>30s single oracle): {over}",
+              file=sys.stderr)
     ok = True
     for name in sorted(results):
         status = results[name]
