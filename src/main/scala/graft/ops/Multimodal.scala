@@ -29,6 +29,11 @@ object Multimodal {
   trait MediaDecoder extends Serializable {
     def decode(kind: String, bytes: Array[Byte]): MediaMeta
     def features(kind: String, bytes: Array[Byte], dims: Int): Array[Float]
+
+    /** `n` grayscale thumbnail pixels (0-255) — production: decode +
+      * resize + luma. The contract perceptual hashing needs is
+      * LOCALITY: a small payload edit must change few pixels. */
+    def thumbnail(kind: String, bytes: Array[Byte], n: Int): Array[Int]
   }
 
   /** STUB decoder: real codecs are unavailable in this environment.
@@ -71,6 +76,28 @@ object Multimodal {
       val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
       if (n == 0f) v else v.map(_ / n)
     }
+
+    /** STRIDED stub thumbnail: pixel i = (Σ of payload bytes at
+      * positions ≡ i mod n) mod 256. Unlike the md5-chaotic metadata
+      * stubs, this fake is LOCALITY-PRESERVING — editing k payload
+      * bytes changes at most k pixels — which is the property the
+      * perceptual-hash path exists to exploit; and the stride (vs a
+      * fixed-width crop) keeps every pixel active for any payload
+      * ≥ n bytes, so no pixel is a degenerate constant that would
+      * turn an LSH band into an all-corpus bucket. Pure integer byte
+      * math, so the DuckDB oracle rebuilds every pixel exactly
+      * (over ASCII payloads, where code point = byte — the oracle
+      * carries a loud ASCII guard). */
+    override def thumbnail(kind: String, bytes: Array[Byte], n: Int): Array[Int] = {
+      val px = new Array[Int](n)
+      if (bytes != null) {
+        var j = 0
+        while (j < bytes.length) { px(j % n) += bytes(j) & 0xff; j += 1 }
+        var i = 0
+        while (i < n) { px(i) %= 256; i += 1 }
+      }
+      px
+    }
   }
 
   /** Decode + feature-extract a (id, kind, payload) dataset in partition
@@ -91,5 +118,72 @@ object Multimodal {
       }
     }.toDF("media_id", "kind", "width", "height", "duration_ms", "valid",
       "features", "n_bytes")
+  }
+
+  /** 64-bit average-hash (aHash) per media item, carried as two
+    * non-negative 32-bit halves (lo32 = pixels 0-31, hi32 = 32-63) so
+    * every downstream band/XOR/popcount stays in sign-free integer
+    * math on BOTH engines. Bit i is set iff 64·p_i > Σp (the classic
+    * mean threshold, in exact integer form — no division rounding to
+    * disagree on). Empty payloads hash to (0, 0) and are marked
+    * invalid so the pair join can exclude them (an all-zero hash
+    * would otherwise make every empty item a mutual duplicate). */
+  def pHash(media: Dataset[(Long, String, Array[Byte])],
+      decoder: MediaDecoder = StubDecoder,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { case (id, kind, bytes) =>
+          val px = decoder.thumbnail(kind, bytes, 64)
+          val s = px.sum
+          var lo = 0L; var hi = 0L
+          var i = 0
+          while (i < 64) {
+            if (64L * px(i) > s) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (id, kind, hi, lo, bytes != null && bytes.nonEmpty)
+        }
+      }
+    }.toDF("media_id", "kind", "hi32", "lo32", "valid")
+  }
+
+  /** Perceptual near-duplicate pairs from banded aHash signatures: the
+    * 64 bits split into four 16-bit bands; items agreeing on ANY band
+    * become candidates (one equi-join on (band index, band value) —
+    * linear in corpus + bucket sizes, never all-pairs, the same LSH
+    * shape as the text SimHash path), then the exact Hamming distance
+    * filters to ≤ `maxHamming`. Recall contract (same as SimHash's
+    * banding): pairs within 3 bits are GUARANTEED (pigeonhole over 4
+    * bands); beyond that banding is a recall heuristic — reported
+    * pairs are always exact. Invalid (empty) items never pair. */
+  def pHashPairs(hashes: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val v = hashes.filter(col("valid"))
+    val banded = v.select(col("media_id"), col("hi32"), col("lo32"),
+      explode(array(
+        struct(lit(0).as("k"), col("lo32").bitwiseAND(lit(65535L)).as("band")),
+        struct(lit(1).as("k"), shiftrightunsigned(col("lo32"), 16)
+          .bitwiseAND(lit(65535L)).as("band")),
+        struct(lit(2).as("k"), col("hi32").bitwiseAND(lit(65535L)).as("band")),
+        struct(lit(3).as("k"), shiftrightunsigned(col("hi32"), 16)
+          .bitwiseAND(lit(65535L)).as("band")))).as("b"))
+      .select(col("media_id"), col("hi32"), col("lo32"),
+        col("b.k").as("k"), col("b.band").as("band"))
+    val a = banded.select(col("media_id").as("id_a"), col("hi32").as("ha"),
+      col("lo32").as("la"), col("k"), col("band"))
+    val b = banded.select(col("media_id").as("id_b"), col("hi32").as("hb"),
+      col("lo32").as("lb"), col("k"), col("band"))
+    a.join(b, Seq("k", "band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("la"),
+        col("hb"), col("lb")).distinct()
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

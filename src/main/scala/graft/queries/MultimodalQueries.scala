@@ -200,10 +200,35 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash image near-dup pairs (the multimodal face of the
+    * dedup family): each document yields its payload plus a slightly
+    * "re-encoded" variant (4 bytes appended — the planted near-dup),
+    * every item gets a 64-bit aHash over the stub's locality-preserving
+    * strided thumbnail, and banded LSH + exact Hamming ≤ 10 emits the
+    * duplicate pairs. The oracle rebuilds pixels, threshold bits, bands,
+    * candidates, and Hamming distances from scratch — including the
+    * banding's recall behavior, not an easier brute-force restatement —
+    * and carries a loud ASCII guard (the stub's byte sums are mirrored
+    * through per-char code points, exact only while payloads are ASCII;
+    * a non-ASCII fixture would poison-row, never silently drift). */
+  def phashPairsQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val m = docs.select((col("doc_id") * 2).as("media_id"),
+        lit("image").as("kind"), encode(col("text"), "UTF-8").as("payload"))
+      .unionByName(docs.select((col("doc_id") * 2 + 1).as("media_id"),
+        lit("image").as("kind"),
+        encode(concat(col("text"), lit("!!!!")), "UTF-8").as("payload")))
+      .as[(Long, String, Array[Byte])]
+    Multimodal.pHashPairs(Multimodal.pHash(m))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ocr_pages" -> ocrPagesQ,
     "q_media_features" -> features,
     "q_media_audit" -> mediaAudit,
+    "q_media_phash_pairs" -> phashPairsQ,
     "q_vision_markdown" -> visionMarkdown,
     "q_binary_split_merge" -> binarySplitMerge,
     "q_row_render" -> rowRender,
@@ -228,7 +253,60 @@ object MultimodalQueries extends QueryModule {
   private def visionMdLenSql: String =
     visionMdLen("1", "octet_length(encode(text))")
 
+  /** The aHash threshold-bit sum for one 32-bit half: bit j set iff
+    * 64·p[base+j+1] > s (DuckDB lists are 1-indexed). */
+  private def halfBitsSql(base: Int): String =
+    (0 until 32).map(j =>
+      s"(CASE WHEN 64 * p[${base + j + 1}] > s THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+
+  private def phashPairsSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id * 2 AS media_id, text AS t FROM documents
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1, text || '!!!!' FROM documents),
+       |px AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 64), i ->
+       |      CAST(list_sum(list_transform(range(0, (length(t) + 63) // 64), r ->
+       |        CASE WHEN i + 64 * r + 1 <= length(t)
+       |          THEN unicode(substr(t, CAST(i + 64 * r + 1 AS INT), 1))
+       |          ELSE 0 END)) % 256 AS BIGINT)) AS p
+       |  FROM m WHERE length(t) > 0),
+       |hb AS (
+       |  SELECT media_id, p, list_sum(p) AS s FROM px),
+       |h AS (
+       |  SELECT media_id,
+       |    ${halfBitsSql(32)} AS hi32,
+       |    ${halfBitsSql(0)} AS lo32
+       |  FROM hb),
+       |bands AS (
+       |  SELECT media_id, hi32, lo32, 0 AS k, lo32 % 65536 AS band FROM h
+       |  UNION ALL SELECT media_id, hi32, lo32, 1, (lo32 // 65536) % 65536 FROM h
+       |  UNION ALL SELECT media_id, hi32, lo32, 2, hi32 % 65536 FROM h
+       |  UNION ALL SELECT media_id, hi32, lo32, 3, (hi32 // 65536) % 65536 FROM h),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |    a.hi32 AS ha, a.lo32 AS la, b.hi32 AS hb, b.lo32 AS lb
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.band = b.band AND a.media_id < b.media_id),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER)
+       |      AS hamming
+       |  FROM cand)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 10
+       |  UNION ALL
+       |  -- ASCII guard: the pixel mirror equates code points with bytes;
+       |  -- a non-ASCII payload would silently diverge, so it poisons
+       |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), -1
+       |  WHERE EXISTS (SELECT 1 FROM m
+       |                WHERE octet_length(encode(t)) <> length(t)))
+       |ORDER BY id_a, id_b""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q_media_phash_pairs" -> phashPairsSql,
     // the OCR markdown rebuilt byte-for-byte: char-boundary pages, the
     // stub's md5 scan tag, UTF-8 byte counts, ordered reassembly hash
     "q_ocr_pages" ->
