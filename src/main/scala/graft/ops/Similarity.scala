@@ -340,6 +340,45 @@ object Similarity {
         round(col("a._2"), 6).as("d2"))
   }
 
+  /** Cluster-balanced selection — the diversity-preserving pruning step
+    * of a training-data pipeline (the shape of cluster-based data
+    * selection à la SemDeDup/D4: embed, cluster, take a per-cluster
+    * budget so no dense region dominates the kept set). K-means cells
+    * from the deterministic exact-decimal Lloyd path; within each cell
+    * a uniform A-Res draw (the ln(u) key from the portable md5 hash —
+    * the same key family as CorpusFilters.weightedSample, weight 1)
+    * keeps the top `quota`.
+    *
+    * Scale shape: the per-cell top-quota NEVER windows a raw cell —
+    * cells are corpus-scale (k is small) and a bare
+    * Window.partitionBy(cluster) would funnel each cell into one task.
+    * Instead a salted pre-prune (per-(cell, salt) row_number, bounded
+    * output quota·preSalts per cell) feeds the final per-cell window,
+    * which therefore sees at most quota·preSalts rows per cell — the
+    * KeywordSearch discipline (global windows only over top-k-limited
+    * frames) applied per group. Correct because every member of a
+    * cell's true top-quota is also in its own salt-slice's top-quota. */
+  def clusterBalancedSample(emb: DataFrame, k: Int = 8, iters: Int = 3,
+      quota: Int = 20, preSalts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = kMeans(emb, k, iters)
+    val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long") + lit(1L)
+    val u = hv.cast("double") / lit(1152921504606846976.0) // 2^60, exact
+    val keyed = asg.withColumn("skey",
+        round(org.apache.spark.sql.functions.log(u), 9))
+      .withColumn("salt", pmod(col("vec_id"), lit(preSalts)))
+    val wPre = Window.partitionBy(col("cluster"), col("salt"))
+      .orderBy(col("skey").desc, col("vec_id"))
+    val pre = keyed.withColumn("prn", row_number().over(wPre))
+      .filter(col("prn") <= quota)
+    val wFin = Window.partitionBy(col("cluster"))
+      .orderBy(col("skey").desc, col("vec_id"))
+    pre.withColumn("rk", row_number().over(wFin).cast("long"))
+      .filter(col("rk") <= quota)
+      .select(col("vec_id"), col("cluster"), col("rk"), col("skey"))
+  }
+
   /** IVF-style approximate top-k: a coarse quantizer (deterministic
     * one-iteration Lloyd refinement of the first `numCells` vectors as
     * seeds) buckets vectors into inverted cells; a query scans only its

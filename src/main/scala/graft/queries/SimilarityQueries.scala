@@ -150,6 +150,18 @@ object SimilarityQueries extends QueryModule {
   private val KmK = 8
   private val KmIters = 3
 
+  /** Cluster-balanced selection: k-means cells (k=8, 3 exact-decimal
+    * Lloyd iterations — the same quantizer as q_sim_kmeans) with a
+    * per-cell budget of 20 kept by the deterministic uniform A-Res
+    * key — the diversity-preserving pruning step that stops a dense
+    * embedding region from dominating the kept set. */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedSample(Tables.embeddings(spark, dir),
+      KmK, KmIters, BalQuota)
+      .orderBy(col("vec_id"))
+
+  private val BalQuota = 20
+
   /** SemDeDup: within-k-means-cluster cosine near-dup marking, min-id
     * survivors keep (k=16, 2 Lloyd iterations, cosine ≥ 0.35). */
   def semdedup(spark: SparkSession, dir: String): DataFrame =
@@ -254,6 +266,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_kcore" -> kcore,
     "q_dedup_representatives" -> representatives,
     "q_sim_kmeans" -> kmeans,
+    "q_sim_balanced_sample" -> balancedSample,
     "q_sim_semdedup" -> semdedup,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
@@ -640,6 +653,27 @@ object SimilarityQueries extends QueryModule {
         |SELECT vec_id, cell AS cluster, ROUND(d2, 6) AS d2
         |FROM kasg ORDER BY vec_id""".stripMargin
 
+  /** Balanced-sample mirror: the SAME Lloyd chain as q_sim_kmeans (so
+    * the two verify the one quantizer twice), the weighted-sample
+    * oracle's exact ln(u) key with weight 1, and a per-cell
+    * ROW_NUMBER — a plain window is fine here, it's the oracle. */
+  private def balancedSampleSql: String =
+    normCte + ", " + lloydCtes(KmK, KmIters, "cb") +
+      s""",
+         |keyed AS (
+         |  SELECT vec_id, cell AS cluster,
+         |    ROUND(ln(
+         |      (CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |        AS BIGINT) + 1) / 1152921504606846976.0), 9) AS skey
+         |  FROM cbasg),
+         |ranked AS (
+         |  SELECT vec_id, cluster,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+         |      ORDER BY skey DESC, vec_id) AS BIGINT) AS rk, skey
+         |  FROM keyed)
+         |SELECT vec_id, cluster, rk, skey FROM ranked
+         |WHERE rk <= $BalQuota ORDER BY vec_id""".stripMargin
+
   private def semdedupSql: String =
     normCte + ", " + lloydCtes(SemK, SemIters, "s") +
       s""", sdup AS (
@@ -874,6 +908,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_kcore" -> kcoreSql,
     "q_dedup_representatives" -> representativesSql,
     "q_sim_kmeans" -> kmeansSql,
+    "q_sim_balanced_sample" -> balancedSampleSql,
     "q_sim_semdedup" -> semdedupSql,
     "q_sim_clusters" -> simClustersSql,
     "q_knn_brute" -> (normCte +
