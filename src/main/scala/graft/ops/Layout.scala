@@ -108,6 +108,58 @@ object Layout {
       .agg(min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
         min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
 
+  /** Small-file compaction planner — the OPTIMIZE half of the layout
+    * story: given a file manifest (unique file key, byte size), assign
+    * each file to a compaction group by sequential bin fill along the
+    * key order (group = exclusive-prefix-bytes div target), so adjacent
+    * files — which under a clustered layout share key locality — merge
+    * together and every output group lands in [target, target + max
+    * file) bytes. Deterministic: the plan is a pure function of the
+    * manifest and the target.
+    *
+    * Scale shape: the prefix sum is NOT a single-partition global
+    * window (a 100 TB table's manifest is ~10^6 files — metadata-scale
+    * but not one-task-scale). It is the classic two-pass distributed
+    * scan: range-partition + sort by the file key, stage ONCE (pinning
+    * one materialization so both passes see identical partition
+    * boundaries — repartitionByRange samples its bounds per execution),
+    * collect the P per-partition byte totals (P rows — the codebook
+    * collect budget), then a single mapPartitions seeds each partition
+    * with its exclusive offset and folds locally. Output is
+    * boundary-independent: the exclusive prefix over a total order does
+    * not depend on where the partitions were cut. */
+  def compactionPlan(files: DataFrame, fileCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val spark = files.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    val staged = Checkpoints.stage(
+      files.select(col(fileCol).cast("string").as("file"),
+          col(bytesCol).cast("long").as("bytes"))
+        .repartitionByRange(p, col("file"))
+        .sortWithinPartitions(col("file")),
+      eager = true)
+    val sums = staged.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("bytes")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive offset of partition pid = bytes of all partitions
+    // before it (range partitioning is ascending, so pid order IS the
+    // global key order; empty partitions are simply absent and default
+    // to whatever the nearest prior offset chain implies — their
+    // mapPartitions sees no rows, so the seed is never used)
+    val excl: Map[Int, Long] = sums.map(_._1).zip(
+      sums.scanLeft(0L) { case (acc, (_, s)) => acc + s }.dropRight(1)).toMap
+    staged.as[(String, Long)].mapPartitions { it =>
+      var cum = excl.getOrElse(org.apache.spark.TaskContext.getPartitionId(), 0L)
+      it.map { case (f, b) =>
+        val before = cum
+        cum += b
+        (f, b, before, before / targetBytes)
+      }
+    }.toDF("file", "bytes", "cum_before", "grp")
+  }
+
   /** Count the files a conjunctive box predicate must read under the
     * layout at `path` — i.e. files whose (x, y) bounding box intersects
     * the query box. The skipping metric: lower is better. */

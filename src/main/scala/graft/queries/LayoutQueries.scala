@@ -61,11 +61,71 @@ object LayoutQueries extends QueryModule {
       .orderBy(col("custkey"), col("month"))
   }
 
+  /** Compaction plan over a synthetic manifest derived from the z-order
+    * frame: z-range buckets of lineitem stand in for clustered files
+    * (file id = zvalue >> 24, zero-padded name so both engines' string
+    * sort equals numeric order; bytes = a deterministic integer size
+    * proxy). The target is total/16 + 1 — scale-relative, recomputed
+    * identically by the mirror — so the plan exercises multi-file
+    * groups at every fixture size. Verifies the whole two-pass
+    * distributed prefix sum (stage + partition offsets + local fold)
+    * against DuckDB's window cumsum. */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val z = Layout.zorderFrame(
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey")
+    val mf = z
+      .groupBy(shiftrightunsigned(col("zvalue"), 24).as("b"))
+      .agg((lit(64L) * count(lit(1)) +
+        sum(col("l_suppkey").cast("long") % 997)).cast("long").as("bytes"))
+      .select(format_string("file_%05d", col("b")).as("file"), col("bytes"))
+    val target = mf.agg(sum(col("bytes"))).head().getLong(0) / 16 + 1
+    Layout.compactionPlan(mf, "file", "bytes", target)
+      .orderBy(col("file"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_layout_zorder" -> zorder,
+    "q_layout_compaction" -> compaction,
     "q_index_bloom" -> bloomProbe)
 
   override def oracle: Map[String, String] = Map(
+    // the same Morton chain as q_layout_zorder feeding the synthetic
+    // manifest, then the oracle-side cumsum is a plain window (fine
+    // here — it's the oracle; the Spark side is the two-pass scan)
+    "q_layout_compaction" ->
+      """WITH stats AS (
+        |  SELECT MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
+        |         MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
+        |  FROM lineitem),
+        |q AS (
+        |  SELECT l.l_suppkey,
+        |    ((l.l_partkey - s.min_x) * 65536) // (s.max_x - s.min_x + 1) AS qx,
+        |    ((l.l_suppkey - s.min_y) * 65536) // (s.max_y - s.min_y + 1) AS qy
+        |  FROM lineitem l CROSS JOIN stats s),
+        |s1 AS (SELECT *, (qx | (qx << 8)) & 16711935 AS x,
+        |               (qy | (qy << 8)) & 16711935 AS y FROM q),
+        |s2 AS (SELECT l_suppkey, (x | (x << 4)) & 252645135 AS x,
+        |    (y | (y << 4)) & 252645135 AS y FROM s1),
+        |s3 AS (SELECT l_suppkey, (x | (x << 2)) & 858993459 AS x,
+        |    (y | (y << 2)) & 858993459 AS y FROM s2),
+        |s4 AS (SELECT l_suppkey, (x | (x << 1)) & 1431655765 AS x,
+        |    (y | (y << 1)) & 1431655765 AS y FROM s3),
+        |mf AS (
+        |  SELECT printf('file_%05d', (x | (y << 1)) // 16777216) AS file,
+        |    CAST(64 * COUNT(*) + SUM(l_suppkey % 997) AS BIGINT) AS bytes
+        |  FROM s4 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(bytes) AS BIGINT) // 16 + 1 AS target FROM mf),
+        |c AS (
+        |  SELECT file, bytes,
+        |    CAST(COALESCE(SUM(bytes) OVER (ORDER BY file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM mf)
+        |SELECT c.file, c.bytes, c.cum_before,
+        |  c.cum_before // t.target AS grp
+        |FROM c CROSS JOIN t ORDER BY c.file""".stripMargin,
     "q_index_bloom" ->
       s"""WITH pk AS (
          |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month, o_custkey
