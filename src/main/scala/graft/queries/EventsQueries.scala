@@ -147,7 +147,38 @@ object EventsQueries extends QueryModule {
         col("valid_from_us"), col("valid_to_us"), col("is_current"))
       .orderBy(col("user_id"), col("version"))
 
+  /** Per-type 3σ anomaly flags — outlier detection over an event
+    * stream's value column, the data-quality triage step before a
+    * metrics rollup trusts its inputs. ENTIRELY in exact integer
+    * arithmetic: values become cents via the cross-engine DECIMAL(18,2)
+    * cast, and the z-test |x−μ| > 3σ is algebraically cleared of both
+    * divisions and the square root — (n·c − S)² > 9·(n·SS − S²) — so
+    * no engine ever computes a float (Spark widens through
+    * DECIMAL(38,0), the mirror through HUGEINT; magnitudes ≤ ~10¹⁹,
+    * both exact). Scale shape: the per-type stats are a 5-row
+    * broadcast under a scan-wide projection — one aggregate, no
+    * window, no second shuffle. */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"),
+      col("event_type"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val st = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cents")).as("s"),
+      sum(col("cents") * col("cents")).as("ss"))
+    val nD = col("n").cast("decimal(38,0)")
+    val sD = col("s").cast("decimal(38,0)")
+    val ssD = col("ss").cast("decimal(38,0)")
+    val d = nD * col("cents") - sD
+    e.join(broadcast(st), Seq("event_type"))
+      .withColumn("is_anomaly", d * d > lit(9) * (nD * ssD - sD * sD))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("is_anomaly"))
+      .orderBy(col("event_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_anomaly" -> anomalies,
     "q_events_scd2" -> scd2,
     "q_events_windowed" -> windowed,
     "q_events_sessions" -> sessions,
@@ -157,6 +188,23 @@ object EventsQueries extends QueryModule {
     "q_events_retention" -> retention)
 
   override def oracle: Map[String, String] = Map(
+    "q_events_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_id, c.event_type, c.cents,
+        |  (CAST(st.n AS HUGEINT) * c.cents - st.s)
+        |    * (CAST(st.n AS HUGEINT) * c.cents - st.s)
+        |  > 9 * (CAST(st.n AS HUGEINT) * st.ss
+        |         - CAST(st.s AS HUGEINT) * st.s) AS is_anomaly
+        |FROM c JOIN st USING (event_type)
+        |ORDER BY c.event_id""".stripMargin,
     "q_events_scd2" ->
       """WITH flagged AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
