@@ -161,18 +161,59 @@ object Multimodal {
     * banding): pairs within 3 bits are GUARANTEED (pigeonhole over 4
     * bands); beyond that banding is a recall heuristic — reported
     * pairs are always exact. Invalid (empty) items never pair. */
-  def pHashPairs(hashes: DataFrame, maxHamming: Int = 10): DataFrame = {
-    val v = hashes.filter(col("valid"))
-    val banded = v.select(col("media_id"), col("hi32"), col("lo32"),
-      explode(array(
-        struct(lit(0).as("k"), col("lo32").bitwiseAND(lit(65535L)).as("band")),
-        struct(lit(1).as("k"), shiftrightunsigned(col("lo32"), 16)
-          .bitwiseAND(lit(65535L)).as("band")),
-        struct(lit(2).as("k"), col("hi32").bitwiseAND(lit(65535L)).as("band")),
-        struct(lit(3).as("k"), shiftrightunsigned(col("hi32"), 16)
-          .bitwiseAND(lit(65535L)).as("band")))).as("b"))
+  /** The four 16-bit band keys of a (hi32, lo32) signature frame. */
+  private def bandedHashes(hashes: DataFrame): DataFrame =
+    hashes.filter(col("valid"))
+      .select(col("media_id"), col("hi32"), col("lo32"),
+        explode(array(
+          struct(lit(0).as("k"), col("lo32").bitwiseAND(lit(65535L)).as("band")),
+          struct(lit(1).as("k"), shiftrightunsigned(col("lo32"), 16)
+            .bitwiseAND(lit(65535L)).as("band")),
+          struct(lit(2).as("k"), col("hi32").bitwiseAND(lit(65535L)).as("band")),
+          struct(lit(3).as("k"), shiftrightunsigned(col("hi32"), 16)
+            .bitwiseAND(lit(65535L)).as("band")))).as("b"))
       .select(col("media_id"), col("hi32"), col("lo32"),
         col("b.k").as("k"), col("b.band").as("band"))
+
+  /** Incremental perceptual admission: near-dup pairs between an
+    * INCOMING media batch and an EXISTING corpus — the daily-refresh
+    * check (is this new image a re-encode of one we already have?).
+    * Same banding as [[pHashPairs]] but incoming × corpus only: no
+    * corpus-corpus recompute (the corpus was deduped at ingest), no
+    * incoming-incoming pairs. At deployment scale the corpus's banded
+    * signature frame is the ingest-time artifact worth persisting —
+    * write once, join every batch against it (the [[Dedup
+    * .lshPairsAgainst]] shape, over image signatures). */
+  def pHashPairsAgainst(corpusHashes: DataFrame, incomingHashes: DataFrame,
+      maxHamming: Int = 10): DataFrame =
+    pHashBandHits(corpusHashes, incomingHashes, maxHamming)
+      .select(col("incoming_id"), col("corpus_id"), col("hamming"))
+      .distinct()
+
+  /** Per-band admission hits, STATELESS end to end (no distinct — a
+    * pair hit on several bands appears once per band): the streaming
+    * leg emits this shape and leaves the pair rollup to the drained
+    * sink, per the streaming-leg convention. Hamming is exact per hit,
+    * so `hits.select(incoming_id, corpus_id, hamming).distinct()` IS
+    * [[pHashPairsAgainst]] (the distance is a function of the pair). */
+  private[graft] def pHashBandHits(corpusHashes: DataFrame,
+      incomingHashes: DataFrame, maxHamming: Int): DataFrame = {
+    val inc = bandedHashes(incomingHashes)
+      .withColumnRenamed("media_id", "incoming_id")
+      .withColumnRenamed("hi32", "hi_i").withColumnRenamed("lo32", "lo_i")
+    val corp = bandedHashes(corpusHashes)
+      .withColumnRenamed("media_id", "corpus_id")
+      .withColumnRenamed("hi32", "hi_c").withColumnRenamed("lo32", "lo_c")
+    inc.join(corp, Seq("k", "band"))
+      .withColumn("hamming",
+        (bit_count(col("hi_i").bitwiseXOR(col("hi_c"))) +
+          bit_count(col("lo_i").bitwiseXOR(col("lo_c")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("incoming_id"), col("corpus_id"), col("k"), col("hamming"))
+  }
+
+  def pHashPairs(hashes: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val banded = bandedHashes(hashes)
     val a = banded.select(col("media_id").as("id_a"), col("hi32").as("ha"),
       col("lo32").as("la"), col("k"), col("band"))
     val b = banded.select(col("media_id").as("id_b"), col("hi32").as("hb"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -461,6 +461,26 @@ object StreamingRefresh {
       .withColumnRenamed(idCol, "incoming_id")
     inc.join(corp, ("band" +: vcols).toSeq)
       .select(col("incoming_id"), col("corpus_id"), col("band"))
+  }
+
+  /** Streaming perceptual-hash admission — the multimodal face of
+    * [[admissionStream]]: arriving media rows (media_id, kind, payload)
+    * are aHashed in their micro-batch (stateless mapPartitions through
+    * the decode seam) and banded against the STATIC corpus signature
+    * frame; emitted candidates are exact Hamming-verified pairs, so the
+    * drained sink IS [[graft.ops.Multimodal.pHashPairsAgainst]] of the
+    * drained batch (PHashStreamSpec pins it row-for-row). `corpusHashes`
+    * is the write-once ingest artifact ([[graft.ops.Multimodal.pHash]]
+    * of the corpus) — persisted here so the static subtree of the
+    * stream-static join is not re-derived every micro-batch. Emits
+    * per-BAND hits (a cross-batch distinct would need state); the
+    * pair-level distinct is the drained sink's rollup. */
+  def mediaAdmissionStream(media: Dataset[(Long, String, Array[Byte])],
+      corpusHashes: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val corp = corpusHashes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Multimodal.pHashBandHits(
+      corp, graft.ops.Multimodal.pHash(media), maxHamming)
   }
 
   /** Streaming classification: apply an exported NB model
