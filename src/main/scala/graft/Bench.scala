@@ -68,7 +68,13 @@ object Bench {
       // interval history, the CMS counter matrix, and triangle counting
       // over the adaptive pair graph
       "q_layout_zorder", "q_index_bloom", "q_events_scd2",
-      "q_corpus_cms_topk", "q_sim_triangles")
+      "q_corpus_cms_topk", "q_sim_triangles",
+      // r10 additions: perceptual-hash dedup over the media seam,
+      // cluster-balanced selection, the compaction planner's two-pass
+      // prefix sum, the exact-integer anomaly scan, and the k-core
+      // peel (registered in r9's final commit, never benched)
+      "q_media_phash_pairs", "q_sim_balanced_sample",
+      "q_layout_compaction", "q_events_anomaly", "q_sim_kcore")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -502,6 +502,44 @@ object StreamingRefresh {
         col("_r._2").as("score"), col("_r._3").as("n_vocab_tokens"))
   }
 
+  /** Per-type value stats for the anomaly stream — the train-offline
+    * artifact: (n, Σcents, Σcents²) per event type, computed over the
+    * reference corpus in one aggregate and collected (type-cardinality
+    * rows — metadata-scale). Cents come from the cross-engine
+    * DECIMAL(18,2) cast, the same conversion the batch q_events_anomaly
+    * plan uses. */
+  def anomalyStats(events: DataFrame): Map[String, (Long, Long, Long)] =
+    events.select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("ss"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  /** Streaming 3σ anomaly flags — the score-online face of
+    * q_events_anomaly (same deployment shape as [[classifyStream]]):
+    * the per-type stats ride a closure broadcast into ONE stateless
+    * projection, and each arriving event is flagged with the identical
+    * cleared integer z-test — (n·c − S)² > 9·(n·SS − S²) in exact
+    * BigInt — so the drained flags are bit-equal to the batch scan
+    * under the same stats (AnomalyStreamSpec pins it). An event type
+    * absent from the training stats flags NULL (unknown, not "normal"
+    * — a silent false would hide a typo'd type forever). */
+  def anomalyStream(events: DataFrame,
+      stats: Map[String, (Long, Long, Long)]): DataFrame = {
+    val flagU = udf((t: String, cents: java.lang.Long) =>
+      if (cents == null) None
+      else stats.get(t).map { case (n, s, ss) =>
+        val d = BigInt(n) * cents.longValue - s
+        d * d > BigInt(9) * (BigInt(n) * ss - BigInt(s) * s)
+      })
+    events.select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("is_anomaly", flagU(col("event_type"), col("cents")))
+  }
+
   /** Streaming ANN probes against a persisted [[graft.ops.AnnIndex]]:
     * query vectors arrive as a stream, each row computes its own probe
     * cells and ADC lookup table from the broadcast quantizer constants

@@ -95,7 +95,15 @@ class JobCountSpec extends SparkSpecBase {
     // r10: kCore reworked onto the CC/PR loop discipline (AQE-off
     // co-partitioned rounds; convergence read off the staged edge
     // count) — 90 jobs before the rework, 36 measured after
-    "q_sim_kcore" -> 44)
+    "q_sim_kcore" -> 44,
+    // r10 additions (measured 6 / 13 / 17 / 6): balanced_sample carries
+    // the Lloyd centroid collects, compaction the staged manifest +
+    // partition-sum collect + target collect — the pins bound those
+    // metadata collects like the rest of the construction-time family
+    "q_media_phash_pairs" -> 8,
+    "q_sim_balanced_sample" -> 16,
+    "q_layout_compaction" -> 21,
+    "q_events_anomaly" -> 8)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {
