@@ -343,25 +343,27 @@ object DedupQueries extends QueryModule {
     "q_dedup_substring" -> substringSql,
     // Recursive transitive closure over the same winnow-pair graph: the
     // cluster id (min reachable doc) is label-propagation's fixpoint.
-    "q_dedup_clusters" -> (winnowCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM e GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.n_fp, sb.n_fp), 6) >= 0.5),
-        |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM g
-        |  UNION
-        |  SELECT r.src, e2.d FROM reach r JOIN sym e2 ON e2.s = r.dst)
-        |SELECT src AS doc_id, MIN(dst) AS cluster_id,
-        |  src = MIN(dst) AS is_survivor
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+    // Two-staged (r10): the closure reads the PRE-VERIFIED
+    // q_dedup_winnow_pairs sibling dump — its own oracle row rebuilds
+    // the winnow chain from scratch, so the pairs stay independently
+    // verified. The previous inline form re-evaluated the whole
+    // per-char Horner winnow derivation on EVERY recursive fixpoint
+    // step (DuckDB re-runs non-materialized CTEs referenced from a
+    // recursive term): 506s at sf0.1 for this one oracle. Now the
+    // re-evaluated subtree is a parquet scan.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE gp AS (
+         |  SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b
+         |  FROM read_parquet('${QueryModule.VerifyOutToken}/q_dedup_winnow_pairs/*.parquet')),
+         |sym AS (SELECT doc_a AS s, doc_b AS d FROM gp
+         |        UNION SELECT doc_b, doc_a FROM gp),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS dst FROM documents
+         |  UNION
+         |  SELECT r.src, e2.d FROM reach r JOIN sym e2 ON e2.s = r.dst)
+         |SELECT src AS doc_id, MIN(dst) AS cluster_id,
+         |  src = MIN(dst) AS is_survivor
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_dedup_winnow_pairs" -> (winnowCte +
       """, sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM e GROUP BY doc_id),
         |inter AS (
