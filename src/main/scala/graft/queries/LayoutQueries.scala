@@ -75,11 +75,15 @@ object LayoutQueries extends QueryModule {
       Tables.lineitem(spark, dir)
         .select(col("l_partkey"), col("l_suppkey")),
       "l_partkey", "l_suppkey")
-    val mf = z
+    // staged: the manifest (file-count rows) feeds BOTH the target
+    // collect and the planner — without it the 600k-row z-frame
+    // derivation runs twice
+    val mf = graft.ops.Checkpoints.stage(z
       .groupBy(shiftrightunsigned(col("zvalue"), 24).as("b"))
       .agg((lit(64L) * count(lit(1)) +
         sum(col("l_suppkey").cast("long") % 997)).cast("long").as("bytes"))
-      .select(format_string("file_%05d", col("b")).as("file"), col("bytes"))
+      .select(format_string("file_%05d", col("b")).as("file"), col("bytes")),
+      eager = false)
     val target = mf.agg(sum(col("bytes"))).head().getLong(0) / 16 + 1
     Layout.compactionPlan(mf, "file", "bytes", target)
       .orderBy(col("file"))

@@ -102,7 +102,7 @@ class JobCountSpec extends SparkSpecBase {
     // metadata collects like the rest of the construction-time family
     "q_media_phash_pairs" -> 8,
     "q_sim_balanced_sample" -> 16,
-    "q_layout_compaction" -> 21,
+    "q_layout_compaction" -> 17, // 14 after the staged-manifest fix
     "q_events_anomaly" -> 8)
 
   bounds.foreach { case (name, bound) =>
