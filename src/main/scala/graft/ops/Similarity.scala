@@ -340,6 +340,41 @@ object Similarity {
         round(col("a._2"), 6).as("d2"))
   }
 
+  /** Deterministic ±1 Johnson-Lindenstrauss signs: output dim j, input
+    * dim d → sign from the parity of md5("rp<j>_<d>")'s first 32 bits —
+    * the same md5-constant derivation as the LSH hyperplanes, computed
+    * driver-side (k·dims ints, metadata-scale). */
+  def rpSigns(k: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, dims) { (j, d) =>
+      val hex = md.digest(s"rp${j}_$d".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson-Lindenstrauss random projection 64 → k dims (±1 signs,
+    * scaled 1/√k) — the cheap dimensionality-reduction step before an
+    * ANN index or pairwise sweep when the full embedding width is the
+    * cost driver. Pure per-row projection (k codegen'd dot products
+    * against literal sign vectors — no shuffle, no UDF); deterministic,
+    * so the mirror recomputes every output with the sign literals
+    * inlined losslessly (they are ±1 by construction — the
+    * planeWeights exact-literal convention). k must keep √k exact in
+    * double (the default 16 → /4.0) so both engines divide by the
+    * identical constant. */
+  def randomProject(emb: DataFrame, k: Int = 16): DataFrame = {
+    val dims = 64
+    require(math.sqrt(k) == math.floor(math.sqrt(k)),
+      s"k=$k: use a perfect square so the 1/sqrt(k) scale is exact")
+    val signs = rpSigns(k, dims)
+    val v = asDouble(col("embedding"))
+    val cols = (0 until k).map { j =>
+      round(dot(v, typedLit(signs(j).toSeq)) / math.sqrt(k), 6).as(s"p$j")
+    }
+    emb.select(col("vec_id") +: cols: _*)
+  }
+
   /** Cluster-balanced selection — the diversity-preserving pruning step
     * of a training-data pipeline (the shape of cluster-based data
     * selection à la SemDeDup/D4: embed, cluster, take a per-cluster

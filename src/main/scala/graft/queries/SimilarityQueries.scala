@@ -162,6 +162,15 @@ object SimilarityQueries extends QueryModule {
 
   private val BalQuota = 20
 
+  /** JL random projection 64 → 16 (±1 md5-derived signs, 1/4 scale):
+    * every projected coordinate of every vector, value-exact — the
+    * dimensionality-reduction step before a cheaper ANN pass. */
+  def rproj(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(Tables.embeddings(spark, dir), RpK)
+      .orderBy(col("vec_id"))
+
+  private val RpK = 16
+
   /** SemDeDup: within-k-means-cluster cosine near-dup marking, min-id
     * survivors keep (k=16, 2 Lloyd iterations, cosine ≥ 0.35). */
   def semdedup(spark: SparkSession, dir: String): DataFrame =
@@ -267,6 +276,7 @@ object SimilarityQueries extends QueryModule {
     "q_dedup_representatives" -> representatives,
     "q_sim_kmeans" -> kmeans,
     "q_sim_balanced_sample" -> balancedSample,
+    "q_sim_rproj" -> rproj,
     "q_sim_semdedup" -> semdedup,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
@@ -653,6 +663,25 @@ object SimilarityQueries extends QueryModule {
         |SELECT vec_id, cell AS cluster, ROUND(d2, 6) AS d2
         |FROM kasg ORDER BY vec_id""".stripMargin
 
+  /** JL mirror: the ±1 sign vectors inlined as lossless int literals
+    * (the planeWeights exact-literal convention), the same
+    * left-to-right list_sum fold as every other dot product, /4 exact. */
+  private def rprojSql: String = {
+    val signs = Similarity.rpSigns(RpK, 64)
+    val cols = (0 until RpK).map { j =>
+      val litList = signs(j).map(s => if (s > 0) "1" else "-1")
+        .mkString("[", ",", "]")
+      s"""  ROUND(list_sum(list_transform(range(1, 65),
+         |    d -> v[d] * ($litList)[d])) / 4, 6) AS p$j""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |$cols
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
   /** Balanced-sample mirror: the SAME Lloyd chain as q_sim_kmeans (so
     * the two verify the one quantizer twice), the weighted-sample
     * oracle's exact ln(u) key with weight 1, and a per-cell
@@ -909,6 +938,7 @@ object SimilarityQueries extends QueryModule {
     "q_dedup_representatives" -> representativesSql,
     "q_sim_kmeans" -> kmeansSql,
     "q_sim_balanced_sample" -> balancedSampleSql,
+    "q_sim_rproj" -> rprojSql,
     "q_sim_semdedup" -> semdedupSql,
     "q_sim_clusters" -> simClustersSql,
     "q_knn_brute" -> (normCte +
