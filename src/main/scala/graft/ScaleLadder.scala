@@ -112,6 +112,28 @@ object ScaleLadder {
         materialize(graft.ops.Graph.triangleCounts(
           emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b"))
       }),
+      ("kcore_peel", embS, embL, { emb: DataFrame =>
+        // rounds are graph-structure-bound (planted graph peels fully
+        // in one round — isolated pairs have degree 1); the measured
+        // risk is the per-round degree agg + anti-joins over |E|
+        val pairs = graft.ops.Similarity
+          .cosinePairsAdaptive(emb, 0.85, maxPlanes = 24)
+          .select(col("vec_a"), col("vec_b"))
+        materialize(graft.ops.Graph.kCore(
+          emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b",
+          k = 2))
+      }),
+      ("phash_pairs", docsS, docsL, { docs: DataFrame =>
+        import docs.sparkSession.implicits._
+        // the planted one-word edits are ≤ 7-byte changes → ≤ 7 pixels
+        // → mostly under the Hamming cut, so TRUE pairs are linear in n;
+        // the measured risk is band-bucket skew blowing the join
+        val media = docs.select(col("doc_id"), lit("image").as("kind"),
+          encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, String, Array[Byte])]
+        materialize(graft.ops.Multimodal.pHashPairs(
+          graft.ops.Multimodal.pHash(media)))
+      }),
       ("drop_substrings", docsS, docsL, { docs: DataFrame =>
         materialize(graft.ops.CorpusFilters
           .dropDuplicatedSubstrings(docs, "doc_id", "text", 4))

@@ -77,24 +77,40 @@ object Multimodal {
       if (n == 0f) v else v.map(_ / n)
     }
 
-    /** STRIDED stub thumbnail: pixel i = (Σ of payload bytes at
-      * positions ≡ i mod n) mod 256. Unlike the md5-chaotic metadata
-      * stubs, this fake is LOCALITY-PRESERVING — editing k payload
-      * bytes changes at most k pixels — which is the property the
-      * perceptual-hash path exists to exploit; and the stride (vs a
-      * fixed-width crop) keeps every pixel active for any payload
-      * ≥ n bytes, so no pixel is a degenerate constant that would
-      * turn an LSH band into an all-corpus bucket. Pure integer byte
-      * math, so the DuckDB oracle rebuilds every pixel exactly
-      * (over ASCII payloads, where code point = byte — the oracle
-      * carries a loud ASCII guard). */
+    /** STRIDED stub thumbnail: pixel i = ⌊mean of payload bytes at
+      * positions ≡ i mod n⌋ (0 when the payload is shorter than i).
+      * Unlike the md5-chaotic metadata stubs, this fake is
+      * LOCALITY-PRESERVING — editing k payload bytes changes at most k
+      * pixels — which is the property the perceptual-hash path exists
+      * to exploit; and the stride (vs a fixed-width crop) keeps every
+      * pixel active for any payload ≥ n bytes.
+      *
+      * The MEAN (not a mod-256 fold) is load-bearing for the LSH
+      * downstream: a fold makes pixel brightness a function of the
+      * TERM COUNT ⌈(len−i)/n⌉ — for a corpus of uniform-length
+      * payloads that count is a pure function of position, so the
+      * mean-threshold bits collapse to a per-position constant and a
+      * 16-bit band degenerates to one all-corpus bucket (measured by
+      * the phash_pairs scale-ladder rung: 19.7k of 22k planted docs in
+      * ONE bucket, growth exponent 1.88 ≈ quadratic). The mean's
+      * expectation is the payload's byte mean regardless of how many
+      * terms fold into the pixel, so bits are content-driven: random
+      * payloads sit at Hamming ≈ 32 and band buckets carry only the
+      * birthday term. Pure integer byte math (floor division on
+      * non-negatives, same in both engines), so the DuckDB oracle
+      * rebuilds every pixel exactly (over ASCII payloads, where code
+      * point = byte — the oracle carries a loud ASCII guard). */
     override def thumbnail(kind: String, bytes: Array[Byte], n: Int): Array[Int] = {
       val px = new Array[Int](n)
-      if (bytes != null) {
+      if (bytes != null && bytes.length > 0) {
         var j = 0
         while (j < bytes.length) { px(j % n) += bytes(j) & 0xff; j += 1 }
         var i = 0
-        while (i < n) { px(i) %= 256; i += 1 }
+        while (i < n) {
+          val terms = if (i < bytes.length) (bytes.length - i - 1) / n + 1 else 0
+          if (terms > 0) px(i) /= terms
+          i += 1
+        }
       }
       px
     }

@@ -266,12 +266,17 @@ object MultimodalQueries extends QueryModule {
        |  UNION ALL
        |  SELECT doc_id * 2 + 1, text || '!!!!' FROM documents),
        |px AS (
+       |  -- pixel i = floor-mean of bytes at positions ≡ i mod 64 (the
+       |  -- term count is ceil((len−i)/64); 0 terms → pixel 0) — the
+       |  -- mirror of StubDecoder.thumbnail's content-driven mean
        |  SELECT media_id,
        |    list_transform(range(0, 64), i ->
-       |      CAST(list_sum(list_transform(range(0, (length(t) + 63) // 64), r ->
-       |        CASE WHEN i + 64 * r + 1 <= length(t)
-       |          THEN unicode(substr(t, CAST(i + 64 * r + 1 AS INT), 1))
-       |          ELSE 0 END)) % 256 AS BIGINT)) AS p
+       |      CAST(CASE WHEN i < length(t)
+       |        THEN list_sum(list_transform(range(0, (length(t) + 63) // 64), r ->
+       |          CASE WHEN i + 64 * r + 1 <= length(t)
+       |            THEN unicode(substr(t, CAST(i + 64 * r + 1 AS INT), 1))
+       |            ELSE 0 END)) // ((length(t) - i - 1) // 64 + 1)
+       |        ELSE 0 END AS BIGINT)) AS p
        |  FROM m WHERE length(t) > 0),
        |hb AS (
        |  SELECT media_id, p, list_sum(p) AS s FROM px),
