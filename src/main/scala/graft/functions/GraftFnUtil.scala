@@ -199,4 +199,52 @@ object GraftFnUtil {
     }
     UnsafeArrayData.fromPrimitiveArray(out.toArray)
   }
+
+  /** All T random-hyperplane bucket signatures of one vector in a single
+    * pass: element t = Σ_p (dot(v, planes[t·b+p]) > 0 ? 1<<p : 0) over
+    * b = planesPerTable. Bit-identical to the per-plane
+    * `when(graft_dot(v, plane) > 0, 1<<p).otherwise(0)` + sum formulation
+    * it replaces (same left-to-right dot order, same >0 compare) — that
+    * formulation inlined T×b dot loops into ONE generated consume method
+    * and blew janino's 64 KB method limit at adaptive table counts
+    * (T ≈ 400 at n=20k, threshold 0.85), dropping the hottest stage of
+    * candidate generation out of whole-stage codegen entirely.
+    *
+    * Null semantics replicate the old per-plane dots exactly: a null
+    * vector, a null element, or a length≠dims vector made every dot null,
+    * so every `when` fell to otherwise(0) — here: all-zero buckets. */
+  def rhpSignature(v: ArrayData, planes: Array[Array[Double]],
+      planesPerTable: Int): ArrayData = {
+    val tables = planes.length / planesPerTable
+    val out = new Array[Int](tables)
+    if (v != null && planes.nonEmpty) {
+      val n = v.numElements()
+      if (n == planes(0).length) {
+        var hasNull = false
+        var i = 0
+        while (i < n && !hasNull) { if (v.isNullAt(i)) hasNull = true; i += 1 }
+        if (!hasNull) {
+          val x = new Array[Double](n)
+          i = 0
+          while (i < n) { x(i) = v.getDouble(i); i += 1 }
+          var t = 0
+          while (t < tables) {
+            var b = 0
+            var p = 0
+            while (p < planesPerTable) {
+              val w = planes(t * planesPerTable + p)
+              var s = 0.0
+              var d = 0
+              while (d < n) { s += x(d) * w(d); d += 1 }
+              if (s > 0) b += (1 << p)
+              p += 1
+            }
+            out(t) = b
+            t += 1
+          }
+        }
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }

@@ -29,6 +29,11 @@ object GraftFunctions {
   def tokenEstimateB(text: Column): Column = c(TokenEstimateB(e(text)))
   def winnow(text: Column, k: Int = 8, w: Int = 8): Column =
     c(WinnowFingerprints(e(text), k, w))
+  /** Not in the SQL registry: the plane matrix is a driver-side constant
+    * (md5-derived), not something a SQL literal can carry. */
+  def rhpSignature(v: Column, planes: Array[Array[Double]],
+      planesPerTable: Int): Column =
+    c(RhpSignature(e(v), planes, planesPerTable))
 
   private def intLit(x: Expression, what: String): Int = x match {
     case Literal(v: Int, IntegerType) => v

@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -230,6 +232,58 @@ case class TokenEstimateB(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.GraftFnUtil.tokenEstB($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All T random-hyperplane bucket signatures of a vector in ONE loop-based
+  * kernel call: array<int> of length planes.length/planesPerTable, element
+  * t = Σ_p (dot(v, plane_{t,p}) > 0 ? 1<<p : 0). Replaces the T×b-separate
+  * `when(graft_dot(v, lit-array) > 0, …)` projection whose inlined dot
+  * loops overflowed janino's 64 KB method limit at adaptive table counts
+  * (T grows with ln recall / p^b — ~400 tables at 20k vectors, θ=0.85),
+  * knocking the candidate-generation stage out of whole-stage codegen.
+  * The plane matrix rides along as a driver-broadcast reference object,
+  * not as expression-tree literals, so generated code size is CONSTANT in
+  * T×b. Arithmetic is bit-identical to the per-plane dots (same
+  * left-to-right summation, same >0 compare), and the old null semantics
+  * are preserved: null vector / null element / length≠dims made every
+  * per-plane dot null so every bucket summed to 0 — here, all-zero output
+  * (hence nullable=false and a custom eval instead of nullSafeEval). */
+case class RhpSignature(child: Expression, planes: Array[Array[Double]],
+    planesPerTable: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planesPerTable >= 1 && planesPerTable <= 31,
+    s"graft_rhp_signature: planesPerTable must be in [1, 31], got $planesPerTable")
+  require(planes.nonEmpty && planes.length % planesPerTable == 0,
+    s"graft_rhp_signature: ${planes.length} planes not a multiple of " +
+      s"planesPerTable=$planesPerTable")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_rhp_signature"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    GraftFnUtil.rhpSignature(
+      if (v == null) null else v.asInstanceOf[ArrayData], planes, planesPerTable)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("rhpPlanes", planes, "double[][]")
+    val resultCode =
+      code"""
+         |${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  graft.functions.GraftFnUtil.rhpSignature(
+         |    ${childGen.isNull} ? null : ${childGen.value},
+         |    $planesRef, $planesPerTable);
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

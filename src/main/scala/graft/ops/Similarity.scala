@@ -209,17 +209,20 @@ object Similarity {
 
   /** Explode a normed frame into one row per (table, bucket): the
     * multi-table RHP signature used by both `lshTopK` and
-    * `cosinePairsBucketed`. */
+    * `cosinePairsBucketed`. All T bucket values come from ONE loop-based
+    * [[graft.functions.RhpSignature]] kernel call (posexplode position =
+    * table index) rather than T×b separate `when(dot…)` expressions —
+    * the adaptive path's T reaches the hundreds, and the inlined-dot
+    * formulation overflowed janino's 64 KB method limit there, silently
+    * dropping candidate generation out of whole-stage codegen (caught by
+    * the ladder run's CodeGenerator errors; same buckets bit-for-bit). */
   private def tableBucketsWith(df: DataFrame, numTables: Int,
       planesPerTable: Int, weights: (Int, Int) => Array[Double]): DataFrame = {
-    val buckets = array((0 until numTables).map { t =>
-      val planes = Array.tabulate(planesPerTable)(p => weights(t, p))
-      struct(lit(t).as("table"), rhpBucket(col("v"), planes).as("bucket"))
-    }: _*)
-    df.withColumn("tb", explode(buckets))
-      .withColumn("table", col("tb.table"))
-      .withColumn("bucket", col("tb.bucket"))
-      .drop("tb")
+    val flat = Array.tabulate(numTables * planesPerTable)(i =>
+      weights(i / planesPerTable, i % planesPerTable))
+    val sig = graft.functions.GraftFunctions
+      .rhpSignature(col("v"), flat, planesPerTable)
+    df.select(col("*"), posexplode(sig).as(Seq("table", "bucket")))
   }
 
   private def tableBuckets(df: DataFrame, numTables: Int,
