@@ -74,7 +74,9 @@ object Bench {
       // prefix sum, the exact-integer anomaly scan, and the k-core
       // peel (registered in r9's final commit, never benched)
       "q_media_phash_pairs", "q_sim_balanced_sample",
-      "q_layout_compaction", "q_events_anomaly", "q_sim_kcore")
+      "q_layout_compaction", "q_events_anomaly", "q_sim_kcore",
+      // JL random projection: one codegen'd projection over embeddings
+      "q_sim_rproj")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -228,6 +228,13 @@ object Multimodal {
       .select(col("incoming_id"), col("corpus_id"), col("k"), col("hamming"))
   }
 
+  /** Pipeline-order contract at corpus scale: run EXACT dedup (byte or
+    * full-hash) before this operator. A cluster of B byte-identical
+    * payloads is B identical signatures — semantically B·(B−1)/2
+    * Hamming-0 pairs, so the quadratic is in the CONTRACT, not the
+    * plan; collapsing exact duplicates first keeps band buckets at the
+    * birthday term (the ladder's phash rung pins sub-quadratic growth
+    * for corpora with linear true-pair structure). */
   def pHashPairs(hashes: DataFrame, maxHamming: Int = 10): DataFrame = {
     val banded = bandedHashes(hashes)
     val a = banded.select(col("media_id").as("id_a"), col("hi32").as("ha"),
