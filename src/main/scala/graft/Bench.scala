@@ -76,7 +76,10 @@ object Bench {
       "q_media_phash_pairs", "q_sim_balanced_sample",
       "q_layout_compaction", "q_events_anomaly", "q_sim_kcore",
       // JL random projection: one codegen'd projection over embeddings
-      "q_sim_rproj")
+      "q_sim_rproj",
+      // r10 second wave: label-propagation communities over the
+      // adaptive pair graph and the HLL distinct-count report
+      "q_sim_lpa", "q_corpus_distinct_hll")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -333,4 +333,67 @@ object Graph {
       .select(col(idCol),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    * over an undirected pair graph: every vertex starts labeled with
+    * its own id; each round it adopts the most frequent label among its
+    * neighbors (ties broken by the SMALLEST label — the deterministic
+    * variant, so the result is a pure function of the edge set, exactly
+    * reproducible by the SQL mirror's unrolled rounds). Vertices with
+    * no neighbors keep their own label. Unlike connected components
+    * (one label per reachable region), LPA splits a weakly-bridged
+    * region into densely-connected communities — on a near-dup graph
+    * that separates genuinely duplicated groups that CC would merge
+    * through a single borderline pair.
+    *
+    * `rounds` is FIXED, not a convergence loop: synchronous LPA can
+    * oscillate between two labelings forever (bipartite structures), so
+    * a fixpoint test may never fire; a fixed round count is the
+    * standard bound and keeps the mirror a finite CTE unroll.
+    *
+    * Scale shape (the PageRank loop discipline): the symmetrized edge
+    * list stages once into the loop's hash-partitioned + sorted layout;
+    * each round is one co-partitioned merge join (labels ⋈ edges on the
+    * source endpoint), a (vertex, label) count, a skew-safe
+    * struct-min argmax — never a per-vertex window, so a hub's million
+    * neighbor votes partial-aggregate map-side — and one co-partitioned
+    * update join. Per-round shuffle volume is |E| for the vote count
+    * plus |V| for the argmax: the standard distributed LPA shape. */
+  def labelPropagation(vertices: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"LPA needs at least one round, got $rounds")
+    val (sym, _, loopP) = loopGeometry(vertices, pairs, aCol, bCol)
+    // lazy: round 1's vote join materializes it — no standalone barrier
+    val init = Checkpoints.stage(
+      vertices.select(col(idCol).cast("long").as("_id"))
+        .withColumn("_lbl", col("_id"))
+        .repartition(loopP, col("_id"))
+        .sortWithinPartitions(col("_id")),
+      eager = false, keepPartitioning = true,
+      shufflePartitions = Some(loopP))
+    val fin = (1 to rounds).foldLeft(init) { (labels, i) =>
+      // most frequent neighbor label, ties to the smallest label: a
+      // groupBy struct-min over (−count, label), NOT a window — a
+      // giant community's votes must not funnel into one task's sort
+      val votes = labels
+        .join(sym, col("_id") === col("_s"))
+        .groupBy(col("_d"), col("_lbl"))
+        .agg(count(lit(1)).as("_n"))
+        .groupBy(col("_d"))
+        .agg(min(struct((-col("_n")).as("nn"), col("_lbl").as("l")))
+          .as("_best"))
+        .select(col("_d"), col("_best").getField("l").as("_new"))
+      // the last round's stage is lazy: the caller's sink action
+      // materializes it (same convention as pageRankSym)
+      Checkpoints.stage(
+        labels.join(votes, col("_id") === col("_d"), "left")
+          .select(col("_id"), coalesce(col("_new"), col("_lbl")).as("_lbl"))
+          .repartition(loopP, col("_id"))
+          .sortWithinPartitions(col("_id")),
+        eager = i < rounds, keepPartitioning = true,
+        shufflePartitions = Some(loopP))
+    }
+    fin.select(col("_id").as(idCol), col("_lbl").as("community"))
+  }
 }

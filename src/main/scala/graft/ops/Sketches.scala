@@ -105,4 +105,85 @@ object Sketches {
       .select(col(groupCol), col("sketch_size"), col("kth_hash"),
         col("est_distinct"), col("exact_distinct"), col("rel_err"))
   }
+
+  /** HyperLogLog registers (Flajolet et al. 2007) for the same 60-bit
+    * hash column: register index = hash mod 2^p, register value = the
+    * 1-based position of the highest set bit missing from the remaining
+    * 60−p hash bits (the classic leading-zero rank ρ), register state =
+    * MAX ρ per (group, index).
+    *
+    * Where KMV keeps k exact hash values, HLL keeps 2^p six-bit ranks —
+    * smaller state for the same error (1.04/√m), and the per-register
+    * MAX is monotone, so the identical plan runs under
+    * readStream/complete with state bounded at groups × 2^p rows
+    * forever (the streaming face; see StreamingRefresh). The rank is
+    * computed portably — `instr(lpad(bin(rem)))` string arithmetic, no
+    * engine-specific bit intrinsics — so DuckDB rebuilds the identical
+    * register file and the whole report stays exact-compare
+    * oracle-checkable despite being an "approximate" structure. */
+  def hllRegisters(df: DataFrame, groupCol: String, hashCol: String,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"HLL precision out of range: $p")
+    val m = 1L << p
+    val rhoBits = HashBits - p
+    val rem = Layout.idiv(col(hashCol), lit(m))
+    val bs = lpad(bin(rem), rhoBits, "0")
+    val rho = when(instr(bs, "1") === 0, lit(rhoBits + 1))
+      .otherwise(instr(bs, "1"))
+    df.select(col(groupCol), pmod(col(hashCol), lit(m)).as("idx"),
+        rho.cast("int").as("rho"))
+      .groupBy(col(groupCol), col("idx"))
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Per-group distinct-count report from the HLL register file: the
+    * zero-register count, the exact integer Σ 2^(60−reg) over all 2^p
+    * registers (absent register ⇒ reg 0 ⇒ 2^60 — the state column the
+    * oracle pins, DECIMAL(38,0): the sum can reach 2^(60+p), past
+    * BIGINT), the raw estimate α_m·m²·2^60 / Σ, the small-range
+    * linear-counting correction m·ln(m/zeros) when the raw estimate is
+    * ≤ 2.5m with zero registers present (the published estimator), the
+    * exact distinct count (audit column — the one thing here that would
+    * NOT run at 100 TB), and the relative error.
+    *
+    * Determinism: the register file is a set-function MAX (independent
+    * of partitioning and merge order); the integer sum is exact in both
+    * engines; the estimate is one double division from it, with the α
+    * constant written as the identical literal chain on both sides and
+    * ln 9-rounded at the source (the engine's cross-engine ln
+    * convention). */
+  def hllDistinct(df: DataFrame, groupCol: String, hashCol: String,
+      p: Int): DataFrame = {
+    val m = 1L << p
+    val mD = m.toDouble
+    val powTop = lit(new java.math.BigDecimal(HashSpace)
+      .setScale(0).toBigInteger.toString).cast("decimal(38,0)")
+    val regs = hllRegisters(df, groupCol, hashCol, p)
+    val agg = regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $HashBits - reg) " +
+          "AS DECIMAL(38,0))")).as("pow_present"))
+      .select(col(groupCol), (lit(m) - col("n_regs")).as("zero_regs"),
+        (col("pow_present") +
+          (lit(m) - col("n_regs")).cast("decimal(38,0)") * powTop)
+          .cast("decimal(38,0)").as("reg_sum"))
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(hashCol)).as("exact_distinct"))
+    // identical literal chain in the mirror SQL: left-to-right
+    // (0.7213 / (1 + 1.079 / m)) * m^2 * 2^60, then ONE divide
+    val alphaNum = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD)) *
+      lit(mD * mD) * lit(HashSpace)
+    val raw = alphaNum / col("reg_sum").cast("double")
+    val est = round(
+      when(raw <= lit(2.5 * mD) && col("zero_regs") > 0,
+        lit(mD) * round(log(lit(mD) / col("zero_regs")), 9))
+        .otherwise(raw), 4)
+    agg.join(exact, groupCol)
+      .withColumn("est_distinct", est)
+      .withColumn("rel_err",
+        round(abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct").cast("double"), 6))
+      .select(col(groupCol), col("zero_regs"), col("reg_sum"),
+        col("est_distinct"), col("exact_distinct"), col("rel_err"))
+  }
 }

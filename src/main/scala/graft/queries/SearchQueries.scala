@@ -155,6 +155,27 @@ object SearchQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  private val HllP = 8
+
+  /** Per-source distinct-shingle cardinality via HyperLogLog (p = 8,
+    * m = 256 registers): the fixed-size companion to the KMV report —
+    * same hash stream, 2^p six-bit ranks instead of k exact hashes, and
+    * a register MAX that is monotone (so the identical plan is the
+    * streaming leg's state). The oracle rebuilds the full register file
+    * from the same portable hash via string bit arithmetic and checks
+    * the integer register sum AND the estimate. */
+  def distinctHll(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.GraftFunctions.shingles(col("text"), 3))
+          .as("gram"))
+      .select(col("source"),
+        conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+    Sketches.hllDistinct(grams, "source", "hv", HllP)
+      .orderBy(col("source"))
+  }
+
   private val CmsDepth = 4
   private val CmsWidth = 2048
 
@@ -189,7 +210,8 @@ object SearchQueries extends QueryModule {
     "q_corpus_length_pctl" -> lengthPercentiles,
     "q_corpus_zipf" -> zipfFit,
     "q_corpus_dsir" -> dsir,
-    "q_corpus_distinct_kmv" -> distinctKmv)
+    "q_corpus_distinct_kmv" -> distinctKmv,
+    "q_corpus_distinct_hll" -> distinctHll)
 
   private val termList = Terms.map(t => s"'$t'").mkString(", ")
 
@@ -446,7 +468,8 @@ object SearchQueries extends QueryModule {
     "q_corpus_length_pctl" -> pctlSql,
     "q_corpus_zipf" -> zipfSql,
     "q_corpus_dsir" -> dsirSql,
-    "q_corpus_distinct_kmv" -> kmvSql)
+    "q_corpus_distinct_kmv" -> kmvSql,
+    "q_corpus_distinct_hll" -> hllSql)
 
   /** Rebuilds the KMV sketch in SQL: same per-doc distinct 3-gram
     * shingles as the dedup family, same 60-bit md5-prefix hash, rank
@@ -486,4 +509,60 @@ object SearchQueries extends QueryModule {
        |  ROUND(ABS(est_distinct - exact_distinct)
        |    / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
        |FROM agg ORDER BY source""".stripMargin
+
+  /** Rebuilds the HLL register file in SQL from the same hash stream as
+    * the KMV mirror: register index = hv mod 256, rank = first set bit
+    * of the remaining 52 bits via the portable lpad(bin(.)) string form
+    * (rank 53 when all-zero), register = MAX rank. The register sum is
+    * exact HUGEINT (Spark: DECIMAL(38,0) — it can reach 2^68); the α
+    * literal chain and the one double divide are written in the same
+    * left-to-right order as the Scala; linear counting fires only at
+    * raw ≤ 2.5m with zero registers present (never on this fixture —
+    * the spec exercises that branch in-memory). */
+  private def hllSql: String =
+    s"""WITH t AS (
+       |  SELECT source, text, regexp_split_to_array(text, '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT source, unnest(CASE WHEN len(w) < 3 THEN [text]
+       |    ELSE list_distinct(list_transform(range(1, greatest(len(w)-2,0)+1),
+       |      i -> array_to_string(list_transform(range(i, i+3), j -> w[j]), ' '))) END)
+       |    AS gram
+       |  FROM t
+       |), h AS (
+       |  SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS hv
+       |  FROM sh
+       |), regs AS (
+       |  SELECT source, hv % 256 AS idx,
+       |    MAX(CASE WHEN instr(lpad(bin(hv // 256), 52, '0'), '1') = 0 THEN 53
+       |      ELSE instr(lpad(bin(hv // 256), 52, '0'), '1') END) AS reg
+       |  FROM h GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT source, COUNT(*) AS n_regs,
+       |    SUM(CAST(CAST(1 AS BIGINT) << (60 - reg) AS HUGEINT)) AS pow_present
+       |  FROM regs GROUP BY 1
+       |), ex AS (
+       |  SELECT source, COUNT(*) AS exact_distinct FROM h GROUP BY 1
+       |), fin AS (
+       |  SELECT source, CAST(256 - n_regs AS BIGINT) AS zero_regs,
+       |    pow_present + CAST(256 - n_regs AS HUGEINT)
+       |      * CAST(1152921504606846976 AS HUGEINT) AS rs
+       |  FROM agg
+       |), est AS (
+       |  SELECT source, zero_regs, rs,
+       |    (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 * 1152921504606846976.0
+       |      / CAST(rs AS DOUBLE) AS raw
+       |  FROM fin
+       |), sel AS (
+       |  SELECT source, zero_regs, rs,
+       |    ROUND(CASE WHEN raw <= 640.0 AND zero_regs > 0
+       |      THEN 256.0 * ROUND(ln(256.0 / zero_regs), 9)
+       |      ELSE raw END, 4) AS est_distinct
+       |  FROM est)
+       |SELECT s.source, s.zero_regs, CAST(s.rs AS DECIMAL(38,0)) AS reg_sum,
+       |  s.est_distinct, x.exact_distinct,
+       |  ROUND(ABS(s.est_distinct - x.exact_distinct)
+       |    / CAST(x.exact_distinct AS DOUBLE), 6) AS rel_err
+       |FROM sel s JOIN ex x USING (source) ORDER BY source""".stripMargin
 }

@@ -218,6 +218,28 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  private val LpaRounds = 4
+
+  /** Label-propagation communities over the SAME adaptive pair graph
+    * (4 synchronous rounds, min-label ties): the density-sensitive
+    * community view next to q_sim_clusters' reachability view — a
+    * borderline pair that bridges two dense duplicate groups merges
+    * them under CC but not under LPA. Output adds each community's
+    * member count (bounded frame: one row per community). The mirror
+    * unrolls the same 4 vote/adopt rounds as MATERIALIZED CTEs over
+    * the pre-verified pair dump. */
+  def lpa(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val labeled = graft.ops.Graph.labelPropagation(
+      emb.select(col("vec_id")), "vec_id",
+      adaptivePairs(emb), "vec_a", "vec_b", LpaRounds)
+    val sizes = labeled.groupBy(col("community"))
+      .agg(count(lit(1)).as("community_size"))
+    labeled.join(sizes, "community")
+      .select(col("vec_id"), col("community"), col("community_size"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cluster-representative capstone: connected components + PageRank
     * over the SAME adaptive pair graph, keep the most central member per
     * cluster (ties → min vec_id) — the production "which near-dup do we
@@ -273,6 +295,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_pagerank" -> pagerank,
     "q_sim_triangles" -> triangles,
     "q_sim_kcore" -> kcore,
+    "q_sim_lpa" -> lpa,
     "q_dedup_representatives" -> representatives,
     "q_sim_kmeans" -> kmeans,
     "q_sim_balanced_sample" -> balancedSample,
@@ -816,6 +839,43 @@ object SimilarityQueries extends QueryModule {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** LPA mirror: 4 unrolled vote/adopt rounds over the pre-verified
+    * pair dump — per round, count each vertex's incoming neighbor
+    * labels, adopt the (count DESC, label ASC) winner, keep the old
+    * label when no neighbors vote. MATERIALIZED for the same reason as
+    * the kcore mirror: each round references its predecessor twice
+    * (votes + the keep-old left join), so default inlining would
+    * duplicate the chain 2^rounds times. */
+  private def lpaSql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s""", c$i AS MATERIALIZED (
+         |  SELECT e.d AS id, l.lbl, COUNT(*) AS n
+         |  FROM l${i - 1} l JOIN gsym e ON e.s = l.id GROUP BY 1, 2),
+         |a$i AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT v.id, COALESCE(a.lbl, v.lbl) AS lbl
+         |  FROM l${i - 1} v LEFT JOIN a$i a USING (id))""".stripMargin
+    }.mkString
+    s"""WITH gpr AS MATERIALIZED (
+       |  SELECT CAST(vec_a AS BIGINT) AS va, CAST(vec_b AS BIGINT) AS vb
+       |  FROM read_parquet('${QueryModule.VerifyOutToken}/q_sim_cosine_pairs/*.parquet')),
+       |gsym AS MATERIALIZED (
+       |  SELECT va AS s, vb AS d FROM gpr
+       |  UNION ALL SELECT vb, va FROM gpr),
+       |l0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings)$rounds,
+       |sizes AS (
+       |  SELECT lbl, COUNT(*) AS community_size
+       |  FROM l$LpaRounds GROUP BY lbl)
+       |SELECT l.id AS vec_id, l.lbl AS community, s.community_size
+       |FROM l$LpaRounds l JOIN sizes s ON s.lbl = l.lbl
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Triangle mirror: canonical a < b edges from the pre-verified pair
     * dump, then the classic e(a,b) ⋈ e(b,c) ⋈ e(a,c) triple join with
     * a < b < c — each triangle once — exploded back onto its three
@@ -935,6 +995,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_pagerank" -> pagerankSql,
     "q_sim_triangles" -> trianglesSql,
     "q_sim_kcore" -> kcoreSql,
+    "q_sim_lpa" -> lpaSql,
     "q_dedup_representatives" -> representativesSql,
     "q_sim_kmeans" -> kmeansSql,
     "q_sim_balanced_sample" -> balancedSampleSql,

@@ -94,6 +94,25 @@ object StreamingRefresh {
         lit(1L).as("cnt")),
       "word", "cnt", depth, width)
 
+  /** Streaming HyperLogLog register file over a document stream: the
+    * SAME shingle→hash→register plan as the batch q_corpus_distinct_hll
+    * report, run under complete mode — the per-register MAX is a
+    * monotone streaming aggregation whose state is bounded at
+    * sources × 2^p rows FOREVER, no watermark needed. Register MAX is a
+    * set function of the values seen, so the drained register file must
+    * equal the batch one row-for-row regardless of micro-batching
+    * (HllStreamSpec pins it, and feeds the drained registers into the
+    * batch estimator to close the loop). */
+  def hllStream(docs: DataFrame, p: Int = 8): DataFrame =
+    graft.ops.Sketches.hllRegisters(
+      docs.select(col("source"),
+        explode(graft.functions.GraftFunctions.shingles(col("text"), 3))
+          .as("gram"))
+        .select(col("source"),
+          conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("hv")),
+      "source", "hv", p)
+
   /** Streaming SCD2 (ops.Scd2's incremental face): per-key state is the
     * OPEN interval (attr, valid_from_us, open_tie); an attr change
     * closes it, and only CLOSED intervals are appended downstream —

@@ -103,7 +103,12 @@ class JobCountSpec extends SparkSpecBase {
     "q_media_phash_pairs" -> 8,
     "q_sim_balanced_sample" -> 16,
     "q_layout_compaction" -> 17, // 14 after the staged-manifest fix
-    "q_events_anomaly" -> 8)
+    "q_events_anomaly" -> 8,
+    // r10 second wave (measured 21 / 9): LPA is 4 fixed rounds on the
+    // shared loop discipline (one vote + one update barrier per round
+    // over the staged sym edges); HLL is a flat two-level aggregation
+    "q_sim_lpa" -> 26,
+    "q_corpus_distinct_hll" -> 11)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {
