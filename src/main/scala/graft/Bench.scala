@@ -78,8 +78,10 @@ object Bench {
       // JL random projection: one codegen'd projection over embeddings
       "q_sim_rproj",
       // r10 second wave: label-propagation communities over the
-      // adaptive pair graph and the HLL distinct-count report
-      "q_sim_lpa", "q_corpus_distinct_hll")
+      // adaptive pair graph, the HLL distinct-count report, the ANN
+      // recall@k self-evaluation, and the log-histogram percentiles
+      "q_sim_lpa", "q_corpus_distinct_hll",
+      "q_knn_recall", "q_corpus_hist_pctl")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

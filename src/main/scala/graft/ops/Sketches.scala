@@ -106,6 +106,64 @@ object Sketches {
         col("est_distinct"), col("exact_distinct"), col("rel_err"))
   }
 
+  /** Bounded-state quantile estimation over positive integer values
+    * (token counts, byte sizes): a log-scale histogram with a 2-bit
+    * sub-exponent mantissa — values clamp below at 4, bin key =
+    * 4·⌊log₂ v⌋ + (the two bits after the leading one), so there are at
+    * most 4·62 bins per group REGARDLESS of input size, every bin
+    * boundary is a dyadic rational, and the relative quantization error
+    * is bounded by the bin width (≤ 1/8 of the value). This is the
+    * percentile report that still runs when the corpus is 100 TB —
+    * `percentile()` shuffles every value to sort; this shuffles ≤ 248
+    * counter rows per group (and the same plan is streamable: counts
+    * are sums).
+    *
+    * Everything is integer/string arithmetic (`length(bin(v))`, integer
+    * divide, shift) — no floating log whose last-ulp could flip a bin
+    * at a boundary — so DuckDB rebuilds the identical histogram and the
+    * report is exact-compare oracle-checkable. The per-prob estimate is
+    * the MIDPOINT of the first bin whose cumulative count reaches
+    * ⌈p·n⌉: (2^(e−2))·(sub + 4.5), computed in the same operation order
+    * on both engines.
+    *
+    * The cumulative window runs over the BINNED frame (≤ 248 rows per
+    * group), never the raw values — the global-window ban does not
+    * apply to a frame whose size is a constant of the encoding. */
+  def histQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1]: $probs")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .select(col(groupCol).as("__g"),
+        greatest(col(valCol).cast("long"), lit(4L)).as("__v"))
+      .selectExpr("__g",
+        "4 * (length(bin(__v)) - 1) + " +
+          "(__v div shiftleft(CAST(1 AS BIGINT), length(bin(__v)) - 3)) " +
+          "- 4 AS __key")
+    val binned = keyed.groupBy(col("__g"), col("__key"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__key"))
+    val wAll = Window.partitionBy(col("__g"))
+    val wb = binned
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+    val picks = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__key")))
+        .as(s"__k$i")
+    }
+    val decoded = probs.indices.map { i =>
+      expr(s"round(CAST(shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST(__k$i div 4 AS INT) - 2) AS DOUBLE) * " +
+        s"((__k$i % 4) + 4.5), 6)")
+        .as(s"p${(probs(i) * 100).round}_est")
+    }
+    wb.groupBy(col("__g"))
+      .agg(max(col("__n")).as("__nn"), picks: _*)
+      .select(col("__g").as(groupCol) +: col("__nn").as("n_rows") +:
+        decoded: _*)
+  }
+
   /** HyperLogLog registers (Flajolet et al. 2007) for the same 60-bit
     * hash column: register index = hash mod 2^p, register value = the
     * 1-based position of the highest set bit missing from the remaining

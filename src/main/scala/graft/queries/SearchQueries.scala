@@ -54,6 +54,36 @@ object SearchQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Per-source token-length quantiles from the bounded-state log
+    * histogram (4·⌊log₂⌋ + 2 mantissa bits — ≤ 248 counter rows per
+    * source shuffle, no value sort), next to the exact interpolated
+    * percentiles as the audit columns: the 100 TB version of
+    * q_corpus_length_pctl, with its quantization error measured in the
+    * output. The mirror rebuilds the identical integer-keyed histogram
+    * and midpoint picks. */
+  def histPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(col("text"), "\\s+")).cast("long")
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), toks.as("n_toks"))
+    val est = Sketches.histQuantiles(base, "source", "n_toks",
+      Seq(0.5, 0.9, 0.99))
+    val exact = base.groupBy(col("source"))
+      .agg(round(percentile(col("n_toks"), lit(0.5)), 6).as("p50_exact"),
+        round(percentile(col("n_toks"), lit(0.9)), 6).as("p90_exact"),
+        round(percentile(col("n_toks"), lit(0.99)), 6).as("p99_exact"))
+    est.join(exact, "source")
+      .select(col("source"), col("n_rows").as("n_docs"),
+        col("p50_est"), col("p90_est"), col("p99_est"),
+        col("p50_exact"), col("p90_exact"), col("p99_exact"),
+        round(abs(col("p50_est") - col("p50_exact")) / col("p50_exact"), 6)
+          .as("rel_p50"),
+        round(abs(col("p90_est") - col("p90_exact")) / col("p90_exact"), 6)
+          .as("rel_p90"),
+        round(abs(col("p99_est") - col("p99_exact")) / col("p99_exact"), 6)
+          .as("rel_p99"))
+      .orderBy(col("source"))
+  }
+
   /** Zipf-law fit over the frequency head: least-squares slope and
     * intercept of ln(freq) on ln(rank) for the top-1000 words (natural
     * text → slope ≈ −1; a badly skewed or synthetic corpus shows up as
@@ -211,7 +241,8 @@ object SearchQueries extends QueryModule {
     "q_corpus_zipf" -> zipfFit,
     "q_corpus_dsir" -> dsir,
     "q_corpus_distinct_kmv" -> distinctKmv,
-    "q_corpus_distinct_hll" -> distinctHll)
+    "q_corpus_distinct_hll" -> distinctHll,
+    "q_corpus_hist_pctl" -> histPercentiles)
 
   private val termList = Terms.map(t => s"'$t'").mkString(", ")
 
@@ -469,7 +500,8 @@ object SearchQueries extends QueryModule {
     "q_corpus_zipf" -> zipfSql,
     "q_corpus_dsir" -> dsirSql,
     "q_corpus_distinct_kmv" -> kmvSql,
-    "q_corpus_distinct_hll" -> hllSql)
+    "q_corpus_distinct_hll" -> hllSql,
+    "q_corpus_hist_pctl" -> histSql)
 
   /** Rebuilds the KMV sketch in SQL: same per-doc distinct 3-gram
     * shingles as the dedup family, same 60-bit md5-prefix hash, rank
@@ -509,6 +541,58 @@ object SearchQueries extends QueryModule {
        |  ROUND(ABS(est_distinct - exact_distinct)
        |    / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
        |FROM agg ORDER BY source""".stripMargin
+
+  /** Rebuilds the log-histogram quantile sketch in SQL: the same
+    * integer bin key (values clamp at 4; key = 4·(length(bin(v))−1) +
+    * v // 2^(e−2) − 4), the same cumulative-count pick at ⌈p·n⌉, the
+    * same dyadic midpoint decode — next to the exact quantile_cont
+    * audits (≡ Spark `percentile`, both p·(n−1) linear interpolation). */
+  private def histSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS v
+      |  FROM documents
+      |), k AS (
+      |  SELECT source,
+      |    4 * (length(bin(GREATEST(v, 4))) - 1)
+      |      + GREATEST(v, 4)
+      |        // (CAST(1 AS BIGINT) << (length(bin(GREATEST(v, 4))) - 3))
+      |      - 4 AS key
+      |  FROM t
+      |), binned AS (
+      |  SELECT source, key, COUNT(*) AS cnt FROM k GROUP BY 1, 2
+      |), wb AS (
+      |  SELECT source, key, cnt,
+      |    SUM(cnt) OVER (PARTITION BY source ORDER BY key) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY source) AS n
+      |  FROM binned
+      |), sel AS (
+      |  SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |    MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN key END) AS k50,
+      |    MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN key END) AS k90,
+      |    MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN key END) AS k99
+      |  FROM wb GROUP BY source
+      |), dec AS (
+      |  SELECT source, n_docs,
+      |    ROUND(CAST(CAST(1 AS BIGINT) << (CAST(k50 // 4 AS INT) - 2)
+      |      AS DOUBLE) * ((k50 % 4) + 4.5), 6) AS p50_est,
+      |    ROUND(CAST(CAST(1 AS BIGINT) << (CAST(k90 // 4 AS INT) - 2)
+      |      AS DOUBLE) * ((k90 % 4) + 4.5), 6) AS p90_est,
+      |    ROUND(CAST(CAST(1 AS BIGINT) << (CAST(k99 // 4 AS INT) - 2)
+      |      AS DOUBLE) * ((k99 % 4) + 4.5), 6) AS p99_est
+      |  FROM sel
+      |), ex AS (
+      |  SELECT source,
+      |    ROUND(quantile_cont(v, 0.5), 6) AS p50_exact,
+      |    ROUND(quantile_cont(v, 0.9), 6) AS p90_exact,
+      |    ROUND(quantile_cont(v, 0.99), 6) AS p99_exact
+      |  FROM t GROUP BY source)
+      |SELECT d.source, d.n_docs, d.p50_est, d.p90_est, d.p99_est,
+      |  x.p50_exact, x.p90_exact, x.p99_exact,
+      |  ROUND(ABS(d.p50_est - x.p50_exact) / x.p50_exact, 6) AS rel_p50,
+      |  ROUND(ABS(d.p90_est - x.p90_exact) / x.p90_exact, 6) AS rel_p90,
+      |  ROUND(ABS(d.p99_est - x.p99_exact) / x.p99_exact, 6) AS rel_p99
+      |FROM dec d JOIN ex x USING (source) ORDER BY source""".stripMargin
 
   /** Rebuilds the HLL register file in SQL from the same hash stream as
     * the KMV mirror: register index = hv mod 256, rank = first set bit

@@ -254,6 +254,32 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** ANN self-evaluation: recall@5 of the IVF probe against the exact
+    * brute-force top-5, per query vector — the measurement every ANN
+    * deployment runs before trusting an index (and the number the IVF
+    * probe-count knob is tuned against). Both legs are the registered
+    * operators themselves (ivfTopK, bruteForceTopK); the overlap count
+    * is a plain (query, neighbor) equi-join, so the whole evaluation
+    * scales with k·|queries|, never with the corpus. The mirror
+    * composes the two legs' existing CTE chains and recounts. */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = queryVecs(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, q, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(emb, q, K)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(K.toDouble), 4)
+          .as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   private val MmrCandK = 20
   private val MmrLambda = 0.7
 
@@ -302,6 +328,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_rproj" -> rproj,
     "q_sim_semdedup" -> semdedup,
     "q_knn_brute" -> knnBrute,
+    "q_knn_recall" -> knnRecall,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
     "q_knn_pq" -> knnPq,
@@ -433,6 +460,49 @@ object SimilarityQueries extends QueryModule {
          |SELECT query_id, rk, neighbor_id, cos FROM ranked
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
   }
+
+  /** Recall mirror: the IVF cell block's top-K chain and the brute
+    * top-K chain, joined on (query, neighbor) and recounted per query —
+    * both legs are verbatim re-uses of the q_knn_ivf / q_knn_brute
+    * mirror arithmetic, so a drift in either leg fails three gates at
+    * once. */
+  private def knnRecallSql: String =
+    normCte + ", " + ivfCellCtes +
+      s""", icand AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         |  FROM qprobe q JOIN ecell e ON e.cell = q.cell AND e.vec_id <> q.vec_id
+         |), iscored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM icand c JOIN n a ON a.vec_id = c.neighbor_id
+         |    JOIN n q ON q.vec_id = c.query_id
+         |), iranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM iscored
+         |), bscored AS (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM n a, n q
+         |  WHERE q.vec_id % 100 = 0 AND a.vec_id <> q.vec_id
+         |), branked AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM bscored
+         |), hits AS (
+         |  SELECT i.query_id, COUNT(*) AS n_hits
+         |  FROM (SELECT query_id, neighbor_id FROM iranked WHERE rk <= $K) i
+         |  JOIN (SELECT query_id, neighbor_id FROM branked WHERE rk <= $K) b
+         |    USING (query_id, neighbor_id)
+         |  GROUP BY i.query_id)
+         |SELECT q.vec_id AS query_id,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  ROUND(COALESCE(h.n_hits, 0) / ${K.toDouble}, 4) AS recall_at_k
+         |FROM (SELECT vec_id FROM n WHERE vec_id % 100 = 0) q
+         |LEFT JOIN hits h ON h.query_id = q.vec_id
+         |ORDER BY query_id""".stripMargin
 
   private val dist8Sql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
@@ -1017,6 +1087,7 @@ object SimilarityQueries extends QueryModule {
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin),
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
+    "q_knn_recall" -> knnRecallSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,
     // the persisted-index round trip must reproduce the in-memory

@@ -108,7 +108,12 @@ class JobCountSpec extends SparkSpecBase {
     // shared loop discipline (one vote + one update barrier per round
     // over the staged sym edges); HLL is a flat two-level aggregation
     "q_sim_lpa" -> 26,
-    "q_corpus_distinct_hll" -> 11)
+    "q_corpus_distinct_hll" -> 11,
+    // measured 14 / 8: recall carries the IVF leg's centroid collects;
+    // the histogram sketch is a flat two-level aggregation + a bounded
+    // per-source window
+    "q_knn_recall" -> 17,
+    "q_corpus_hist_pctl" -> 10)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {

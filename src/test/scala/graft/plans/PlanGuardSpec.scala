@@ -57,6 +57,9 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_knn_brute" -> ("exact ANN baseline (labeled non-scale path): " +
       "broadcasts the fixed filter-selected probe-vector set against a " +
       "single linear corpus scan — linear in corpus, never quadratic"),
+    "q_knn_recall" -> ("recall evaluation composes the q_knn_brute " +
+      "baseline as its exact leg — the same fixed probe-set broadcast; " +
+      "the IVF leg and the intersection are equi-joins"),
     "q_knn_pq" -> ("PQ search broadcasts the same fixed probe-vector set " +
       "to build per-query distance tables; corpus side is one scan"),
     "q_search_hybrid_rrf" -> ("hybrid retrieval broadcasts the fixed " +
