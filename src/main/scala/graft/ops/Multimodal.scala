@@ -34,6 +34,13 @@ object Multimodal {
       * resize + luma. The contract perceptual hashing needs is
       * LOCALITY: a small payload edit must change few pixels. */
     def thumbnail(kind: String, bytes: Array[Byte], n: Int): Array[Int]
+
+    /** Up to `n` bytes of the frame at timestamp `ms` — production:
+      * container seek + codec decode of the nearest keyframe. The
+      * contract frame sampling needs: deterministic, and nearby
+      * timestamps map to nearby media regions. */
+    def frameAt(kind: String, bytes: Array[Byte], ms: Long,
+        n: Int): Array[Byte]
   }
 
   /** STUB decoder: real codecs are unavailable in this environment.
@@ -114,6 +121,20 @@ object Multimodal {
       }
       px
     }
+
+    /** STUB frame: the byte slice starting at the timestamp's
+      * proportional offset ⌊ms·len/duration⌋ — integer math on
+      * non-negatives (identical in DuckDB), truncated at payload end.
+      * Stands in for seek+decode; deterministic and monotone in `ms`. */
+    override def frameAt(kind: String, bytes: Array[Byte], ms: Long,
+        n: Int): Array[Byte] = {
+      if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
+      val dur = decode(kind, bytes).durationMs
+      if (dur <= 0) return Array.emptyByteArray
+      val start = (ms * bytes.length / dur).toInt
+      java.util.Arrays.copyOfRange(bytes, start,
+        math.min(start + n, bytes.length))
+    }
   }
 
   /** Decode + feature-extract a (id, kind, payload) dataset in partition
@@ -134,6 +155,43 @@ object Multimodal {
       }
     }.toDF("media_id", "kind", "width", "height", "duration_ms", "valid",
       "features", "n_bytes")
+  }
+
+  /** Deterministic frame sampling over video payloads: one row per
+    * sampled frame at timestamps 0, everyMs, 2·everyMs, … < duration,
+    * capped at `maxFrames` per item — the video face of the multimodal
+    * plumbing (production: container seek + keyframe decode behind the
+    * seam; here the stub's proportional byte slice). The output carries
+    * the frame's md5 fingerprint, not the frame bytes — downstream
+    * dedup/indexing consumes fingerprints, and at 100 TB shipping
+    * decoded frames through a shuffle is the mistake this shape avoids
+    * (frames decode where the payload partition lives; only
+    * metadata-width rows leave the executor).
+    *
+    * Non-video and empty items yield no rows. `flatMap` keeps the plan
+    * a single narrow stage over the media scan — no shuffle at all. */
+  def frameSample(media: Dataset[(Long, String, Array[Byte])],
+      decoder: MediaDecoder = StubDecoder, everyMs: Long = 1000L,
+      maxFrames: Int = 8, frameBytes: Int = 64): DataFrame = {
+    require(everyMs >= 1 && maxFrames >= 1 && frameBytes >= 1,
+      s"bad sampling shape: every ${everyMs}ms, $maxFrames x $frameBytes B")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { case (id, kind, bytes) =>
+      val m = decoder.decode(kind, bytes)
+      if (kind != "video" || !m.valid || m.durationMs <= 0)
+        Iterator.empty
+      else {
+        val n = math.min((m.durationMs - 1) / everyMs + 1,
+          maxFrames.toLong).toInt
+        (0 until n).iterator.map { i =>
+          val ms = i * everyMs
+          (id, i, ms, decoder.frameAt(kind, bytes, ms, frameBytes), n)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "frame_ms", "__frame", "n_frames")
+      .select(col("media_id"), col("frame_idx"), col("frame_ms"),
+        md5(col("__frame")).as("frame_fp"), col("n_frames"))
   }
 
   /** 64-bit average-hash (aHash) per media item, carried as two

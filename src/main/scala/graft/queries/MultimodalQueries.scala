@@ -41,6 +41,17 @@ object MultimodalQueries extends QueryModule {
         col("n_bytes"))
       .orderBy(col("media_id"))
 
+  /** Frame sampling over the fixture's video items (doc_id % 3 = 2):
+    * 1-frame-per-second timestamps capped at 8, each frame's md5
+    * fingerprint — the video-side plumbing of the multimodal family.
+    * The stub's duration and proportional byte slices are md5/integer
+    * arithmetic, so the oracle recomputes every row (timestamps, frame
+    * counts, AND fingerprints) from the text payloads, with the
+    * phash mirror's ASCII guard for the byte≡char equivalence. */
+  def frameSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(media(spark, dir))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   /** Per-kind audit: all valid, fixed dims, unit norms. Zero violations. */
   def mediaAudit(spark: SparkSession, dir: String): DataFrame = {
     val f = Multimodal.extract(media(spark, dir))
@@ -229,6 +240,7 @@ object MultimodalQueries extends QueryModule {
     "q_media_features" -> features,
     "q_media_audit" -> mediaAudit,
     "q_media_phash_pairs" -> phashPairsQ,
+    "q_media_frame_sample" -> frameSampleQ,
     "q_vision_markdown" -> visionMarkdown,
     "q_binary_split_merge" -> binarySplitMerge,
     "q_row_render" -> rowRender,
@@ -310,8 +322,49 @@ object MultimodalQueries extends QueryModule {
        |                WHERE octet_length(encode(t)) <> length(t)))
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Frame-sample mirror: the stub's md5-derived duration
+    * ((h32 // 7) % 600000 + 1000), the capped 1 Hz timestamp ladder,
+    * the proportional byte-slice offsets, and each frame's md5 — all
+    * recomputed from the text payloads. Char-based substring equals the
+    * Spark side's byte-based slice only over ASCII payloads, so the
+    * phash mirror's ASCII guard poisons on any non-ASCII fixture. */
+  private def frameSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text AS t
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |h AS (
+      |  SELECT media_id, t,
+      |    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h32,
+      |    CAST(length(t) AS BIGINT) AS len
+      |  FROM m WHERE length(t) > 0),
+      |d AS (
+      |  SELECT media_id, t, len,
+      |    (h32 // 7) % 600000 + 1000 AS dur,
+      |    LEAST((((h32 // 7) % 600000 + 1000) - 1) // 1000 + 1, 8)
+      |      AS n_frames
+      |  FROM h),
+      |f AS (
+      |  SELECT media_id, t, len, dur, n_frames,
+      |    CAST(unnest(range(0, n_frames)) AS BIGINT) AS fi
+      |  FROM d),
+      |o AS (
+      |  SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+      |    fi * 1000 AS frame_ms,
+      |    md5(substring(t, CAST((fi * 1000 * len) // dur + 1 AS INT), 64))
+      |      AS frame_fp,
+      |    CAST(n_frames AS INTEGER) AS n_frames
+      |  FROM f)
+      |SELECT media_id, frame_idx, frame_ms, frame_fp, n_frames FROM (
+      |  SELECT * FROM o
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT), -1, CAST(-1 AS BIGINT), 'non-ascii', -1
+      |  WHERE EXISTS (SELECT 1 FROM m
+      |                WHERE octet_length(encode(t)) <> length(t)))
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "q_media_phash_pairs" -> phashPairsSql,
+    "q_media_frame_sample" -> frameSampleSql,
     // the OCR markdown rebuilt byte-for-byte: char-boundary pages, the
     // stub's md5 scan tag, UTF-8 byte counts, ordered reassembly hash
     "q_ocr_pages" ->

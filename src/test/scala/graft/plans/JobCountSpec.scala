@@ -113,7 +113,10 @@ class JobCountSpec extends SparkSpecBase {
     // the histogram sketch is a flat two-level aggregation + a bounded
     // per-source window
     "q_knn_recall" -> 17,
-    "q_corpus_hist_pctl" -> 10)
+    "q_corpus_hist_pctl" -> 10,
+    // measured 4: one narrow flatMap stage over the media scan + the
+    // ordered sink — frame sampling must never shuffle
+    "q_media_frame_sample" -> 5)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {
