@@ -189,6 +189,40 @@ object Dedup {
     connectedComponentsRounds(vertices, idCol, edges, srcCol, dstCol,
       maxRounds)._1
 
+  /** Incremental connected components — the daily-refresh face of
+    * clustering, paired with the admission path (`lshPairsAgainst`):
+    * yesterday's assignment is already a fixpoint, so today's update
+    * needs only yesterday's LABELS (one row per vertex) plus the NEW
+    * pairs, never yesterday's full edge list.
+    *
+    * Correctness: each (id, cluster_id) label row is treated as an edge
+    * id—cluster_id. Contracting a connected component onto any one of
+    * its members preserves reachability, and min-label CC assigns each
+    * old component its minimum member id as the label, so CC over
+    * (label edges ∪ new edges) over (old ∪ new) vertices equals CC over
+    * (old edges ∪ new edges) — IncrementalCcSpec pins the equivalence,
+    * and the registered query's oracle recomputes the full graph's
+    * reachability directly, so the shortcut is value-checked against
+    * the from-scratch semantics every gate run.
+    *
+    * Scale: the recompute's edge volume drops from |E_old| + |E_new| to
+    * |V_old| + |E_new| — on a dense near-dup graph (the case dedup
+    * exists for) that is the difference between re-shuffling the whole
+    * pair history and re-shuffling one label row per document. */
+  def incrementalComponents(labels: DataFrame, idCol: String,
+      clusterCol: String, newEdges: DataFrame, srcCol: String,
+      dstCol: String, vertices: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val labelEdges = labels
+      .select(col(idCol).cast("long").as("__s"),
+        col(clusterCol).cast("long").as("__d"))
+      .filter(col("__s") =!= col("__d")) // singleton labels carry no edge
+    val edges = labelEdges.union(
+      newEdges.select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d")))
+    connectedComponents(vertices, idCol, edges, "__s", "__d", maxRounds)
+  }
+
   /** connectedComponents plus the converged round count (spec surface). */
   private[graft] def connectedComponentsRounds(vertices: DataFrame,
       idCol: String, edges: DataFrame, srcCol: String, dstCol: String,

@@ -140,6 +140,33 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** Incremental cluster maintenance — the daily-refresh composition:
+    * vectors with vec_id % 10 = 7 play today's incoming batch, the rest
+    * yesterday's corpus. Yesterday's state is the CC assignment over
+    * corpus-only pairs (one label row per vector); today's update runs
+    * CC over those LABELS plus only the pairs touching the batch —
+    * yesterday's full edge list is never re-shuffled. The oracle
+    * recomputes reachability over the FULL pair graph from scratch, so
+    * every gate run re-proves the incremental shortcut ≡ the full
+    * recompute. */
+  def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = adaptivePairs(emb)
+    val isNew = (c: org.apache.spark.sql.Column) => c % 10 === 7
+    val corpusPairs = pairs.filter(
+      !isNew(col("vec_a")) && !isNew(col("vec_b")))
+    val newPairs = pairs.filter(
+      isNew(col("vec_a")) || isNew(col("vec_b")))
+    val corpusLabels = graft.ops.Dedup.connectedComponents(
+      emb.select(col("vec_id")).filter(!isNew(col("vec_id"))), "vec_id",
+      corpusPairs, "vec_a", "vec_b")
+    graft.ops.Dedup.incrementalComponents(
+      corpusLabels, "vec_id", "cluster_id",
+      newPairs, "vec_a", "vec_b", emb.select(col("vec_id")))
+      .withColumn("is_incoming", col("vec_id") % 10 === 7)
+      .orderBy(col("vec_id"))
+  }
+
   /** Full k-means clustering report (k=8, 3 exact-decimal Lloyd
     * iterations): per-vector cluster + squared distance. The mirror
     * unrolls the same three assign/mean steps as CTEs. */
@@ -336,6 +363,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_quantize" -> quantizeInt8,
     "q_sim_cosine_pairs" -> cosinePairs,
     "q_sim_clusters" -> simClusters,
+    "q_sim_clusters_incremental" -> incrementalClusters,
     "q_sim_label_centroids" -> labelCentroids)
 
   /** Shared CTE: vectors as doubles with norms, identical fold order. */
@@ -705,6 +733,25 @@ object SimilarityQueries extends QueryModule {
        |  src = MIN(dst) AS is_survivor
        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
 
+  /** Incremental-clusters mirror: reachability over the FULL pair dump,
+    * from scratch — deliberately NOT the incremental formulation, so a
+    * drift in the label-contraction shortcut (a dropped label edge, a
+    * wrong split of old vs new pairs) mismatches the ground truth
+    * instead of reproducing its own bug. */
+  private def incrementalClustersSql: String =
+    s"""WITH RECURSIVE gpr AS (
+       |  SELECT CAST(vec_a AS BIGINT) AS va, CAST(vec_b AS BIGINT) AS vb
+       |  FROM read_parquet('${QueryModule.VerifyOutToken}/q_sim_cosine_pairs/*.parquet')),
+       |sym AS (SELECT va AS s, vb AS d FROM gpr WHERE va <> vb
+       |        UNION SELECT vb, va FROM gpr WHERE va <> vb),
+       |reach AS (
+       |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+       |  UNION
+       |  SELECT r.src, e2.d FROM reach r JOIN sym e2 ON e2.s = r.dst)
+       |SELECT src AS vec_id, MIN(dst) AS cluster_id,
+       |  src % 10 = 7 AS is_incoming
+       |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
+
   /** Unrolled Lloyd CTE chain (expects `n` from normCte): seeds =
     * first `k` by vec_id, `iters` assign/mean steps with DECIMAL(28,12)
     * exact means and COALESCE previous-centroid fallback for emptied
@@ -1072,6 +1119,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_rproj" -> rprojSql,
     "q_sim_semdedup" -> semdedupSql,
     "q_sim_clusters" -> simClustersSql,
+    "q_sim_clusters_incremental" -> incrementalClustersSql,
     "q_knn_brute" -> (normCte +
       s""", scored AS (
          |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
