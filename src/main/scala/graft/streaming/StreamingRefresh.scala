@@ -768,55 +768,109 @@ object StreamingRefresh {
     * whole table with one batch's rows. */
   def upsertStream(updates: DataFrame, keyCol: String, masterPath: String,
       checkpoint: String): StreamingQuery = {
-    import org.apache.hadoop.fs.Path
     val spark = updates.sparkSession
     val q = updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val masterDir = new Path(masterPath)
-        val fs = masterDir.getFileSystem(spark.sessionState.newHadoopConf())
-        val parent = masterDir.getParent
-        val oldPrefix = s"${masterDir.getName}.old-"
-        // crash recovery: a previous run may have died between the two
-        // renames (master moved aside, replacement not yet published) —
-        // restore the moved-aside master instead of treating the batch as
-        // a first-batch bootstrap, which would silently drop all history.
-        // Leftover .old-*/.tmp-* dirs from completed or failed attempts
-        // are cleared so a retried batch id can rename cleanly.
-        val stale =
-          (if (fs.exists(parent)) fs.listStatus(parent).map(_.getPath)
-           else Array.empty[Path])
-            .filter(p => p.getName.startsWith(oldPrefix) ||
-              p.getName.startsWith(s"${masterDir.getName}.tmp-"))
-        stale.find(p => p.getName.startsWith(oldPrefix) &&
-            !fs.exists(masterDir))
-          .foreach { orphan =>
-            if (!fs.rename(orphan, masterDir))
-              throw new java.io.IOException(
-                s"cannot restore orphaned master $orphan")
-          }
-        stale.filter(fs.exists(_)).foreach(fs.delete(_, true))
-
-        val exists = fs.exists(masterDir)
-        val master =
-          if (exists) spark.read.parquet(masterPath)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-        val merged = graft.ops.DbExport.replaceByKey(master, batch, keyCol)
-        val tmp = new Path(parent, s"${masterDir.getName}.tmp-$batchId")
-        val old = new Path(parent, s"$oldPrefix$batchId")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (exists && !fs.rename(masterDir, old))
-          throw new java.io.IOException(s"cannot move aside $masterDir")
-        if (!fs.rename(tmp, masterDir)) {
-          // restore the previous master before failing
-          if (exists) fs.rename(old, masterDir)
-          throw new java.io.IOException(s"cannot publish $tmp to $masterDir")
+        swapParquetState(spark, masterPath, batchId) { prev =>
+          val master = prev.getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.schema))
+          graft.ops.DbExport.replaceByKey(master, batch, keyCol)
         }
-        if (exists) fs.delete(old, true)
-        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Atomically replace the parquet state at `path` with
+    * `compute(previous)` — the shared publish discipline of the
+    * stateful foreachBatch sinks (upsertStream, clusterRefreshStream).
+    * The new state is written DISTRIBUTED to a sibling temp dir (the old
+    * state's read executes during the write — no read-while-overwrite),
+    * then swapped in with two renames. Crash recovery: a previous run
+    * may have died between the renames (state moved aside, replacement
+    * not yet published) — the moved-aside state is restored instead of
+    * being treated as a first-batch bootstrap, which would silently
+    * drop all history; stale tmp/old dirs from completed or failed
+    * attempts are cleared so a retried batch id renames cleanly.
+    * `compute` receives None only when no state has ever been
+    * published. */
+  private def swapParquetState(spark: SparkSession, path: String,
+      batchId: Long)(compute: Option[DataFrame] => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stateDir = new Path(path)
+    val fs = stateDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val parent = stateDir.getParent
+    val oldPrefix = s"${stateDir.getName}.old-"
+    val stale =
+      (if (fs.exists(parent)) fs.listStatus(parent).map(_.getPath)
+       else Array.empty[Path])
+        .filter(p => p.getName.startsWith(oldPrefix) ||
+          p.getName.startsWith(s"${stateDir.getName}.tmp-"))
+    stale.find(p => p.getName.startsWith(oldPrefix) &&
+        !fs.exists(stateDir))
+      .foreach { orphan =>
+        if (!fs.rename(orphan, stateDir))
+          throw new java.io.IOException(
+            s"cannot restore orphaned state $orphan")
+      }
+    stale.filter(fs.exists(_)).foreach(fs.delete(_, true))
+
+    val exists = fs.exists(stateDir)
+    val next = compute(if (exists) Some(spark.read.parquet(path)) else None)
+    val tmp = new Path(parent, s"${stateDir.getName}.tmp-$batchId")
+    val old = new Path(parent, s"$oldPrefix$batchId")
+    next.write.mode("overwrite").parquet(tmp.toString)
+    if (exists && !fs.rename(stateDir, old))
+      throw new java.io.IOException(s"cannot move aside $stateDir")
+    if (!fs.rename(tmp, stateDir)) {
+      // restore the previous state before failing
+      if (exists) fs.rename(old, stateDir)
+      throw new java.io.IOException(s"cannot publish $tmp to $stateDir")
+    }
+    if (exists) fs.delete(old, true)
+  }
+
+  /** Streaming cluster refresh — the dedup pipeline's daily loop run as
+    * a stream: each micro-batch of NEW near-dup pairs (vec_a, vec_b —
+    * e.g. the admission stream's verified output) folds into the
+    * persisted label assignment via the label-contraction update
+    * ([[graft.ops.Dedup.incrementalComponents]]), and the refreshed
+    * assignment is atomically republished. Per batch the recompute
+    * shuffles one label row per PAIRED vertex plus the batch's pairs —
+    * never the historical edge list. The state tracks paired vertices
+    * only (a never-paired document's cluster is itself by definition);
+    * after any drain the labels equal full CC over every pair seen,
+    * regardless of micro-batching (ClusterRefreshStreamSpec pins it,
+    * including across a stop/restart). */
+  def clusterRefreshStream(pairs: DataFrame, labelsPath: String,
+      checkpoint: String): StreamingQuery = {
+    val spark = pairs.sparkSession
+    val q = pairs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        swapParquetState(spark, labelsPath, batchId) { prev =>
+          val b = batch
+            .select(col("vec_a").cast("long").as("_a"),
+              col("vec_b").cast("long").as("_b"))
+          val labels = prev.getOrElse(
+            spark.range(0).select(col("id").as("vec_id"),
+              col("id").as("cluster_id")))
+          val vertices = labels.select(col("vec_id"))
+            .union(b.select(col("_a")))
+            .union(b.select(col("_b")))
+            .distinct()
+          graft.ops.Dedup.incrementalComponents(labels,
+            "vec_id", "cluster_id", b, "_a", "_b",
+            vertices.select(col("vec_id")))
+            .select(col("vec_id"), col("cluster_id"))
+        }
       }
       .start()
     q.awaitTermination()
