@@ -95,6 +95,27 @@ object ScaleLadder {
     val embS = staged(plantedEmbeddings(spark, nSmall, seed = 7))
     val embL = staged(plantedEmbeddings(spark, nBig, seed = 11))
 
+    // incremental-CC rung input, staged OUTSIDE timing: yesterday's
+    // labels (role 0) + today's batch pairs (role 1) in one frame —
+    // production persists the labels and the admission stream delivers
+    // the pairs, so the timed body is exactly the update recompute.
+    def incInput(emb: DataFrame): DataFrame = {
+      val pairs = graft.ops.Similarity
+        .cosinePairsAdaptive(emb, 0.85, maxPlanes = 24)
+        .select(col("vec_a"), col("vec_b"))
+      val batch = pairs.filter(col("vec_a") % 100 === 0)
+      val corpus = pairs.filter(col("vec_a") % 100 =!= 0)
+      val verts = pairs.select(col("vec_a").as("v"))
+        .union(pairs.select(col("vec_b"))).distinct()
+      graft.ops.Dedup.connectedComponents(verts, "v", corpus,
+        "vec_a", "vec_b")
+        .select(lit(0).as("role"), col("v").as("x"),
+          col("cluster_id").as("y"))
+        .union(batch.select(lit(1).as("role"), col("vec_a"), col("vec_b")))
+    }
+    val incS = staged(incInput(embS))
+    val incL = staged(incInput(embL))
+
     val ops: Seq[(String, DataFrame, DataFrame, DataFrame => Unit)] = Seq(
       ("cluster_representatives", embS, embL, { emb: DataFrame =>
         val pairs = graft.ops.Similarity
@@ -141,6 +162,38 @@ object ScaleLadder {
       ("pack_sequences", docsS, docsL, { docs: DataFrame =>
         materialize(graft.ops.CorpusFilters
           .packSequences(docs, "doc_id", "stratum", "text", 256))
+      }),
+      ("lpa_rounds", embS, embL, { emb: DataFrame =>
+        // 4 fixed rounds on the shared loop discipline; the measured
+        // risk is the per-round |E| vote join + (vertex, label) agg
+        val pairs = graft.ops.Similarity
+          .cosinePairsAdaptive(emb, 0.85, maxPlanes = 24)
+          .select(col("vec_a"), col("vec_b"))
+        materialize(graft.ops.Graph.labelPropagation(
+          emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b",
+          rounds = 4))
+      }),
+      ("full_cc", embS, embL, { emb: DataFrame =>
+        // the from-scratch baseline the incremental update replaces
+        // (includes its pair generation, like every graph rung)
+        val pairs = graft.ops.Similarity
+          .cosinePairsAdaptive(emb, 0.85, maxPlanes = 24)
+          .select(col("vec_a"), col("vec_b"))
+        materialize(graft.ops.Dedup.connectedComponents(
+          emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b"))
+      }),
+      ("incremental_cc_update", incS, incL, { in: DataFrame =>
+        // ONLY the update: labels + batch pairs arrive staged (the
+        // production state); compare its steady time against full_cc
+        val labels = in.filter(col("role") === 0)
+          .select(col("x").as("vec_id"), col("y").as("cluster_id"))
+        val batch = in.filter(col("role") === 1)
+          .select(col("x").as("vec_a"), col("y").as("vec_b"))
+        val verts = labels.select(col("vec_id"))
+          .union(batch.select(col("vec_a")))
+          .union(batch.select(col("vec_b"))).distinct()
+        materialize(graft.ops.Dedup.incrementalComponents(labels,
+          "vec_id", "cluster_id", batch, "vec_a", "vec_b", verts))
       }))
 
     ops.foreach { case (name, small, big, run) =>

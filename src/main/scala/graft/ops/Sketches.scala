@@ -129,20 +129,31 @@ object Sketches {
     * The cumulative window runs over the BINNED frame (≤ 248 rows per
     * group), never the raw values — the global-window ban does not
     * apply to a frame whose size is a constant of the encoding. */
-  def histQuantiles(df: DataFrame, groupCol: String, valCol: String,
-      probs: Seq[Double]): DataFrame = {
-    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
-      s"probs must be in (0, 1]: $probs")
-    import org.apache.spark.sql.expressions.Window
-    val keyed = df
-      .select(col(groupCol).as("__g"),
+  /** The histogram's bounded counter state alone: one row per
+    * (group, bin key) with the bin's count — ≤ 4·62 rows per group at
+    * any input size. Counts are sums, so the identical plan runs under
+    * readStream/complete with state bounded forever (the streaming
+    * face; HistStreamSpec pins drain ≡ batch bin-for-bin). */
+  def histBins(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    df.select(col(groupCol).as("__g"),
         greatest(col(valCol).cast("long"), lit(4L)).as("__v"))
       .selectExpr("__g",
         "4 * (length(bin(__v)) - 1) + " +
           "(__v div shiftleft(CAST(1 AS BIGINT), length(bin(__v)) - 3)) " +
           "- 4 AS __key")
-    val binned = keyed.groupBy(col("__g"), col("__key"))
+      .groupBy(col("__g"), col("__key"))
       .agg(count(lit(1)).as("__cnt"))
+      .select(col("__g").as(groupCol), col("__key").as("bin_key"),
+        col("__cnt").as("bin_count"))
+
+  def histQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1]: $probs")
+    import org.apache.spark.sql.expressions.Window
+    val binned = histBins(df, groupCol, valCol)
+      .select(col(groupCol).as("__g"), col("bin_key").as("__key"),
+        col("bin_count").as("__cnt"))
     val wCum = Window.partitionBy(col("__g")).orderBy(col("__key"))
     val wAll = Window.partitionBy(col("__g"))
     val wb = binned

@@ -103,6 +103,18 @@ object StreamingRefresh {
     * equal the batch one row-for-row regardless of micro-batching
     * (HllStreamSpec pins it, and feeds the drained registers into the
     * batch estimator to close the loop). */
+  /** Streaming token-length histogram: the SAME bounded bin counters as
+    * the batch q_corpus_hist_pctl sketch (≤ 248 rows per source), run
+    * under complete mode — counts are sums, so micro-batch order cannot
+    * change the state and the drained bins equal the batch ones
+    * bin-for-bin (HistStreamSpec). Quantile decode happens on the
+    * drained state, exactly as the batch estimator does. */
+  def histStream(docs: DataFrame): DataFrame =
+    graft.ops.Sketches.histBins(
+      docs.select(col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_toks")),
+      "source", "n_toks")
+
   def hllStream(docs: DataFrame, p: Int = 8): DataFrame =
     graft.ops.Sketches.hllRegisters(
       docs.select(col("source"),
