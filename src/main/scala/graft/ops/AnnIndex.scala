@@ -31,32 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  private def fsOf(spark: SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  /** Committed version numbers under `dir`, ascending. A version is
-    * committed iff its `_COMMITTED` marker exists — file CREATION is
-    * the atomic publish point (atomic on HDFS and local; no
-    * rename-overwrite semantics to reason about). */
-  private def committedVersions(spark: SparkSession, dir: String): Seq[Long] = {
-    val (fs, p) = fsOf(spark, dir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
-      .flatMap(s => s.getPath.getName.stripPrefix("v_").toLongOption
-        .filter(_ => fs.exists(
-          new org.apache.hadoop.fs.Path(s.getPath, "_COMMITTED"))))
-      .sorted
-  }
-
-  /** The directory holding the CURRENT committed index build: the
-    * highest committed `v_<n>` when the versioned layout is present,
-    * else `dir` itself (pre-r10 flat layout, still readable). */
+  /** The directory holding the CURRENT committed index build — the
+    * shared [[IndexVersioning]] resolution (highest committed `v_<n>`,
+    * else the pre-r10 flat layout). */
   private[graft] def resolveDir(spark: SparkSession, dir: String): String =
-    committedVersions(spark, dir).lastOption
-      .map(v => s"$dir/v_$v").getOrElse(dir)
+    IndexVersioning.resolveDir(spark, dir)
 
   /** Build the index from `emb` (vec_id, embedding) and persist it
     * under `dir`. Rebuild-while-serving safe: each build writes into a
@@ -76,35 +55,23 @@ object AnnIndex {
     import spark.implicits._
     val subDims = dims / numSubspaces
     require(subDims * numSubspaces == dims, "dims must split evenly")
-    val prior = committedVersions(spark, dir)
-    val next = prior.lastOption.getOrElse(0L) + 1
-    val vdir = s"$dir/v_$next"
-    val centroids = Similarity.ivfCentroids(emb, numCells)
-    val cbs = Similarity.pqCodebooks(emb, numSubspaces, codebookSize, subDims)
-    centroids.zipWithIndex.map { case (w, c) => (c, w.toSeq) }.toSeq
-      .toDF("cell", "weights")
-      .repartition(1).write.mode("overwrite").parquet(s"$vdir/centroids")
-    cbs.zipWithIndex.flatMap { case (cb, m) =>
-      cb.zipWithIndex.map { case (w, code) => (m, code, w.toSeq) }
-    }.toSeq.toDF("subspace", "code", "weights")
-      .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebooks")
-    Seq((numCells, numSubspaces, codebookSize, dims))
-      .toDF("num_cells", "num_subspaces", "codebook_size", "dims")
-      .repartition(1).write.mode("overwrite").parquet(s"$vdir/meta")
-    Similarity.encodeIvfPq(emb, centroids, cbs, subDims)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/codes")
-    val (fs, _) = fsOf(spark, dir)
-    fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"),
-      false).close() // atomic publish; `false` = fail loudly on a clash
-    // GC: every committed version except the new one and its
-    // predecessor, plus any UNcommitted build dir left by an abort
-    val keep = Set(next) ++ prior.lastOption
-    val (fs2, p) = fsOf(spark, dir)
-    fs2.listStatus(p)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
-      .filter(s => !s.getPath.getName.stripPrefix("v_").toLongOption
-        .exists(keep))
-      .foreach(s => fs2.delete(s.getPath, true))
+    IndexVersioning.publish(spark, dir) { vdir =>
+      val centroids = Similarity.ivfCentroids(emb, numCells)
+      val cbs = Similarity.pqCodebooks(emb, numSubspaces, codebookSize,
+        subDims)
+      centroids.zipWithIndex.map { case (w, c) => (c, w.toSeq) }.toSeq
+        .toDF("cell", "weights")
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/centroids")
+      cbs.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (w, code) => (m, code, w.toSeq) }
+      }.toSeq.toDF("subspace", "code", "weights")
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebooks")
+      Seq((numCells, numSubspaces, codebookSize, dims))
+        .toDF("num_cells", "num_subspaces", "codebook_size", "dims")
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/meta")
+      Similarity.encodeIvfPq(emb, centroids, cbs, subDims)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/codes")
+    }
   }
 
   /** Load the index's quantizers: (centroids by cell, codebooks by

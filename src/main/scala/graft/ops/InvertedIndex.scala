@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index: build once, query many — the lexical
+  * counterpart of [[AnnIndex]]. [[KeywordSearch.bm25TopK]] re-tokenizes
+  * the whole corpus on every call, which is right for a one-shot query
+  * battery but wrong for a serving corpus indexed nightly and probed
+  * thousands of times; this layer persists the posting lists once:
+  *
+  *   <dir>/postings/ (term, doc_id, dl, tf), PARTITIONED BY term_bucket
+  *   <dir>/stats/    (n_docs, avgdl) — 1 row
+  *
+  * The term-bucket partitioning is the scale feature: a query's terms
+  * hash to a handful of the [[TermBuckets]] directories, and the bucket
+  * predicate is a LITERAL set computed on the driver, so the pruning is
+  * static — the scan plans over buckets/64 of the postings before any
+  * runtime filtering (the in-bucket `term IN (...)` predicate then
+  * pushes into the parquet row groups). `dl` is denormalized into the
+  * postings, so probing needs no doc-lengths join.
+  *
+  * Query results are IDENTICAL to `bm25TopK` with the same parameters —
+  * both paths call the shared [[KeywordSearch.bm25Rank]] over a
+  * (doc, term, tf, dl) frame, so q_search_bm25_index verifies against
+  * the same DuckDB mirror as q_search_bm25. Rebuild-while-serving
+  * safety is the shared [[IndexVersioning]] committed-marker publish.
+  */
+object InvertedIndex {
+
+  /** Posting-list partition fan-out. 64 keeps each bucket a healthy
+    * multi-file directory at corpus scale while a 3-term query prunes
+    * to ≤ 3/64 of the postings. */
+  val TermBuckets = 64
+
+  /** Portable term bucket (the engine's 60-bit md5-prefix hash). */
+  private def bucketExpr(term: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(term.cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(TermBuckets.toLong))
+
+  /** The same bucket, computed on the driver for the query's literal
+    * term set — this is what makes the partition pruning STATIC. */
+  private[ops] def bucketOf(term: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % TermBuckets
+  }
+
+  /** Tokenize `docs` once and persist the posting lists + corpus stats
+    * under `dir` (versioned, atomically published, GC'd — see
+    * [[IndexVersioning.publish]]). */
+  def save(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    IndexVersioning.publish(spark, dir) { vdir =>
+      val toksArr = split(col(textCol), "\\s+")
+      val base = Checkpoints.stage(
+        docs.select(col(idCol).as("doc_id"), size(toksArr).as("dl"),
+          toksArr.as("ts")),
+        eager = true)
+      base.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/stats")
+      base.select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("term_bucket", bucketExpr(col("term")))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$vdir/postings")
+    }
+  }
+
+  /** BM25 top-k for a bag-of-terms query against the persisted index:
+    * static bucket pruning + in-bucket term pushdown, then the shared
+    * scoring. Output schema and values are identical to
+    * [[KeywordSearch.bm25TopK]] over the same corpus. */
+  def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val v = IndexVersioning.resolveDir(spark, dir)
+    // limit(1) is a no-op on the 1-row stats table, but it makes the
+    // bound STRUCTURAL: the scoring join broadcasts stats, and a plan
+    // guard (or a reviewer) can prove the broadcast bounded from the
+    // plan alone instead of trusting the writer
+    val stats = spark.read.parquet(s"$v/stats").limit(1)
+    val buckets = terms.map(bucketOf).distinct.map(x => x: Any)
+    val termList = terms.map(x => x: Any)
+    val tf = spark.read.parquet(s"$v/postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(termList: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    KeywordSearch.bm25Rank(tf, "doc_id", stats, k, k1, b)
+  }
+}

@@ -84,6 +84,17 @@ object KeywordSearch {
     val tf = base.select(col(idCol), col("dl"), explode(col("ts")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, idCol, stats, k, k1, b)
+  }
+
+  /** BM25 scoring + top-k over a prepared term-frequency frame
+    * (idCol, dl, term, tf — one row per (doc, term)) and a 1-row stats
+    * frame (n_docs, avgdl). Shared by the from-scratch path above and
+    * the persisted [[InvertedIndex]] probe, so the two paths stay
+    * arithmetic-identical by construction (one oracle verifies both). */
+  private[ops] def bm25Rank(tf: DataFrame, idCol: String, stats: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfs = tf.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df"))
     val idf = ln9(lit(1.0) +

@@ -28,6 +28,25 @@ object SearchQueries extends QueryModule {
       Terms, K, K1, B)
       .orderBy(col("rk"))
 
+  /** Persisted-inverted-index round trip: tokenize + save the posting
+    * lists once (term-bucket-partitioned, atomically published), then
+    * answer the same fixed query from the index — static bucket pruning
+    * + shared scoring make the result identical to q_search_bm25 by
+    * construction, so this verifies the persistence layer against the
+    * same DuckDB mirror. The index dir is keyed by data dir AND process
+    * (the knnIvfPqIndex convention: concurrent bench/verify must not
+    * interleave a build with a read). */
+  def bm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val ixDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_inv_index_" + java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes("UTF-8")).toString.take(8) +
+        "_p" + ProcessHandle.current().pid()).getAbsolutePath
+    graft.ops.InvertedIndex.save(Tables.documents(spark, dir),
+      "doc_id", "text", ixDir)
+    graft.ops.InvertedIndex.bm25TopK(spark, ixDir, Terms, K, K1, B)
+      .orderBy(col("rk"))
+  }
+
   /** Per-doc unigram NLL (nats/token) under the corpus distribution. */
   def unigramNll(spark: SparkSession, dir: String): DataFrame =
     KeywordSearch.unigramNll(Tables.documents(spark, dir), "doc_id", "text")
@@ -233,6 +252,7 @@ object SearchQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_cms_topk" -> cmsTopK,
     "q_search_bm25" -> bm25,
+    "q_search_bm25_index" -> bm25Index,
     "q_search_hybrid_rrf" -> hybridRrf,
     "q_corpus_unigram_nll" -> unigramNll,
     "q_corpus_bigram_nll" -> bigramNll,
@@ -492,6 +512,9 @@ object SearchQueries extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "q_corpus_cms_topk" -> cmsSql,
     "q_search_bm25" -> bm25Sql,
+    // the persisted-index round trip must reproduce the from-scratch
+    // path bit-for-bit (shared bm25Rank), so it shares the mirror
+    "q_search_bm25_index" -> bm25Sql,
     "q_search_hybrid_rrf" -> hybridSql,
     "q_corpus_unigram_nll" -> nllSql,
     "q_corpus_bigram_nll" -> bigramSql,

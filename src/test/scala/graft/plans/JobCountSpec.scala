@@ -120,7 +120,10 @@ class JobCountSpec extends SparkSpecBase {
     // measured 41: the query runs CC TWICE by construction (it must
     // first build yesterday's corpus-only assignment before exercising
     // the label-contraction update; production persists the labels)
-    "q_sim_clusters_incremental" -> 50)
+    "q_sim_clusters_incremental" -> 50,
+    // measured 15: the build's staged tokenization + two index writes
+    // dominate; the probe itself is the pruned-scan scoring join
+    "q_search_bm25_index" -> 18)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {
