@@ -586,11 +586,12 @@ object SearchQueries extends QueryModule {
       |  SELECT source, key, COUNT(*) AS cnt FROM k GROUP BY 1, 2
       |), wb AS (
       |  SELECT source, key, cnt,
-      |    SUM(cnt) OVER (PARTITION BY source ORDER BY key) AS cum,
-      |    SUM(cnt) OVER (PARTITION BY source) AS n
+      |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY key)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
       |  FROM binned
       |), sel AS (
-      |  SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |  SELECT source, MAX(n) AS n_docs,
       |    MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN key END) AS k50,
       |    MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN key END) AS k90,
       |    MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN key END) AS k99
