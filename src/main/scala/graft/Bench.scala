@@ -82,7 +82,8 @@ object Bench {
       // recall@k self-evaluation, and the log-histogram percentiles
       "q_sim_lpa", "q_corpus_distinct_hll",
       "q_knn_recall", "q_corpus_hist_pctl", "q_media_frame_sample",
-      "q_sim_clusters_incremental", "q_search_bm25_index")
+      "q_sim_clusters_incremental", "q_search_bm25_index",
+      "q_validate_expectations")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -74,6 +74,10 @@ object ScaleLadder {
   def main(args: Array[String]): Unit = {
     val nSmall = args.headOption.map(_.toInt).getOrElse(2000)
     val ratio = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional third arg: comma-separated rung filter — a heavy decade
+    // can be re-run per family without re-staging every input (the
+    // staged corpora are lazy, so unfiltered rungs cost nothing)
+    val only = args.lift(2).map(_.split(',').toSet)
     val nBig = nSmall * ratio
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -90,10 +94,10 @@ object ScaleLadder {
     // inputs staged once per size so generation cost (driver-side
     // synthesis) never pollutes the operator timings
     def staged(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    val docsS = staged(plantedDocs(spark, nSmall, seed = 7))
-    val docsL = staged(plantedDocs(spark, nBig, seed = 11))
-    val embS = staged(plantedEmbeddings(spark, nSmall, seed = 7))
-    val embL = staged(plantedEmbeddings(spark, nBig, seed = 11))
+    lazy val docsS = staged(plantedDocs(spark, nSmall, seed = 7))
+    lazy val docsL = staged(plantedDocs(spark, nBig, seed = 11))
+    lazy val embS = staged(plantedEmbeddings(spark, nSmall, seed = 7))
+    lazy val embL = staged(plantedEmbeddings(spark, nBig, seed = 11))
 
     // incremental-CC rung input, staged OUTSIDE timing: yesterday's
     // labels (role 0) + today's batch pairs (role 1) in one frame —
@@ -113,18 +117,21 @@ object ScaleLadder {
           col("cluster_id").as("y"))
         .union(batch.select(lit(1).as("role"), col("vec_a"), col("vec_b")))
     }
-    val incS = staged(incInput(embS))
-    val incL = staged(incInput(embL))
+    lazy val incS = staged(incInput(embS))
+    lazy val incL = staged(incInput(embL))
 
-    val ops: Seq[(String, DataFrame, DataFrame, DataFrame => Unit)] = Seq(
-      ("cluster_representatives", embS, embL, { emb: DataFrame =>
+    // inputs are THUNKS over the lazy staged corpora, so a filtered run
+    // only ever synthesizes what its rungs read
+    val ops: Seq[(String, () => DataFrame, () => DataFrame,
+        DataFrame => Unit)] = Seq(
+      ("cluster_representatives", () => embS, () => embL, { emb: DataFrame =>
         val pairs = graft.ops.Similarity
           .cosinePairsAdaptive(emb, 0.85, maxPlanes = 24)
           .select(col("vec_a"), col("vec_b"))
         materialize(graft.ops.Graph.clusterRepresentatives(
           emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b"))
       }),
-      ("triangle_counts", embS, embL, { emb: DataFrame =>
+      ("triangle_counts", () => embS, () => embL, { emb: DataFrame =>
         // the wedge join is the quadratic risk (Σ outdeg²); the planted
         // pair graph is linear in n, so a healthy exponent is ~1
         val pairs = graft.ops.Similarity
@@ -133,7 +140,7 @@ object ScaleLadder {
         materialize(graft.ops.Graph.triangleCounts(
           emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b"))
       }),
-      ("kcore_peel", embS, embL, { emb: DataFrame =>
+      ("kcore_peel", () => embS, () => embL, { emb: DataFrame =>
         // rounds are graph-structure-bound (planted graph peels fully
         // in one round — isolated pairs have degree 1); the measured
         // risk is the per-round degree agg + anti-joins over |E|
@@ -144,7 +151,7 @@ object ScaleLadder {
           emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b",
           k = 2))
       }),
-      ("phash_pairs", docsS, docsL, { docs: DataFrame =>
+      ("phash_pairs", () => docsS, () => docsL, { docs: DataFrame =>
         import docs.sparkSession.implicits._
         // the planted one-word edits are ≤ 7-byte changes → ≤ 7 pixels
         // → mostly under the Hamming cut, so TRUE pairs are linear in n;
@@ -155,15 +162,15 @@ object ScaleLadder {
         materialize(graft.ops.Multimodal.pHashPairs(
           graft.ops.Multimodal.pHash(media)))
       }),
-      ("drop_substrings", docsS, docsL, { docs: DataFrame =>
+      ("drop_substrings", () => docsS, () => docsL, { docs: DataFrame =>
         materialize(graft.ops.CorpusFilters
           .dropDuplicatedSubstrings(docs, "doc_id", "text", 4))
       }),
-      ("pack_sequences", docsS, docsL, { docs: DataFrame =>
+      ("pack_sequences", () => docsS, () => docsL, { docs: DataFrame =>
         materialize(graft.ops.CorpusFilters
           .packSequences(docs, "doc_id", "stratum", "text", 256))
       }),
-      ("lpa_rounds", embS, embL, { emb: DataFrame =>
+      ("lpa_rounds", () => embS, () => embL, { emb: DataFrame =>
         // 4 fixed rounds on the shared loop discipline; the measured
         // risk is the per-round |E| vote join + (vertex, label) agg
         val pairs = graft.ops.Similarity
@@ -173,7 +180,7 @@ object ScaleLadder {
           emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b",
           rounds = 4))
       }),
-      ("full_cc", embS, embL, { emb: DataFrame =>
+      ("full_cc", () => embS, () => embL, { emb: DataFrame =>
         // the from-scratch baseline the incremental update replaces
         // (includes its pair generation, like every graph rung)
         val pairs = graft.ops.Similarity
@@ -182,7 +189,7 @@ object ScaleLadder {
         materialize(graft.ops.Dedup.connectedComponents(
           emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b"))
       }),
-      ("incremental_cc_update", incS, incL, { in: DataFrame =>
+      ("incremental_cc_update", () => incS, () => incL, { in: DataFrame =>
         // ONLY the update: labels + batch pairs arrive staged (the
         // production state); compare its steady time against full_cc
         val labels = in.filter(col("role") === 0)
@@ -196,8 +203,10 @@ object ScaleLadder {
           "vec_id", "cluster_id", batch, "vec_a", "vec_b", verts))
       }))
 
-    ops.foreach { case (name, small, big, run) =>
+    ops.filter(o => only.forall(_.contains(o._1)))
+      .foreach { case (name, smallF, bigF, run) =>
       // cold then steady at each size; the steady pair is the exponent
+      val small = smallF(); val big = bigF()
       val coldS = time(run(small)); val steadyS = time(run(small))
       val coldL = time(run(big)); val steadyL = time(run(big))
       val exp = math.log(steadyL / steadyS) / math.log(ratio.toDouble)

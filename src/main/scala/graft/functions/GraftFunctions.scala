@@ -93,5 +93,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name), builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.MintRank.Strategy)
+    // default-off runtime cartesian ban (spark.graft.guard.cartesian)
+    ext.injectOptimizerRule(_ => graft.plans.CartesianGuard.Rule)
   }
 }

@@ -94,7 +94,26 @@ object ValidationQueries extends QueryModule {
         .as("auto_col_violations"))
   }
 
+  /** Declarative expectations over `documents` — five checks, ONE scan
+    * + one aggregate (the generic engine behind V1-V10's hand-written
+    * audits). The 500-char range check fails by design on real fixture
+    * rows, so the report carries live violation counts the mirror must
+    * reproduce, not just a wall of zeros. */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("text_len", length(col("text")))
+    graft.ops.Expectations.report(docs, Seq(
+      NotNull("doc_id"),
+      Unique("doc_id"),
+      NotNull("text"),
+      Matches("source", "^src[0-9]+$"),
+      InRange("text_len", 1, 500)))
+      .orderBy(col("check"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_validate_expectations" -> expectations,
     "q_validate_csv" -> csvReport,
     "q_validate_coverage" -> coverage,
     "q_master_merge" -> masterMerge,
@@ -114,7 +133,34 @@ object ValidationQueries extends QueryModule {
       |  FROM orders
       |)""".stripMargin
 
+  /** Expectations mirror: the same five conditional counts over one
+    * derived frame ("check"/"column" quoted — DuckDB reserves both). */
+  private val expectationsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, source, length(text) AS text_len
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS n_rows FROM d),
+      |v AS (
+      |  SELECT 'not_null(doc_id)' AS "check", 'doc_id' AS "column",
+      |    CAST(COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT)
+      |      AS violations FROM d
+      |  UNION ALL SELECT 'unique(doc_id)', 'doc_id',
+      |    CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) FROM d
+      |  UNION ALL SELECT 'not_null(text)', 'text',
+      |    CAST(COUNT(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) FROM d
+      |  UNION ALL SELECT 'matches(source)', 'source',
+      |    CAST(COUNT(CASE WHEN source IS NOT NULL
+      |      AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 END)
+      |      AS BIGINT) FROM d
+      |  UNION ALL SELECT 'in_range(text_len)', 'text_len',
+      |    CAST(COUNT(CASE WHEN text_len < 1 OR text_len > 500 THEN 1 END)
+      |      AS BIGINT) FROM d)
+      |SELECT v."check", v."column", v.violations,
+      |  CAST(n.n_rows AS BIGINT) AS n_rows, v.violations = 0 AS pass
+      |FROM v, n ORDER BY v."check"""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q_validate_expectations" -> expectationsSql,
     "q_validate_csv" ->
       """WITH d AS (
         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL

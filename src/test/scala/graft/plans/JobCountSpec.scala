@@ -123,7 +123,10 @@ class JobCountSpec extends SparkSpecBase {
     "q_sim_clusters_incremental" -> 50,
     // measured 15: the build's staged tokenization + two index writes
     // dominate; the probe itself is the pruned-scan scoring join
-    "q_search_bm25_index" -> 18)
+    "q_search_bm25_index" -> 18,
+    // measured 4: five checks, ONE scan + one aggregate — the whole
+    // point of the declarative expectations engine
+    "q_validate_expectations" -> 5)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {
