@@ -120,7 +120,23 @@ object GroupWindowQueries extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Bounded-state per-group top-k (TopK.TopKAggregator): the 3
+    * longest documents per source by whitespace token count, ties to
+    * the smaller doc_id — NO window, no per-group sort: each partial
+    * carries at most 3 pairs, so a giant group cannot funnel the
+    * corpus tail through one task. The mirror is the plain ROW_NUMBER
+    * formulation — an independent method, so agreement checks the
+    * aggregator's semantics, not its mechanics. */
+  def groupTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.perGroup(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_toks")),
+      "source", "n_toks", "doc_id", k = 3)
+      .orderBy(col("source"), col("rk"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_topk" -> groupTopK,
     "q_group_ordered_concat" -> orderedConcat,
     "q_group_first_meta" -> firstOfGroup,
     "q_group_renumber" -> renumber,
@@ -141,6 +157,18 @@ object GroupWindowQueries extends QueryModule {
       |)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "q_group_topk" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source, doc_id, n_toks,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_toks DESC, doc_id) AS INTEGER) AS rk
+        |  FROM t)
+        |SELECT source, rk, doc_id, n_toks FROM rk
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
     "q_group_ordered_concat" ->
       """SELECT l_orderkey,
         |  string_agg('p' || l_partkey, ',' ORDER BY l_linenumber, 'p' || l_partkey) AS content,

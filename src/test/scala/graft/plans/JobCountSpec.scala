@@ -126,7 +126,10 @@ class JobCountSpec extends SparkSpecBase {
     "q_search_bm25_index" -> 18,
     // measured 4: five checks, ONE scan + one aggregate — the whole
     // point of the declarative expectations engine
-    "q_validate_expectations" -> 5)
+    "q_validate_expectations" -> 5,
+    // measured 5: one two-phase bounded aggregation + the ordered
+    // sink — per-group top-k must never plan a window sort
+    "q_group_topk" -> 6)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {
