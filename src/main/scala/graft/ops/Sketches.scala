@@ -106,6 +106,65 @@ object Sketches {
         col("est_distinct"), col("exact_distinct"), col("rel_err"))
   }
 
+  /** Join-key overlap estimation from two KMV sketches (the KMV
+    * set-operation synopsis of Beyer et al. 2007) — the pre-join
+    * planning question "how selective is this join?" answered without
+    * touching either table beyond one bounded-state pass: sketch each
+    * side's distinct key hashes (≤ k longs of state), merge-truncate to
+    * the union sketch, estimate |A ∪ B| from its k-th minimum, and
+    * estimate |A ∩ B| as ρ·|A ∪ B| where ρ is the fraction of union-
+    * sketch members present in BOTH side sketches. The two sketch
+    * collects are metadata-scale (≤ k longs each — the engine's
+    * quantizer-collect budget); the exact audit columns are the one
+    * thing here that would NOT run at 100 TB.
+    *
+    * Deterministic end to end (sketches are set functions, the
+    * estimator is fixed-order double arithmetic with HALF_UP rounds),
+    * so the whole report is hash-oracle-checkable. */
+  def kmvOverlap(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
+      k: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def hashed(df: DataFrame, c: String): DataFrame =
+      df.select(conv(substring(
+        md5(col(c).cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("hv"))
+    val kmv = udaf(new KmvAggregator(k), Encoders.scalaLong)
+    def sketchOf(df: DataFrame): Array[Long] =
+      df.agg(kmv(col("hv"))).collect()(0)
+        .getAs[scala.collection.Seq[Long]](0).toArray
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def est(s: Array[Long]): Double =
+      if (s.length < k) s.length.toDouble
+      else round4((k - 1).toDouble * HashSpace / s(k - 1).toDouble)
+    val ha = hashed(a, keyA)
+    val hb = hashed(b, keyB)
+    val sa = sketchOf(ha)
+    val sb = sketchOf(hb)
+    val u = (sa ++ sb).distinct.sorted.take(k)
+    val (inA, inB) = (sa.toSet, sb.toSet)
+    val nBoth = u.count(x => inA(x) && inB(x))
+    val estInter = round4(nBoth.toDouble / u.length * est(u))
+    val exact = ha.distinct().withColumnRenamed("hv", "hv_a")
+      .join(hb.distinct(), col("hv_a") === col("hv"), "full")
+      .agg(count(col("hv_a")).as("exact_distinct_a"),
+        count(col("hv")).as("exact_distinct_b"),
+        count(when(col("hv_a").isNotNull && col("hv").isNotNull, 1))
+          .as("exact_overlap"))
+    exact.select(
+      lit(est(sa)).as("est_distinct_a"),
+      lit(est(sb)).as("est_distinct_b"),
+      lit(estInter).as("est_overlap"),
+      col("exact_distinct_a"), col("exact_distinct_b"),
+      col("exact_overlap"),
+      // disjoint inputs have exact_overlap 0 — NULL, not a division
+      // error (ANSI) or an Infinity that differs across engines
+      when(col("exact_overlap") === 0L, lit(null).cast("double"))
+        .otherwise(round(abs(lit(estInter) - col("exact_overlap")) /
+          col("exact_overlap").cast("double"), 6)).as("rel_err"))
+  }
+
   /** Bounded-state quantile estimation over positive integer values
     * (token counts, byte sizes): a log-scale histogram with a 2-bit
     * sub-exponent mantissa — values clamp below at 4, bin key =

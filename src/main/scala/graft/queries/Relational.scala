@@ -175,7 +175,21 @@ object Relational extends QueryModule {
       .orderBy(col("o_orderpriority"))
   }
 
+  private val KmvK = 256
+
+  /** Pre-join selectivity report: KMV set-overlap estimate of the
+    * customer ⋈ orders key intersection (Beyer et al. 2007) next to
+    * the exact counts — the optimizer-statistics question answered
+    * from two bounded sketches (≤ 256 longs of state per side) instead
+    * of a full join. The mirror rebuilds both sketches, the union
+    * sketch, and the ρ estimator in SQL. */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.kmvOverlap(
+      Tables.customer(spark, dir), "c_custkey",
+      Tables.orders(spark, dir), "o_custkey", KmvK)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_join_card" -> joinCardinality,
     "q_rel_rollup" -> pricingRollup,
     "q_rel_pricing_summary" -> pricingSummary,
     "q_rel_revenue_by_nation" -> revenueByNation,
@@ -183,7 +197,64 @@ object Relational extends QueryModule {
     "q_rel_part_stats" -> partStats,
     "q_rel_bucketed_join" -> bucketedJoin)
 
+  /** kmvOverlap mirror: distinct 60-bit key hashes per side, k-smallest
+    * sketches via ROW_NUMBER, the merged union sketch, and the same
+    * fixed-order estimator arithmetic (size<k ⇒ exact; else
+    * 255·2^60/kth; overlap = nboth/nu · est_union, all HALF_UP). */
+  private val joinCardSql: String =
+    s"""WITH ha AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+       |    AS BIGINT) AS hv FROM customer),
+       |hb AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+       |    AS BIGINT) AS hv FROM orders),
+       |sa AS (SELECT hv FROM (
+       |  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM ha)
+       |  WHERE rn <= $KmvK),
+       |sb AS (SELECT hv FROM (
+       |  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM hb)
+       |  WHERE rn <= $KmvK),
+       |u AS (SELECT hv FROM (
+       |  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+       |  FROM (SELECT hv FROM sa UNION SELECT hv FROM sb))
+       |  WHERE rn <= $KmvK),
+       |s AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sa) AS na,
+       |    (SELECT MAX(hv) FROM sa) AS ka,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sb) AS nb,
+       |    (SELECT MAX(hv) FROM sb) AS kb,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS nu,
+       |    (SELECT MAX(hv) FROM u) AS ku,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM u
+       |     JOIN sa USING (hv) JOIN sb USING (hv)) AS nboth,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ha) AS xa,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hb) AS xb,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ha JOIN hb USING (hv)) AS xi),
+       |e AS (
+       |  SELECT
+       |    CASE WHEN na < $KmvK THEN CAST(na AS DOUBLE)
+       |      ELSE ROUND(${KmvK - 1}.0 * 1152921504606846976.0
+       |        / CAST(ka AS DOUBLE), 4) END AS est_distinct_a,
+       |    CASE WHEN nb < $KmvK THEN CAST(nb AS DOUBLE)
+       |      ELSE ROUND(${KmvK - 1}.0 * 1152921504606846976.0
+       |        / CAST(kb AS DOUBLE), 4) END AS est_distinct_b,
+       |    CASE WHEN nu < $KmvK THEN CAST(nu AS DOUBLE)
+       |      ELSE ROUND(${KmvK - 1}.0 * 1152921504606846976.0
+       |        / CAST(ku AS DOUBLE), 4) END AS est_union,
+       |    nboth, nu, xa, xb, xi
+       |  FROM s)
+       |SELECT est_distinct_a, est_distinct_b,
+       |  ROUND(CAST(nboth AS DOUBLE) / nu * est_union, 4) AS est_overlap,
+       |  xa AS exact_distinct_a, xb AS exact_distinct_b,
+       |  xi AS exact_overlap,
+       |  CASE WHEN xi = 0 THEN NULL
+       |    ELSE ROUND(ABS(ROUND(CAST(nboth AS DOUBLE) / nu * est_union, 4) - xi)
+       |      / CAST(xi AS DOUBLE), 6) END AS rel_err
+       |FROM e""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q_rel_join_card" -> joinCardSql,
     "q_rel_rollup" ->
       """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
         |  l_returnflag, l_linestatus,

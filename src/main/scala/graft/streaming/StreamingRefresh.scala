@@ -94,6 +94,17 @@ object StreamingRefresh {
         lit(1L).as("cnt")),
       "word", "cnt", depth, width)
 
+  /** Streaming per-source top-k longest documents: the bounded TopK
+    * aggregator under complete mode — state is ≤ k (value, id) pairs
+    * per source FOREVER (the merge-truncation law makes micro-batch
+    * order irrelevant), where the window formulation would need every
+    * row ever seen. Drain ≡ batch row-for-row (TopKStreamSpec). */
+  def topkStream(docs: DataFrame, k: Int = 3): DataFrame =
+    graft.ops.TopK.perGroup(
+      docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_toks")),
+      "source", "n_toks", "doc_id", k)
+
   /** Streaming HyperLogLog register file over a document stream: the
     * SAME shingle→hash→register plan as the batch q_corpus_distinct_hll
     * report, run under complete mode — the per-register MAX is a

@@ -129,7 +129,10 @@ class JobCountSpec extends SparkSpecBase {
     "q_validate_expectations" -> 5,
     // measured 5: one two-phase bounded aggregation + the ordered
     // sink — per-group top-k must never plan a window sort
-    "q_group_topk" -> 6)
+    "q_group_topk" -> 6,
+    // measured 10: two sketch collects (metadata-scale, the quantizer
+    // budget) + the exact-audit join
+    "q_rel_join_card" -> 12)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {
