@@ -83,7 +83,9 @@ object Bench {
       "q_sim_lpa", "q_corpus_distinct_hll",
       "q_knn_recall", "q_corpus_hist_pctl", "q_media_frame_sample",
       "q_sim_clusters_incremental", "q_search_bm25_index",
-      "q_validate_expectations", "q_group_topk", "q_rel_join_card")
+      "q_validate_expectations", "q_group_topk", "q_rel_join_card",
+      // r11: deterministic epoch shuffle — MintRank rank + stripe
+      "q_corpus_epoch_shuffle")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -189,6 +189,23 @@ object ScaleLadder {
         materialize(graft.ops.Dedup.connectedComponents(
           emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b"))
       }),
+      ("epoch_shuffle", () => docsS, () => docsL, { docs: DataFrame =>
+        // MintRank global rank in seeded-hash order + round-robin
+        // stripe: ONE range exchange — a healthy exponent is ~1 (the
+        // sort's n·log n is invisible at wall-clock granularity); a
+        // regression to a single-partition window would show up as the
+        // big rung flat-lining one task
+        import docs.sparkSession.implicits._
+        val keyed = docs.select(col("doc_id"),
+          explode(sequence(lit(0), lit(1))).as("epoch"))
+          .withColumn("hk", conv(substring(md5(concat_ws(":", lit("epoch"),
+            col("epoch"), col("doc_id")).cast("binary")), 1, 15), 16, 10)
+            .cast("long"))
+        materialize(graft.plans.MintRank.withRank(keyed,
+          Seq("epoch", "hk", "doc_id"), "r")
+          .select(col("epoch"), col("doc_id"),
+            ((col("r") - 1) % 8).cast("int").as("shard")))
+      }),
       ("incremental_cc_update", () => incS, () => incL, { in: DataFrame =>
         // ONLY the update: labels + batch pairs arrive staged (the
         // production state); compare its steady time against full_cc

@@ -43,18 +43,57 @@ object IndexVersioning {
     * `write` throws, the marker is never created and the partial dir is
     * swept by the next successful publish. */
   def publish(spark: SparkSession, dir: String)(write: String => Unit): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    // claim the version number BEFORE writing: an atomic `_CLAIMED`
+    // create (overwrite=false) makes two concurrent publishers take
+    // DIFFERENT v_<n> dirs instead of the second overwriting the
+    // first's already-committed files mid-read (r10 ADVICE). A claim
+    // without a later `_COMMITTED` is an aborted build — invisible to
+    // readers and GC'd by the next successful publish.
     val prior = committedVersions(spark, dir)
-    val next = prior.lastOption.getOrElse(0L) + 1
+    var next = prior.lastOption.getOrElse(0L) + 1
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      try {
+        fs.mkdirs(p)
+        fs.create(new org.apache.hadoop.fs.Path(s"$dir/v_$next/_CLAIMED"),
+          false).close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException =>
+          attempts += 1
+          require(attempts < 1000,
+            s"publish($dir): could not claim a version after $attempts tries")
+          // someone else holds v_<next> (claimed or committed): skip past
+          // every existing v_ dir and retry with a fresh number
+          val taken = fs.listStatus(p).toSeq
+            .flatMap(_.getPath.getName.stripPrefix("v_").toLongOption)
+          next = math.max(next, taken.maxOption.getOrElse(0L)) + 1
+      }
+    }
     val vdir = s"$dir/v_$next"
     write(vdir)
-    val (fs, p) = fsOf(spark, dir)
     fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"),
       false).close() // atomic publish; `false` = fail loudly on a clash
-    val keep = Set(next) ++ prior.lastOption
+    // GC: (a) everything below the PREVIOUS committed version — at or
+    // above it live the retained predecessor, this build, and any
+    // concurrent writer's in-flight claim (always numbered past the
+    // last commit it saw); (b) marker-less dirs above the floor (a
+    // crash between mkdir and the _CLAIMED create, or foreign junk) —
+    // a live claim always carries _CLAIMED. Aborted CLAIMED builds
+    // above the floor linger one window and are swept once a later
+    // publish raises the floor past them.
+    val floor = prior.lastOption.getOrElse(0L)
     fs.listStatus(p)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
-      .filter(s => !s.getPath.getName.stripPrefix("v_").toLongOption
-        .exists(keep))
+      .filter { s =>
+        s.getPath.getName.stripPrefix("v_").toLongOption.exists { v =>
+          v < floor || (v != next &&
+            !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMITTED")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_CLAIMED")))
+        }
+      }
       .foreach(s => fs.delete(s.getPath, true))
   }
 }

@@ -131,7 +131,11 @@ object Multimodal {
       if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
       val dur = decode(kind, bytes).durationMs
       if (dur <= 0) return Array.emptyByteArray
-      val start = (ms * bytes.length / dur).toInt
+      // clamp into [0, len]: a timestamp at/past the duration (or a
+      // negative one) yields an empty/edge slice, never a thrown
+      // copyOfRange(from > to) — the seam contract is total in `ms`
+      val start = math.min(math.max(ms * bytes.length / dur, 0L),
+        bytes.length.toLong).toInt
       java.util.Arrays.copyOfRange(bytes, start,
         math.min(start + n, bytes.length))
     }

@@ -126,13 +126,14 @@ object Sketches {
     val spark = a.sparkSession
     import spark.implicits._
     def hashed(df: DataFrame, c: String): DataFrame =
-      df.select(conv(substring(
-        md5(col(c).cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long").as("hv"))
+      // a NULL key is "no key": md5(NULL) would ride through as a NULL
+      // hash and reach the aggregator's primitive-long encoder as 0 —
+      // a silent phantom key shared by every null row on both sides
+      df.filter(col(c).isNotNull)
+        .select(conv(substring(
+          md5(col(c).cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
     val kmv = udaf(new KmvAggregator(k), Encoders.scalaLong)
-    def sketchOf(df: DataFrame): Array[Long] =
-      df.agg(kmv(col("hv"))).collect()(0)
-        .getAs[scala.collection.Seq[Long]](0).toArray
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     def est(s: Array[Long]): Double =
@@ -140,12 +141,25 @@ object Sketches {
       else round4((k - 1).toDouble * HashSpace / s(k - 1).toDouble)
     val ha = hashed(a, keyA)
     val hb = hashed(b, keyB)
-    val sa = sketchOf(ha)
-    val sb = sketchOf(hb)
+    // ONE job sketches both sides: tag, union, groupBy(tag) — the
+    // bounded partials (<= k longs each) still combine map-side, and
+    // the driver collects two rows instead of running two jobs
+    // (r10 shipped this as two sequential agg/collect jobs).
+    val sides = ha.withColumn("__side", lit(0))
+      .unionByName(hb.withColumn("__side", lit(1)))
+      .groupBy(col("__side")).agg(kmv(col("hv")).as("__s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Long]](1).toArray)
+      .toMap
+    val sa = sides.getOrElse(0, Array.empty[Long])
+    val sb = sides.getOrElse(1, Array.empty[Long])
     val u = (sa ++ sb).distinct.sorted.take(k)
     val (inA, inB) = (sa.toSet, sb.toSet)
     val nBoth = u.count(x => inA(x) && inB(x))
-    val estInter = round4(nBoth.toDouble / u.length * est(u))
+    // empty union (both inputs empty or all-null keys) is zero overlap,
+    // not 0.0/0 = NaN — BigDecimal(NaN) would throw on the driver
+    val estInter =
+      if (u.isEmpty) 0.0 else round4(nBoth.toDouble / u.length * est(u))
     val exact = ha.distinct().withColumnRenamed("hv", "hv_a")
       .join(hb.distinct(), col("hv_a") === col("hv"), "full")
       .agg(count(col("hv_a")).as("exact_distinct_a"),
@@ -298,9 +312,16 @@ object Sketches {
     val exact = df.groupBy(col(groupCol))
       .agg(countDistinct(col(hashCol)).as("exact_distinct"))
     // identical literal chain in the mirror SQL: left-to-right
-    // (0.7213 / (1 + 1.079 / m)) * m^2 * 2^60, then ONE divide
-    val alphaNum = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD)) *
-      lit(mD * mD) * lit(HashSpace)
+    // alpha * m^2 * 2^60, then ONE divide. Flajolet 2007 publishes
+    // dedicated alpha constants below m=128 — the asymptotic
+    // 0.7213/(1+1.079/m) formula carries a systematic bias there
+    // (r10 ADVICE), so switch on m exactly as the paper tabulates.
+    val alpha =
+      if (m <= 16L) lit(0.673)
+      else if (m <= 32L) lit(0.697)
+      else if (m <= 64L) lit(0.709)
+      else lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD))
+    val alphaNum = alpha * lit(mD * mD) * lit(HashSpace)
     val raw = alphaNum / col("reg_sum").cast("double")
     val est = round(
       when(raw <= lit(2.5 * mD) && col("zero_regs") > 0,

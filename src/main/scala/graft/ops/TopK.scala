@@ -78,10 +78,25 @@ object TopK {
     * group. */
   def perGroup(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, k: Int): DataFrame = {
+    // the bounded state keys on the NEGATED value, so (a) a fractional
+    // score must not be silently truncated into a different ranking —
+    // callers cast/scale explicitly — and (b) Long.MinValue is rejected
+    // up front: -Long.MinValue == Long.MinValue would sort the smallest
+    // value as the largest key
+    import org.apache.spark.sql.types._
+    val vt = df.schema(valueCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(vt),
+      s"TopK.perGroup ranks integral values only (got $vt for " +
+        s"'$valueCol'); scale fractional scores to an integer grid first")
     val agg = udaf(new TopKAggregator(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val guarded = col(valueCol).cast("long")
     df.select(col(groupCol).as("__g"),
-        struct(col(valueCol).cast("long").as("_1"),
+        struct(when(guarded === lit(Long.MinValue),
+            raise_error(lit("TopK.perGroup: Long.MinValue value cannot " +
+              "be ranked (negation overflow)")).cast("long"))
+          .otherwise(guarded).as("_1"),
           col(idCol).cast("long").as("_2")).as("__in"))
       .groupBy(col("__g"))
       .agg(agg(col("__in._1"), col("__in._2")).as("__top"))

@@ -61,4 +61,16 @@ class FrameSampleSpec extends SparkSpecBase {
   test("result is independent of partitioning") {
     assert(run(parts = 7) === run(parts = 2))
   }
+
+  test("frameAt is total in ms: out-of-range timestamps clamp, not throw") {
+    val (_, k, b) = items.head
+    val dur = Multimodal.StubDecoder.decode(k, b).durationMs
+    // at/past the duration: empty-or-edge slice (copyOfRange used to
+    // throw from>to here — r10 ADVICE); negative: clamps to the start
+    assert(Multimodal.StubDecoder.frameAt(k, b, dur, 8).length <= 8)
+    assert(Multimodal.StubDecoder.frameAt(k, b, dur * 10, 8)
+      .sameElements(Array.emptyByteArray))
+    assert(Multimodal.StubDecoder.frameAt(k, b, -5L, 4)
+      .sameElements(Multimodal.StubDecoder.frameAt(k, b, 0L, 4)))
+  }
 }

@@ -80,6 +80,32 @@ class HllSpec extends SparkSpecBase {
     assert(math.abs(lc - 5.0) < 0.1) // LC is near-exact down here
   }
 
+  test("small-m alpha constants (Flajolet 2007 table) drive the estimator") {
+    import spark.implicits._
+    // p=4 (m=16): the asymptotic 0.7213/(1+1.079/m) formula is biased
+    // down here (r10 ADVICE) — the published alpha_16 = 0.673 must be
+    // what the raw branch multiplies by
+    val p = 4; val m = 1L << p; val rhoBits = 60 - p
+    val hvs = hashes(2000, "alpha")
+    val regs = hvs.groupBy(_ % m).map { case (i, vs) =>
+      i -> vs.map { hv =>
+        val rem = hv / m
+        if (rem == 0) rhoBits + 1
+        else rhoBits - (63 - java.lang.Long.numberOfLeadingZeros(rem))
+      }.max
+    }
+    assert(regs.size === m) // every register occupied -> raw branch
+    val regSum = regs.values.map(r => BigInt(1) << (60 - r)).sum +
+      BigInt(0) // absent-register term is zero here
+    val raw = 0.673 * (m * m).toDouble * math.pow(2.0, 60) /
+      regSum.toDouble
+    val expected = BigDecimal(raw)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Sketches.hllDistinct(
+      hvs.map(("g", _)).toDF("g", "hv"), "g", "hv", p).collect().head
+    assert(row.getAs[Double]("est_distinct") === expected)
+  }
+
   test("registers merge by elementwise max (the sketch law)") {
     val a = hashes(800, "ma")
     val b = hashes(900, "mb")

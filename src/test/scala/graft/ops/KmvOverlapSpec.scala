@@ -49,6 +49,37 @@ class KmvOverlapSpec extends SparkSpecBase {
     assert(math.abs(est - 1000.0) / 1000.0 < 0.30, s"est=$est")
   }
 
+  test("empty inputs report zero overlap, not NaN") {
+    // 0-row sides used to reach 0.0/0 = NaN, and BigDecimal(NaN) threw
+    // on the driver (r10 ADVICE) — the report must come back zeroed
+    val r = report(Seq.empty, Seq.empty)
+    assert(r.getAs[Double]("est_overlap") === 0.0)
+    assert(r.getAs[Double]("est_distinct_a") === 0.0)
+    assert(r.getAs[Long]("exact_overlap") === 0L)
+    assert(r.isNullAt(r.fieldIndex("rel_err")))
+    // one-sided emptiness too (union non-empty, intersection empty)
+    val s = report(1L to 50L, Seq.empty)
+    assert(s.getAs[Double]("est_overlap") === 0.0)
+    assert(s.getAs[Double]("est_distinct_a") === 50.0)
+  }
+
+  test("NULL keys are 'no key', not a shared phantom hash") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType, nullable = true)))
+    def withNulls(xs: Seq[java.lang.Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(xs.map(Row(_)), 2), schema)
+    // nulls on both sides must not manufacture overlap
+    val r = Sketches.kmvOverlap(
+      withNulls(Seq[java.lang.Long](1L, 2L, null)), "k",
+      withNulls(Seq[java.lang.Long](3L, null, null)), "k", K)
+      .collect().head
+    assert(r.getAs[Long]("exact_overlap") === 0L)
+    assert(r.getAs[Double]("est_overlap") === 0.0)
+    assert(r.getAs[Double]("est_distinct_a") === 2.0)
+    assert(r.getAs[Double]("est_distinct_b") === 1.0)
+  }
+
   test("deterministic under partitioning; small sides are exact") {
     val a = report(1L to 100L, 50L to 150L, parts = 1)
     val b = report(1L to 100L, 50L to 150L, parts = 13)

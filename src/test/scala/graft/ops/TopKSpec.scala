@@ -56,6 +56,26 @@ class TopKSpec extends SparkSpecBase {
     assert(one.length === 3)
   }
 
+  test("rejects fractional value types and Long.MinValue values") {
+    // fractional input would be silently truncated into a different
+    // ranking — refused at plan time
+    val frac = Seq(("a", 1L, 1.5)).toDF("g", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(frac, "g", "v", "id", 2)
+    }
+    assert(e.getMessage.contains("integral"))
+    // -Long.MinValue == Long.MinValue would break the negated-key
+    // ordering — refused at run time, not mis-sorted
+    val sentinel = Seq(("a", 1L, Long.MinValue), ("a", 2L, 3L))
+      .toDF("g", "id", "v")
+    val ex = intercept[Exception] {
+      TopK.perGroup(sentinel, "g", "v", "id", 2).collect()
+    }
+    assert(ex.getMessage.contains("Long.MinValue") ||
+      Option(ex.getCause).exists(_.getMessage.contains("Long.MinValue")),
+      s"unexpected error: $ex")
+  }
+
   test("aggregation is two-phase: partials combine map-side") {
     val plan = TopK.perGroup(rows, "g", "v", "id", 3)
       .queryExecution.executedPlan.toString

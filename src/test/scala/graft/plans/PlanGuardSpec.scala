@@ -68,6 +68,15 @@ class PlanGuardSpec extends SparkSpecBase {
       "the chapter-interval dimension (distinct chapters — " +
       "metadata-scale) under the pages scan"))
 
+  // Fixture-audit note (NOT an allowlist entry — its joins are plain
+  // equi-joins and pass the sweep untouched): q_rel_join_card's
+  // exact_* columns come from a full-outer DISTINCT-key audit join
+  // that exists to measure the KMV estimator's error on the fixture.
+  // At 100 TB only the sketch legs would run (two ≤256-long partials
+  // folded in ONE union job — Sketches.kmvOverlap) and the audit
+  // columns would be dropped with their join; this is by intent, not
+  // an oversight.
+
   /** Structurally bounded broadcast side: a global aggregate (exactly one
     * row), an explicit limit, or a literal frame — walked down through
     * row-preserving wrappers only, so an unbounded scan can never be

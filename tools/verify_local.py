@@ -141,6 +141,24 @@ def main():
     # read; full map in oracle_secs.json next to the dumps.
     with open(f"{outdir}/oracle_secs.json", "w") as f:
         json.dump(secs, f, sort_keys=True)
+    # Comparator-environment forensics (r10 VERDICT #5: the driver
+    # hash-FAILed q_corpus_distinct_hll while this mirror MATCHed at both
+    # SFs, and nothing recorded which duckdb/python the two verdicts ran
+    # on). One file per gate run, next to oracle_secs.json.
+    with open(f"{outdir}/verify_env.json", "w") as f:
+        json.dump({
+            "duckdb_version": duckdb.__version__,
+            "python_version": sys.version,
+            "canonicalization": {
+                "floats": "repr(x); NaN -> 'NaN'",
+                "null": "'NULL'", "bytes": "hex",
+                "other": "str(x)",
+                "rows": "sorted tuples of canon values",
+                "cols": "sorted by name",
+            },
+            "compared": sorted(spark_dirs),
+            "sf_dir": sfdir,
+        }, f, indent=2, sort_keys=True)
     worst = sorted(secs.items(), key=lambda kv: -kv[1])[:8]
     print("[time] slowest compares: " +
           ", ".join(f"{n}={s}s" for n, s in worst), file=sys.stderr)
