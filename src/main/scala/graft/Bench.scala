@@ -84,8 +84,10 @@ object Bench {
       "q_knn_recall", "q_corpus_hist_pctl", "q_media_frame_sample",
       "q_sim_clusters_incremental", "q_search_bm25_index",
       "q_validate_expectations", "q_group_topk", "q_rel_join_card",
-      // r11: deterministic epoch shuffle — MintRank rank + stripe
-      "q_corpus_epoch_shuffle")
+      // r11: deterministic epoch shuffle (MintRank rank + stripe),
+      // schema-on-read JSON props, robust median/MAD normalization
+      "q_corpus_epoch_shuffle", "q_events_json_props",
+      "q_text_quality_robust")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -177,7 +177,40 @@ object EventsQueries extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Semi-structured schema-on-read: the untyped `props` JSON column
+    * parsed with an EXPLICIT schema (`from_json` — a native Catalyst
+    * expression evaluated in-row, no UDF encoder round-trip; it is a
+    * CodegenFallback node, the documented cost of schema'd parsing)
+    * into typed fields, with malformed payloads degrading to NULL
+    * (counted, never thrown) — the ingestion contract for event
+    * streams whose producers evolve independently of the warehouse.
+    * Per type: parse coverage and the typed field's stats, with the
+    * average as one explicit double division both engines replay.
+    * Scale shape: parse + extract are a stateless projection under the
+    * scan; the report is ONE partial-combined aggregate. The
+    * mirror guards extraction with json_valid (DuckDB throws on
+    * malformed JSON where from_json nulls; the spec exercises the
+    * malformed branch in-memory — the fixture is all well-formed). */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_parsed"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"),
+        count(when(col("k") >= 50, 1)).as("n_k_high"))
+      .withColumn("avg_k",
+        round(col("sum_k").cast("double") / col("n_parsed"), 6))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_json_props" -> jsonProps,
     "q_events_anomaly" -> anomalies,
     "q_events_scd2" -> scd2,
     "q_events_windowed" -> windowed,
@@ -188,6 +221,22 @@ object EventsQueries extends QueryModule {
     "q_events_retention" -> retention)
 
   override def oracle: Map[String, String] = Map(
+    "q_events_json_props" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(props)
+        |      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      END AS k
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_parsed,
+        |    MIN(k) AS min_k, MAX(k) AS max_k,
+        |    CAST(SUM(k) AS BIGINT) AS sum_k,
+        |    COUNT(CASE WHEN k >= 50 THEN 1 END) AS n_k_high
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n_events, n_parsed, min_k, max_k, sum_k,
+        |  n_k_high, ROUND(CAST(sum_k AS DOUBLE) / n_parsed, 6) AS avg_k
+        |FROM a ORDER BY event_type""".stripMargin,
     "q_events_anomaly" ->
       """WITH c AS (
         |  SELECT event_id, event_type,

@@ -116,10 +116,52 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Robust per-source score normalization (median/MAD z-scores,
+    * winsorized at ±3): the feature-scaling step between raw quality
+    * scores and any cross-source comparison (curriculum phases, mixture
+    * weights, filter thresholds) — mean/stddev normalization is exactly
+    * what a heavy-tailed quality distribution breaks, so the location
+    * is the median and the scale is 1.4826·MAD (the normal-consistent
+    * estimator), with a NULL z for a degenerate (MAD = 0) source
+    * instead of a division blow-up.
+    *
+    * Scale shape: two bounded per-source aggregates (median, then MAD
+    * over the broadcast-joined deviations) + a broadcast of the
+    * source-level stats back under the scan — no window, no per-doc
+    * shuffle beyond the two group-bys. At 100 TB the exact percentile
+    * swaps to approx_percentile / the log-histogram sketch (the
+    * q_corpus_length_pctl convention); the exact form is the oracle
+    * surface. Determinism: med/mad are 6-rounded at source, z is one
+    * subtract, one multiply, one divide, one 6-round — identical IEEE
+    * ops in both engines (the α literal crosses as 1.4826e0 so DuckDB
+    * parses a DOUBLE, not a DECIMAL). */
+  def qualityRobust(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        round(qualityScore(col("text")), 6).as("quality"))
+    val med = docs.groupBy(col("source"))
+      .agg(round(percentile(col("quality"), lit(0.5)), 6).as("med"))
+    val withMed = docs.join(broadcast(med), "source")
+    val mad = withMed
+      .select(col("source"), abs(col("quality") - col("med")).as("dev"))
+      .groupBy(col("source"))
+      .agg(round(percentile(col("dev"), lit(0.5)), 6).as("mad"))
+    val z = round((col("quality") - col("med")) /
+      (lit(1.4826) * col("mad")), 6)
+    withMed.join(broadcast(mad), "source")
+      .withColumn("z", when(col("mad") > 0, z))
+      .withColumn("z_wins", when(col("mad") > 0,
+        greatest(lit(-3.0), least(lit(3.0), col("z")))))
+      .select(col("doc_id"), col("source"), col("quality"), col("med"),
+        col("mad"), col("z"), col("z_wins"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats,
     "q_text_langid" -> langId,
     "q_text_quality" -> quality,
+    "q_text_quality_robust" -> qualityRobust,
     "q_text_fingerprint" -> fingerprints,
     "q_text_nb_classify" -> nbClassify,
     "q_text_bpe_merges" -> bpeMerges,
@@ -211,6 +253,28 @@ object TextQueries extends QueryModule {
          |  ROUND($qualitySql, 6) AS quality,
          |  ROUND($qualitySql, 6) >= 0.5 AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality_robust" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ROUND($qualitySql, 6) AS quality
+         |  FROM documents),
+         |m AS (
+         |  SELECT source, ROUND(quantile_cont(quality, 0.5), 6) AS med
+         |  FROM q GROUP BY 1),
+         |d AS (
+         |  SELECT q.doc_id, q.source, q.quality, m.med,
+         |    ABS(q.quality - m.med) AS dev
+         |  FROM q JOIN m USING (source)),
+         |md AS (
+         |  SELECT source, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+         |  FROM d GROUP BY 1)
+         |SELECT d.doc_id, d.source, d.quality, d.med, md.mad,
+         |  CASE WHEN md.mad > 0 THEN
+         |    ROUND((d.quality - d.med) / (1.4826e0 * md.mad), 6) END AS z,
+         |  CASE WHEN md.mad > 0 THEN
+         |    GREATEST(-3.0e0, LEAST(3.0e0,
+         |      ROUND((d.quality - d.med) / (1.4826e0 * md.mad), 6)))
+         |    END AS z_wins
+         |FROM d JOIN md USING (source) ORDER BY doc_id""".stripMargin,
     // Rebuilds the winnowing fingerprints from scratch: per-position Horner
     // gram hashes (≡ the Spark side's rolling recurrence mod 1e9+7),
     // window minima via list_slice, consecutive dupes collapsed.

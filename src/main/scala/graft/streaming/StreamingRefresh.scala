@@ -126,6 +126,28 @@ object StreamingRefresh {
         size(split(col("text"), "\\s+")).cast("long").as("n_toks")),
       "source", "n_toks")
 
+  /** Streaming schema-on-read props report: the SAME from_json parse +
+    * per-type aggregate as the batch q_events_json_props, under
+    * complete mode — every column is a count/min/max/sum (monotone or
+    * additive), so state is bounded at one row per event type FOREVER
+    * and the drained report equals the batch one row-for-row
+    * (JsonPropsStreamSpec); the avg is decoded from the drained sums
+    * exactly as the batch query derives it. */
+  def jsonPropsStream(events: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    events
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.from_json(col("props"), schema)
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_parsed"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"),
+        count(when(col("k") >= 50, 1)).as("n_k_high"))
+  }
+
   def hllStream(docs: DataFrame, p: Int = 8): DataFrame =
     graft.ops.Sketches.hllRegisters(
       docs.select(col("source"),

@@ -130,9 +130,17 @@ class JobCountSpec extends SparkSpecBase {
     // measured 5: one two-phase bounded aggregation + the ordered
     // sink — per-group top-k must never plan a window sort
     "q_group_topk" -> 6,
-    // measured 10: two sketch collects (metadata-scale, the quantizer
-    // budget) + the exact-audit join
-    "q_rel_join_card" -> 12)
+    // measured 10 (r10) / 9 after the one-job fold of the two side
+    // sketches: the remaining barriers are the folded sketch collect
+    // (metadata-scale) + the exact-audit join
+    "q_rel_join_card" -> 12,
+    // r11 (measured 9 / 5 / 8): epoch shuffle is MintRank's two-pass
+    // rank (count + stamp) + the 1-row count frame; json props is one
+    // partial-combined aggregate; robust normalization is two bounded
+    // per-source aggregates + their broadcasts
+    "q_corpus_epoch_shuffle" -> 11,
+    "q_events_json_props" -> 6,
+    "q_text_quality_robust" -> 10)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {
