@@ -140,7 +140,10 @@ class JobCountSpec extends SparkSpecBase {
     // per-source aggregates + their broadcasts
     "q_corpus_epoch_shuffle" -> 11,
     "q_events_json_props" -> 6,
-    "q_text_quality_robust" -> 10)
+    "q_text_quality_robust" -> 10,
+    // measured 17: two MintRank passes (count + stamp, twice) + the
+    // staged metadata-scale mixture frame and its broadcast
+    "q_corpus_mix_order" -> 21)
 
   bounds.foreach { case (name, bound) =>
     test(s"$name stays within $bound driver barriers on the fixture") {
