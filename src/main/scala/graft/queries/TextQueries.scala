@@ -131,29 +131,40 @@ object TextQueries extends QueryModule {
     * shuffle beyond the two group-bys. At 100 TB the exact percentile
     * swaps to approx_percentile / the log-histogram sketch (the
     * q_corpus_length_pctl convention); the exact form is the oracle
-    * surface. Determinism: med/mad are 6-rounded at source, z is one
-    * subtract, one multiply, one divide, one 6-round — identical IEEE
-    * ops in both engines (the α literal crosses as 1.4826e0 so DuckDB
-    * parses a DOUBLE, not a DECIMAL). */
+    * surface.
+    *
+    * Determinism (the round-11 sf0.1 gate caught the naive form): the
+    * engines' percentile interpolations agree only MATHEMATICALLY —
+    * a + (b−a)·f vs (1−f)·a + f·b differ in the last ulp over
+    * arbitrary doubles, and ROUND(·, 6) amplifies an ulp at a .5e−6
+    * boundary into a hash mismatch (one row in 5000 at sf0.1). So the
+    * median/MAD run on a 1e6-SCALED INTEGER grid: quality micro-units
+    * are exact longs, the p = 0.5 interpolation fraction is only ever
+    * 0 or ½, and every candidate formula is EXACT over dyadic inputs —
+    * med_micro/mad_micro are bit-identical doubles by construction,
+    * and z is one subtract, one multiply, one divide, one 6-round from
+    * them (the α literal crosses as 1.4826e0 so DuckDB parses a
+    * DOUBLE, not a DECIMAL). */
   def qualityRobust(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         round(qualityScore(col("text")), 6).as("quality"))
+      .withColumn("qi", round(col("quality") * 1e6, 0).cast("long"))
     val med = docs.groupBy(col("source"))
-      .agg(round(percentile(col("quality"), lit(0.5)), 6).as("med"))
+      .agg(percentile(col("qi"), lit(0.5)).as("med_micro"))
     val withMed = docs.join(broadcast(med), "source")
     val mad = withMed
-      .select(col("source"), abs(col("quality") - col("med")).as("dev"))
+      .select(col("source"), abs(col("qi") - col("med_micro")).as("dev"))
       .groupBy(col("source"))
-      .agg(round(percentile(col("dev"), lit(0.5)), 6).as("mad"))
-    val z = round((col("quality") - col("med")) /
-      (lit(1.4826) * col("mad")), 6)
+      .agg(percentile(col("dev"), lit(0.5)).as("mad_micro"))
+    val z = round((col("qi") - col("med_micro")) /
+      (lit(1.4826) * col("mad_micro")), 6)
     withMed.join(broadcast(mad), "source")
-      .withColumn("z", when(col("mad") > 0, z))
-      .withColumn("z_wins", when(col("mad") > 0,
+      .withColumn("z", when(col("mad_micro") > 0, z))
+      .withColumn("z_wins", when(col("mad_micro") > 0,
         greatest(lit(-3.0), least(lit(3.0), col("z")))))
-      .select(col("doc_id"), col("source"), col("quality"), col("med"),
-        col("mad"), col("z"), col("z_wins"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("med_micro"), col("mad_micro"), col("z"), col("z_wins"))
       .orderBy(col("doc_id"))
   }
 
@@ -255,24 +266,26 @@ object TextQueries extends QueryModule {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_quality_robust" ->
       s"""WITH q AS (
-         |  SELECT doc_id, source, ROUND($qualitySql, 6) AS quality
+         |  SELECT doc_id, source, ROUND($qualitySql, 6) AS quality,
+         |    CAST(ROUND(ROUND($qualitySql, 6) * 1e6, 0) AS BIGINT) AS qi
          |  FROM documents),
          |m AS (
-         |  SELECT source, ROUND(quantile_cont(quality, 0.5), 6) AS med
+         |  SELECT source, quantile_cont(qi, 0.5) AS med_micro
          |  FROM q GROUP BY 1),
          |d AS (
-         |  SELECT q.doc_id, q.source, q.quality, m.med,
-         |    ABS(q.quality - m.med) AS dev
+         |  SELECT q.doc_id, q.source, q.quality, q.qi, m.med_micro,
+         |    ABS(q.qi - m.med_micro) AS dev
          |  FROM q JOIN m USING (source)),
          |md AS (
-         |  SELECT source, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+         |  SELECT source, quantile_cont(dev, 0.5) AS mad_micro
          |  FROM d GROUP BY 1)
-         |SELECT d.doc_id, d.source, d.quality, d.med, md.mad,
-         |  CASE WHEN md.mad > 0 THEN
-         |    ROUND((d.quality - d.med) / (1.4826e0 * md.mad), 6) END AS z,
-         |  CASE WHEN md.mad > 0 THEN
+         |SELECT d.doc_id, d.source, d.quality, d.med_micro, md.mad_micro,
+         |  CASE WHEN md.mad_micro > 0 THEN
+         |    ROUND((d.qi - d.med_micro) / (1.4826e0 * md.mad_micro), 6)
+         |    END AS z,
+         |  CASE WHEN md.mad_micro > 0 THEN
          |    GREATEST(-3.0e0, LEAST(3.0e0,
-         |      ROUND((d.quality - d.med) / (1.4826e0 * md.mad), 6)))
+         |      ROUND((d.qi - d.med_micro) / (1.4826e0 * md.mad_micro), 6)))
          |    END AS z_wins
          |FROM d JOIN md USING (source) ORDER BY doc_id""".stripMargin,
     // Rebuilds the winnowing fingerprints from scratch: per-position Horner

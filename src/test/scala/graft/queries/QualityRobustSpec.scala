@@ -31,25 +31,36 @@ class QualityRobustSpec extends SparkSpecBase {
         val z = r.getAs[Double]("z")
         assert(w === math.max(-3.0, math.min(3.0, z)))
       }
+      // the cross-engine determinism guarantee: the micro-grid median
+      // and MAD are DYADIC (integer or half-integer micro-units), so
+      // the p=0.5 interpolation was exact — any fractional tail here
+      // means the grid leaked and the oracle can ulp-diverge again
+      rs.foreach { r =>
+        val med2 = r.getAs[Double]("med_micro") * 2
+        val mad2 = r.getAs[Double]("mad_micro") * 2
+        assert(med2 === math.rint(med2), s"med_micro not dyadic: $r")
+        assert(mad2 === math.rint(mad2), s"mad_micro not dyadic: $r")
+      }
     }
   }
 
   test("a degenerate (MAD = 0) source yields NULL z, not a blow-up") {
     import spark.implicits._
-    // hijack the same arithmetic through a tiny frame: constant quality
-    val docs = Seq((1L, "s", 0.5), (2L, "s", 0.5), (3L, "s", 0.5))
-      .toDF("doc_id", "source", "quality")
+    // the same micro-grid arithmetic through a tiny frame: constant
+    // quality -> MAD exactly 0 -> z must be NULL, never a division
+    val docs = Seq((1L, "s", 500000L), (2L, "s", 500000L),
+      (3L, "s", 500000L)).toDF("doc_id", "source", "qi")
     val med = docs.groupBy(col("source"))
-      .agg(round(percentile(col("quality"), lit(0.5)), 6).as("med"))
+      .agg(percentile(col("qi"), lit(0.5)).as("med_micro"))
     val withMed = docs.join(broadcast(med), "source")
     val mad = withMed
-      .select(col("source"), abs(col("quality") - col("med")).as("dev"))
+      .select(col("source"), abs(col("qi") - col("med_micro")).as("dev"))
       .groupBy(col("source"))
-      .agg(round(percentile(col("dev"), lit(0.5)), 6).as("mad"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad_micro"))
     val out = withMed.join(broadcast(mad), "source")
-      .withColumn("z", when(col("mad") > 0,
-        round((col("quality") - col("med")) /
-          (lit(1.4826) * col("mad")), 6)))
+      .withColumn("z", when(col("mad_micro") > 0,
+        round((col("qi") - col("med_micro")) /
+          (lit(1.4826) * col("mad_micro")), 6)))
       .collect()
     assert(out.length === 3)
     assert(out.forall(_.isNullAt(out.head.fieldIndex("z"))))
