@@ -95,6 +95,32 @@ object Checkpoints {
     * Results are identical either way (spec-pinned). */
   val LoopAqeKey = "spark.graft.loop.aqe"
 
+  /** Conf keys the loop-compile clone re-syncs from the parent on
+    * every keepPartitioning stage: the seam's own routing key (reliable
+    * vs local checkpointing) and the runtime cartesian guard (so a
+    * guarded session's eagerly-staged subtrees compile under the guard
+    * too, not past it). Everything else was copied at clone birth;
+    * these are the ones tests and deployments flip mid-session. */
+  private val SyncedKeys = Seq(DirKey,
+    graft.plans.CartesianGuard.EnabledKey)
+
+  /** The per-parent loop-compile clone (see stage): weak keys so a
+    * discarded parent session releases its clone. */
+  private val cloneCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]()
+
+  private def loopCompileSession(
+      parent: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val cached = cloneCache.get(parent)
+    if (cached != null) cached
+    else {
+      val c = org.apache.spark.sql.GraftSqlBridge.cloneSession(parent)
+      cloneCache.put(parent, c)
+      c
+    }
+  }
+
   /** Stage `df` with truncated lineage: reliable `checkpoint` when
     * [[DirKey]] is configured, `localCheckpoint` otherwise. `eager=false`
     * materializes on first action (construction-time staging of plan-only
@@ -115,48 +141,93 @@ object Checkpoints {
     * loop-round frames whose subtree is already shape-pinned (stat-less
     * staged scans joined + one aggregate — the static planner keeps
     * them sort-merge) — AQE's runtime re-planning has nothing to add
-    * there (set [[LoopAqeKey]] when it does — giant-component skew),
-    * and the conf flip is session-visible for the duration of the plan
-    * compile (construction-time, not run-time: the physical plan and
-    * RDD of a checkpoint are built at the `stage` call even when
-    * lazy). */
+    * there (set [[LoopAqeKey]] when it does — giant-component skew).
+    * The AQE-off + partition pins live on a cached CLONED session
+    * (own SQLConf, shared context/cache), so they are never visible to
+    * any other thread of the parent — the compile happens at the
+    * `stage` call even when lazy, entirely inside the clone. */
   def stage(df: DataFrame, eager: Boolean,
       keepPartitioning: Boolean = false,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None): DataFrame =
+    stageExec(df, eager, keepPartitioning, shufflePartitions)._1
+
+  /** As [[stage]] with eager materialization, additionally returning
+    * the metrics a `Dataset.observe(name, exprs...)` node accumulated
+    * DURING that materialization — read directly off the executed
+    * plan's CollectMetrics accumulators (QueryExecution
+    * .observedMetrics), NOT via an Observation listener. An Observation
+    * registers on one session's listener bus, and the loop compile
+    * runs in the cached cloned session whose bus predates the
+    * registration — `Observation.get` would block forever (this hung
+    * the r11 spec battery). The accumulator read is session-independent
+    * and exactly-once for the single materialization job. */
+  def stageObserved(df: DataFrame,
+      keepPartitioning: Boolean = false,
+      shufflePartitions: Option[Int] = None)
+      : (DataFrame, Map[String, org.apache.spark.sql.Row]) = {
+    val (out, executed) =
+      stageExec(df, eager = true, keepPartitioning, shufflePartitions)
+    (out, executed.queryExecution.observedMetrics)
+  }
+
+  /** Shared body: returns (result frame bound to the caller's session,
+    * the frame whose QueryExecution actually ran — the metrics
+    * surface). */
+  private def stageExec(df: DataFrame, eager: Boolean,
+      keepPartitioning: Boolean,
+      shufflePartitions: Option[Int]): (DataFrame, DataFrame) = {
     val session = df.sparkSession
     val aqeRounds =
       session.conf.getOption(LoopAqeKey).exists(_.toBoolean)
     if (keepPartitioning && !aqeRounds) {
-      // the read-flip-restore must be atomic across threads, or two
-      // concurrent keepPartitioning stages can interleave so one
-      // "restores" the other's false and AQE stays off for the whole
-      // session; the lock makes the flip window race-free. A concurrent
-      // UNRELATED query compiling on another thread of the same session
-      // inside the window still sees BOTH pins — AQE off AND the loop's
-      // spark.sql.shuffle.partitions value — the documented
-      // session-visibility caveat of this seam (use a cloned session
-      // for loop compilation if that ever matters in practice; the
-      // registered queries compile single-threaded)
+      // compile THIS staging in a CLONED session: shared SparkContext,
+      // block-manager cache, and listener bus, but its OWN SQLConf —
+      // so the AQE-off pin and the loop's spark.sql.shuffle.partitions
+      // value are invisible to every other thread of the parent
+      // session. (Until r11 this seam flipped the parent conf inside a
+      // lock and documented the cross-thread visibility window as a
+      // caveat; the clone removes the caveat instead of describing it.
+      // No lock needed — nothing shared is mutated.) The staged result
+      // is a LogicalRDD (a materialized RDD + schema + partitioning),
+      // context-level state, so re-binding it to the parent session is
+      // sound and downstream plans see the preserved layout.
+      //
+      // The partition pin itself: INTERMEDIATE exchanges in this
+      // compile (a loop round's aggregate shuffle) take the loop's
+      // measured partition count — with AQE off nothing coalesces at
+      // runtime, so without the pin a 1-partition toy round still
+      // launches conf-many near-empty tasks per aggregate.
+      // loopPartitions caps at the session conf, so at deployment
+      // scale the pinned value EQUALS the conf and this is a no-op.
+      // One clone per parent session, cached weakly (cloning per stage
+      // call measured ~20% on the kcore loop — SessionState cloning is
+      // not free at a call per round). The lock serializes concurrent
+      // keepPartitioning compiles on the SHARED clone (they may pin
+      // different partition counts); the parent is never touched either
+      // way. Seam-relevant keys that tests/deployments flip on the
+      // parent AFTER the clone was born are re-synced per call.
       Checkpoints.synchronized {
-        val key = "spark.sql.adaptive.enabled"
-        val pKey = "spark.sql.shuffle.partitions"
-        val prev = session.conf.get(key)
-        val prevP = session.conf.get(pKey)
-        session.conf.set(key, "false")
-        // pin INTERMEDIATE exchanges in this compile (a loop round's
-        // aggregate shuffle) to the loop's measured partition count:
-        // with AQE off nothing coalesces at runtime, so without the pin
-        // a 1-partition toy round still launches
-        // spark.sql.shuffle.partitions-many near-empty tasks per
-        // aggregate. loopPartitions caps at the session conf, so at
-        // deployment scale the pinned value EQUALS the conf and this is
-        // a no-op; below the cap it makes the static compile take the
-        // same decision AQE coalescing would have.
-        shufflePartitions.foreach(p => session.conf.set(pKey, p.toString))
-        try stageImpl(df, eager)
-        finally { session.conf.set(key, prev); session.conf.set(pKey, prevP) }
+        val clone = loopCompileSession(session)
+        clone.conf.set("spark.sql.adaptive.enabled", "false")
+        shufflePartitions match {
+          case Some(p) =>
+            clone.conf.set("spark.sql.shuffle.partitions", p.toString)
+          case None => clone.conf.set("spark.sql.shuffle.partitions",
+            session.conf.get("spark.sql.shuffle.partitions"))
+        }
+        SyncedKeys.foreach { k =>
+          session.conf.getOption(k) match {
+            case Some(v) => clone.conf.set(k, v)
+            case None => clone.conf.unset(k)
+          }
+        }
+        val rebound = org.apache.spark.sql.GraftSqlBridge.ofRows(
+          clone, df.queryExecution.analyzed)
+        val staged = stageImpl(rebound, eager)
+        (org.apache.spark.sql.GraftSqlBridge.ofRows(
+          session, staged.queryExecution.analyzed), rebound)
       }
-    } else stageImpl(df, eager)
+    } else (stageImpl(df, eager), df)
   }
 
   private def stageImpl(df: DataFrame, eager: Boolean): DataFrame = {

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Session-unique suffix source for CC's convergence Observations. */
+  /** Session-unique suffix source for CC's convergence metric names. */
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Portable 32-bit hash: first 8 md5 hex digits as a long in [0, 2^32). */
@@ -303,20 +303,23 @@ object Dedup {
       // object-serialization boundary (an earlier mapPartitions +
       // accumulator variant paid a Row-encoder round trip per row per
       // round that measured ~45% of the whole query's steady time).
-      // name must be session-unique: two CC invocations in one session
-      // (or parallel specs) would otherwise register same-named
-      // observations whose listeners could read each other's metrics
-      val obs = org.apache.spark.sql.Observation(
-        s"graft_cc_${Dedup.obsSeq.incrementAndGet()}_r$rounds")
-      val next = Checkpoints.stage(
-        halved.observe(obs,
+      // The metric is READ off the executed plan's accumulators
+      // (Checkpoints.stageObserved), NOT through an Observation
+      // listener: the loop compile runs in the seam's cached cloned
+      // session, whose listener bus predates any Observation this call
+      // would register — Observation.get blocked forever there (the
+      // r11 battery hang). Name stays unique per invocation so
+      // concurrent CC loops can never read each other's node.
+      val obsName = s"graft_cc_${Dedup.obsSeq.incrementAndGet()}_r$rounds"
+      val (next, metrics) = Checkpoints.stageObserved(
+        halved.observe(obsName,
             sum((col("_cc2") < col("_cc")).cast("long")).as("changed"))
           .repartition(loopP, col("_id"))
           .sortWithinPartitions(col("_id")),
-        eager = true, keepPartitioning = true,
+        keepPartitioning = true,
         shufflePartitions = Some(loopP))
-      changed = obs.get("changed") match {
-        case l: java.lang.Long => l.longValue
+      changed = metrics.get(obsName).map(_.get(0)) match {
+        case Some(l: java.lang.Long) => l.longValue
         case _ => 0L // empty round frame: sum over zero rows is null
       }
       if (sys.env.contains("GRAFT_CC_DEBUG"))

@@ -37,6 +37,15 @@ object GraftSqlBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Clone the session: shared SparkContext/cache/listener bus, its OWN
+    * SQLConf (initialized to a copy of the parent's). The isolation seam
+    * Checkpoints.stage uses to compile AQE-off loop stages without its
+    * conf pins ever being visible to other threads of the parent
+    * session (`cloneSession` is sql-private; this is the sanctioned
+    * bridge-package route, same as the rest of this file). */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Drop a registered function (test support for install() idempotency). */
   def dropFunction(spark: SparkSession, name: String): Boolean =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
