@@ -93,7 +93,29 @@ object ScaleLadder {
 
     // inputs staged once per size so generation cost (driver-side
     // synthesis) never pollutes the operator timings
-    def staged(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // Block hygiene between timed runs: every loop round inside an op
+    // leaves its localCheckpoint blocks in the block manager, and
+    // Spark's ContextCleaner only frees them on its PERIODIC gc cycle
+    // (default 30 min) — far longer than a ladder run. Without a sweep,
+    // each rung executes under the previous rungs' leaked blocks
+    // (r10: the 24 g OOM; r11: a 3-op filtered decade read full_cc
+    // steady 467 s vs 83 s cold purely from kcore's leftovers). Keep
+    // only the staged input corpora; unpersist everything else and
+    // nudge the cleaner.
+    val keepIds = scala.collection.mutable.Set[Int]()
+    def sweepBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keepIds.contains(id)) rdd.unpersist(blocking = false)
+      }
+      System.gc()
+    }
+    def staged(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => keepIds += l.rdd.id
+      }
+      out
+    }
     lazy val docsS = staged(plantedDocs(spark, nSmall, seed = 7))
     lazy val docsL = staged(plantedDocs(spark, nBig, seed = 11))
     lazy val embS = staged(plantedEmbeddings(spark, nSmall, seed = 7))
@@ -224,8 +246,10 @@ object ScaleLadder {
       .foreach { case (name, smallF, bigF, run) =>
       // cold then steady at each size; the steady pair is the exponent
       val small = smallF(); val big = bigF()
-      val coldS = time(run(small)); val steadyS = time(run(small))
-      val coldL = time(run(big)); val steadyL = time(run(big))
+      val coldS = time(run(small)); sweepBlocks()
+      val steadyS = time(run(small)); sweepBlocks()
+      val coldL = time(run(big)); sweepBlocks()
+      val steadyL = time(run(big)); sweepBlocks()
       val exp = math.log(steadyL / steadyS) / math.log(ratio.toDouble)
       println(s"""{"op":"$name","n_small":$nSmall,"n_big":$nBig,""" +
         s""""cold_small":${f3(coldS)},"steady_small":${f3(steadyS)},""" +
