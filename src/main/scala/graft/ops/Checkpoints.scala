@@ -95,6 +95,26 @@ object Checkpoints {
     * Results are identical either way (spec-pinned). */
   val LoopAqeKey = "spark.graft.loop.aqe"
 
+  /** Free a staged frame's blocks NOW instead of waiting for
+    * ContextCleaner's PERIODIC cycle (spark.cleaner.periodicGC.interval,
+    * default 30 min): an iterative operator otherwise holds every prior
+    * round's localCheckpoint blocks — rounds × |V| rows of dead storage
+    * across a long CC/PageRank run (the r11 scale ladder measured a
+    * 5.6× steady-time inflation at 200k from exactly this class of
+    * leftover). ONLY call when the frame can never be read again: for
+    * local checkpoints the cached blocks ARE the data (lineage is
+    * truncated at the checkpoint), so a later read would fail rather
+    * than recompute. The loop convention: release round i−1 right
+    * after round i's EAGER stage materializes; never release the
+    * predecessor of a LAZY final stage (its deferred job still reads
+    * it) or the frame an operator returns. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Conf keys the loop-compile clone re-syncs from the parent on
     * every keepPartitioning stage: the seam's own routing key (reliable
     * vs local checkpointing) and the runtime cartesian guard (so a

@@ -324,6 +324,10 @@ object Dedup {
       }
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round ${rounds + 1}: changed=$changed")
+      // round i's eager stage has materialized; round i−1's blocks are
+      // dead weight from here on — free them now, not at the cleaner's
+      // 30-min cycle (the returned final frame is never released)
+      Checkpoints.release(labels)
       labels = next.select(col("_id"), col("_cc2").as("_cc"))
       rounds += 1
     }

@@ -152,7 +152,7 @@ object Graph {
       // the LAST iteration's stage is lazy: no further round re-reads
       // it, so the final sink action materializes it — one fewer
       // blocking driver barrier per pageRank call
-      Checkpoints.stage(
+      val staged = Checkpoints.stage(
         ranks.join(contribs, col("_id") === col("_d"), "left")
           .select(col("_id"), col("_deg"),
             round(lit(teleport) +
@@ -162,6 +162,11 @@ object Graph {
           .sortWithinPartitions(col("_id")),
         eager = i < iters, keepPartitioning = true,
         shufflePartitions = Some(loopP))
+      // after an EAGER round, the predecessor's blocks are dead — free
+      // them now (never before a lazy final stage: its deferred job
+      // still reads the predecessor at the caller's sink action)
+      if (i < iters) Checkpoints.release(ranks)
+      staged
     }
     ranked.select(col("_id").as(idCol), col("_deg").as("degree"),
       round(col("_r"), 6).as("pagerank"))
@@ -294,8 +299,15 @@ object Graph {
         .join(peeled.select(col("v").as("b")), Seq("b"), "left_anti")
         .select(col("a"), col("b")))
       val n2 = e2.count()
-      if (n2 == nE) converged = true
-      else { e = e2; nE = n2; rounds += 1 }
+      if (n2 == nE) {
+        converged = true
+        // e2 duplicates e's content and is never read again
+        Checkpoints.release(e2)
+      } else {
+        // the new peel is materialized; the old edge frame is dead
+        Checkpoints.release(e)
+        e = e2; nE = n2; rounds += 1
+      }
     }
     // a silent non-converged superset would mismatch its oracle only
     // loudly, not explainably — fail here instead, naming the knob
@@ -386,13 +398,16 @@ object Graph {
         .select(col("_d"), col("_best").getField("l").as("_new"))
       // the last round's stage is lazy: the caller's sink action
       // materializes it (same convention as pageRankSym)
-      Checkpoints.stage(
+      val staged = Checkpoints.stage(
         labels.join(votes, col("_id") === col("_d"), "left")
           .select(col("_id"), coalesce(col("_new"), col("_lbl")).as("_lbl"))
           .repartition(loopP, col("_id"))
           .sortWithinPartitions(col("_id")),
         eager = i < rounds, keepPartitioning = true,
         shufflePartitions = Some(loopP))
+      // free the predecessor after an eager round (pageRankSym note)
+      if (i < rounds) Checkpoints.release(labels)
+      staged
     }
     fin.select(col("_id").as(idCol), col("_lbl").as("community"))
   }
