@@ -87,6 +87,17 @@ object Bpe {
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var exhausted = false
+    // the lazy-stage chain's release point: round k's argmax collect is
+    // the first action on seg_k, which materializes seg_k's deferred
+    // localCheckpoint BY READING seg_{k-1}'s blocks — so seg_{k-1}
+    // (`prev`) becomes dead exactly after that collect, and a 100-merge
+    // training run carries 2 staged vocab frames instead of 100 (the
+    // r11 ladder measured 5.6× steady-time inflation from exactly this
+    // class of accumulated dead block). `prev` is never the frame we
+    // return, and the final seg's still-unmaterialized deferred write
+    // keeps its own predecessor alive (released only by a LATER round's
+    // collect, which never comes for the last one).
+    var prev: DataFrame = null
     while (rank < numMerges && !exhausted) {
       val best = seg
         .select(col("cnt"), explode(pairsOf(col("seg"))).as("p"))
@@ -94,11 +105,13 @@ object Bpe {
         .agg(sum(col("cnt")).as("s"))
         .orderBy(col("s").desc, col("a"), col("b"))
         .limit(1).collect()
+      if (prev != null) { Checkpoints.release(prev); prev = null }
       if (best.isEmpty) exhausted = true // every word is one symbol
       else {
         val (a, b, s) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(rank, a, b, s)
+        prev = seg
         seg = Checkpoints.stage(
           seg.select(col("w"), col("cnt"),
             replace(col("seg"), lit(s"$O$a$C$O$b$C"), lit(s"$O$a$b$C"))

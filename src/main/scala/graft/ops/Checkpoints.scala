@@ -107,13 +107,27 @@ object Checkpoints {
     * than recompute. The loop convention: release round i−1 right
     * after round i's EAGER stage materializes; never release the
     * predecessor of a LAZY final stage (its deferred job still reads
-    * it) or the frame an operator returns. */
-  def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ =>
-    }
+    * it) or the frame an operator returns.
+    *
+    * The frame must be backed by EXACTLY ONE staged input (one
+    * LogicalRDD in its analyzed plan — the staged frame itself or a
+    * cheap projection over it, like pageRank's `ids.withColumn`
+    * round-1 frame). A composite frame — say a join of two staged
+    * frames, one of them a SHARED input other plans still read — is
+    * rejected loudly here: silently unpersisting every LogicalRDD it
+    * references would free blocks whose lineage is truncated, and the
+    * victim read fails with "checkpoint block not found" far from the
+    * cause (local checkpoints cannot recompute). */
+  def release(df: DataFrame): Unit = {
+    val staged = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.distinct
+    require(staged.length == 1,
+      s"Checkpoints.release expects a frame backed by exactly one staged " +
+        s"input (got ${staged.length} LogicalRDDs) — releasing a composite " +
+        "frame would free shared staged blocks that other plans still read")
+    staged.head.unpersist(blocking = false)
+  }
 
   /** Conf keys the loop-compile clone re-syncs from the parent on
     * every keepPartitioning stage: the seam's own routing key (reliable
@@ -125,18 +139,30 @@ object Checkpoints {
     graft.plans.CartesianGuard.EnabledKey)
 
   /** The per-parent loop-compile clone (see stage): weak keys so a
-    * discarded parent session releases its clone. */
+    * discarded parent session releases its clone. The VALUE is a
+    * WeakReference too — the clone strongly references its parent
+    * (retained parentSessionState), so a strong value would keep the
+    * weak KEY reachable through the map itself and no entry could ever
+    * be collected (one full SessionState leaked per parent session in
+    * apps that create many). SOFT, not weak: a weak value would be
+    * cleared by any minor GC between loop rounds, recreating the clone
+    * mid-loop and re-paying the ~20% per-call SessionState-cloning cost
+    * the cache exists to avoid; a soft value survives routine GC and is
+    * cleared (entry and all) only under actual memory pressure — before
+    * an OOM, never instead of the cache. A cleared reference is just a
+    * cache miss: the clone is recreated, correctness unchanged. */
   private val cloneCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.SparkSession]()
+      java.lang.ref.SoftReference[org.apache.spark.sql.SparkSession]]()
 
   private def loopCompileSession(
       parent: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
     val cached = cloneCache.get(parent)
-    if (cached != null) cached
+    val live = if (cached != null) cached.get else null
+    if (live != null) live
     else {
       val c = org.apache.spark.sql.GraftSqlBridge.cloneSession(parent)
-      cloneCache.put(parent, c)
+      cloneCache.put(parent, new java.lang.ref.SoftReference(c))
       c
     }
   }

@@ -13,6 +13,18 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexVersioning {
 
+  /** Session conf key: minimum age (ms) of a `_CLAIMED`-but-never-
+    * committed build dir before GC may sweep it. An in-flight claim is
+    * indistinguishable from an abandoned one by markers alone, so age
+    * is the tiebreak: a publisher slower than this TTL can have its
+    * claim swept mid-write — it then FAILS LOUDLY at commit time (the
+    * pre-`_COMMITTED` claim check below) instead of silently publishing
+    * an empty version. Size it well above the slowest expected index
+    * build; the cost of a generous TTL is only that aborted build dirs
+    * linger longer before cleanup. */
+  val ClaimTtlKey = "spark.graft.index.claimTtlMs"
+  private val DefaultClaimTtlMs = 6L * 3600 * 1000
+
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -39,9 +51,10 @@ object IndexVersioning {
       .map(v => s"$dir/v_$v").getOrElse(dir)
 
   /** Run `write` against the next build directory, then atomically
-    * publish it and GC all but the new build and its predecessor. If
-    * `write` throws, the marker is never created and the partial dir is
-    * swept by the next successful publish. */
+    * publish it and GC per the marker rules below. If `write` throws,
+    * `_COMMITTED` is never created and the partial dir (still carrying
+    * its `_CLAIMED`) stays invisible to readers; it is swept by a later
+    * publish once the claim outlives [[ClaimTtlKey]]. */
   def publish(spark: SparkSession, dir: String)(write: String => Unit): Unit = {
     val (fs, p) = fsOf(spark, dir)
     // claim the version number BEFORE writing: an atomic `_CLAIMED`
@@ -74,24 +87,52 @@ object IndexVersioning {
     }
     val vdir = s"$dir/v_$next"
     write(vdir)
+    // verify OUR claim survived before publishing: GC (another
+    // publisher's, after the claim outlived the TTL) may have deleted
+    // the dir mid-write — the parquet writer recreates the path, so the
+    // _COMMITTED create would SUCCEED and publish a gutted build as a
+    // committed version (r11 ADVICE). A vanished claim fails the
+    // publish loudly instead; the partial dir is marker-less junk the
+    // next publish sweeps.
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/_CLAIMED")),
+      s"publish($dir): claim marker for v_$next vanished mid-write — " +
+        s"the build outlived the claim TTL and was garbage-collected by " +
+        s"a concurrent publish; NOT committing a swept build (raise " +
+        s"$ClaimTtlKey above the slowest expected build time)")
     fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"),
       false).close() // atomic publish; `false` = fail loudly on a clash
-    // GC: (a) everything below the PREVIOUS committed version — at or
-    // above it live the retained predecessor, this build, and any
-    // concurrent writer's in-flight claim (always numbered past the
-    // last commit it saw); (b) marker-less dirs above the floor (a
-    // crash between mkdir and the _CLAIMED create, or foreign junk) —
-    // a live claim always carries _CLAIMED. Aborted CLAIMED builds
-    // above the floor linger one window and are swept once a later
-    // publish raises the floor past them.
+    // GC — by marker state, never by number alone (a bare `v < floor`
+    // sweep deleted a SLOW publisher's live claim once two commits
+    // landed during its write — r11 ADVICE):
+    //  (a) COMMITTED dirs below the previous committed version: old
+    //      versions past their one-window retention; always swept.
+    //  (b) CLAIMED-but-uncommitted dirs: in-flight or abandoned builds,
+    //      indistinguishable by marker — swept only once the claim file
+    //      is older than [[ClaimTtlKey]], wherever they sit relative to
+    //      the floor (an abandoned above-floor claim must not linger
+    //      forever either).
+    //  (c) marker-less dirs (a crash between mkdirs and the _CLAIMED
+    //      create, or foreign junk): nothing can ever commit them;
+    //      always swept.
     val floor = prior.lastOption.getOrElse(0L)
+    val ttlMs = spark.conf.getOption(ClaimTtlKey).map(_.toLong)
+      .getOrElse(DefaultClaimTtlMs)
+    val now = System.currentTimeMillis()
     fs.listStatus(p)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
       .filter { s =>
         s.getPath.getName.stripPrefix("v_").toLongOption.exists { v =>
-          v < floor || (v != next &&
-            !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMITTED")) &&
-            !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_CLAIMED")))
+          if (v == next) false
+          else {
+            val committed = fs.exists(
+              new org.apache.hadoop.fs.Path(s.getPath, "_COMMITTED"))
+            val claimPath = new org.apache.hadoop.fs.Path(s.getPath, "_CLAIMED")
+            if (committed) v < floor
+            else if (fs.exists(claimPath))
+              try now - fs.getFileStatus(claimPath).getModificationTime > ttlMs
+              catch { case _: java.io.FileNotFoundException => false }
+            else true
+          }
         }
       }
       .foreach(s => fs.delete(s.getPath, true))

@@ -201,8 +201,22 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cand_id"), col("rel"), col("score"),
           lit(j.toLong).as("rk"))
-      Checkpoints.stage(sel.unionByName(pick), eager = true)
+      val next = Checkpoints.stage(sel.unionByName(pick), eager = true)
+      // the eager restage has materialized; the predecessor selection
+      // frame is dead — free its blocks now rather than letting k dead
+      // frames pile up until the periodic cleaner (the CC/PageRank loop
+      // convention). NEVER on step 1: `empty` is a projection of the
+      // shared `cands` stage, which every later step's scoring join
+      // still reads — releasing through it would free live blocks
+      // (exactly the composite-frame hazard release() now rejects;
+      // `empty` is single-LogicalRDD so the guard alone can't see it).
+      if (sel ne empty) Checkpoints.release(sel)
+      next
     }
+    // the final selection was staged eagerly, so the per-call candidate
+    // and pair-sim stages are dead the moment the fold returns — unless
+    // k == 0 left `selected` as the empty projection OVER cands
+    if (k >= 1) { Checkpoints.release(cands); Checkpoints.release(psim) }
     selected.select(col("query_id"), col("rk"), col("cand_id"), col("rel"),
       col("score"))
   }

@@ -189,8 +189,13 @@ object EventsQueries extends QueryModule {
     * Scale shape: parse + extract are a stateless projection under the
     * scan; the report is ONE partial-combined aggregate. The
     * mirror guards extraction with json_valid (DuckDB throws on
-    * malformed JSON where from_json nulls; the spec exercises the
-    * malformed branch in-memory — the fixture is all well-formed). */
+    * malformed JSON where from_json nulls), then takes k only when its
+    * JSON type is an integer, via TRY_CAST — from_json degrades a
+    * well-formed record whose k is non-numeric ({"k":"abc"}, {"k":"12"},
+    * {"k":1.5}) to NULL rather than coercing, and a plain CAST mirror
+    * would THROW on the string case instead of matching that contract
+    * (r11 ADVICE; JsonPropsSpec pins the Spark side of each branch —
+    * the fixture itself is all well-formed). */
   def jsonProps(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("k", LongType)))
@@ -224,8 +229,10 @@ object EventsQueries extends QueryModule {
     "q_events_json_props" ->
       """WITH p AS (
         |  SELECT event_type,
-        |    CASE WHEN json_valid(props)
-        |      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    CASE WHEN json_valid(props) THEN
+        |      CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+        |        THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |        END
         |      END AS k
         |  FROM events),
         |a AS (

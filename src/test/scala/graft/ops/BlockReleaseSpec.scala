@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** The explicit block-release discipline (r11: measured 5.6× steady-time
+  * inflation on the scale ladder from leaked localCheckpoint blocks):
+  * `Checkpoints.release` must free a dead staged frame's blocks NOW, must
+  * REFUSE composite frames (unpersisting every LogicalRDD in a join of
+  * staged inputs would free blocks other plans still read — and local
+  * checkpoints cannot recompute), and every per-round staging loop (BPE
+  * merges, MMR greedy selection — the graph loops are covered by their
+  * own suites) must hold a BOUNDED number of staged frames regardless of
+  * round count.
+  */
+class BlockReleaseSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def persisted = spark.sparkContext.getPersistentRDDs.keySet
+
+  test("release frees a dead staged frame's blocks immediately") {
+    val df = Checkpoints.stage(
+      (1 to 100).toDF("x").withColumn("y", col("x") * 2), eager = true)
+    val rdd = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.head
+    assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "eager local checkpoint should hold blocks")
+    Checkpoints.release(df)
+    assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "release must unpersist the staged RDD, not wait for the periodic cleaner")
+  }
+
+  test("release accepts a projection over exactly one staged input") {
+    // the pageRank round-1 shape: init = ids.withColumn(...) — a cheap
+    // projection whose only storage is the single staged `ids` frame
+    val ids = Checkpoints.stage((1 to 50).toDF("id"), eager = true)
+    val init = ids.withColumn("r", lit(1.0))
+    Checkpoints.release(init) // must release ids' blocks, not throw
+    val rdd = ids.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.head
+    assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("release REJECTS a composite frame over two staged inputs") {
+    // the r11 ADVICE hazard: a frame joining a SHARED staged input —
+    // silently freeing every LogicalRDD would kill blocks other plans
+    // still read, failing far from the cause
+    val a = Checkpoints.stage((1 to 20).toDF("k"), eager = true)
+    val b = Checkpoints.stage((10 to 30).toDF("k"), eager = true)
+    val joined = a.join(b, "k")
+    val e = intercept[IllegalArgumentException](Checkpoints.release(joined))
+    assert(e.getMessage.contains("exactly one staged input"))
+    // neither input lost its blocks to the rejected call
+    Seq(a, b).foreach { df =>
+      val rdd = df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.head
+      assert(rdd.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE)
+      Checkpoints.release(df)
+    }
+  }
+
+  test("BPE training holds a bounded staged-frame count, not one per merge") {
+    val docs = Seq(
+      "low lower lowest newer newest wide wider widest low low newer",
+      "hug hugs hugging pug pugs bug bugs bun buns hug hug pug")
+      .toDF("text")
+    val before = persisted
+    val (merges, vocab) = Bpe.train(docs, "text", numMerges = 10)
+    assert(merges.size == 10)
+    vocab.collect() // materialize the final lazy stage
+    val fresh = persisted -- before
+    // alive: the final staged vocab frame + its still-referenced
+    // predecessor (the deferred-write convention) — NEVER ~numMerges
+    assert(fresh.size <= 3,
+      s"BPE loop leaked staged frames: ${fresh.size} new persistent RDDs " +
+        "after 10 merge rounds (expected <= 3: final stage + predecessor)")
+  }
+
+  test("MMR selection holds a bounded staged-frame count, not one per pick") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val before = persisted
+    val out = Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 2),
+      k = 6, candK = 12, lambda = 0.7)
+    assert(out.count() == 12) // 2 queries × k
+    val fresh = persisted -- before
+    // the k eager rounds each released their predecessor, and the
+    // per-call cands/psim stages were released after the fold — only
+    // the final selection frame may remain
+    assert(fresh.size <= 2,
+      s"MMR loop leaked staged frames: ${fresh.size} new persistent RDDs " +
+        "after 6 picks (expected <= 2: the final selection stage)")
+  }
+}

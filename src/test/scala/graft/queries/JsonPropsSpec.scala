@@ -20,14 +20,20 @@ class JsonPropsSpec extends SparkSpecBase {
       (2L, """{"k": "notanint"}"""),  // type mismatch -> null field
       (3L, """not json at all"""),    // malformed -> null struct
       (4L, """{"other": 7}"""),       // field absent -> null field
-      (5L, null.asInstanceOf[String]) // null payload -> null struct
+      (5L, null.asInstanceOf[String]), // null payload -> null struct
+      // the branches the mirror's json_type guard replays (r11 ADVICE:
+      // a bare CAST mirror THREW on 6; TRY_CAST alone would coerce it
+      // to 12 where from_json degrades non-numeric JSON types to NULL)
+      (6L, """{"k": "12"}"""),        // string-quoted number -> null
+      (7L, """{"k": 1.5}"""),         // non-integer number -> null
+      (8L, """{"k": null}""")         // explicit JSON null -> null
     ).toDF("id", "props")
     val parsed = raw.select(col("id"),
       from_json(col("props"), schema).getField("k").as("k"))
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(parsed === Map(1L -> Some(42L), 2L -> None, 3L -> None,
-      4L -> None, 5L -> None))
+      4L -> None, 5L -> None, 6L -> None, 7L -> None, 8L -> None))
   }
 
   test("fixture report: full parse coverage and internally consistent stats") {
