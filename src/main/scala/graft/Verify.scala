@@ -115,6 +115,24 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/verify_dump_secs.json"),
       secs.result().map { case (k, v) => s"${q(k)}: ${f3(v)}" }
         .mkString("{", ",", "}"))
+    // the Spark half of the gate's environment forensics — the DuckDB
+    // half (duckdb/python versions, canonicalization) is recorded by
+    // verify_local.py as verify_env.json, so a future cross-engine
+    // divergence has both engines' versions in the same gate dir
+    val envPairs = Seq(
+      "spark_version" -> spark.version,
+      "scala_version" -> scala.util.Properties.versionNumberString,
+      "java_version" -> sys.props.getOrElse("java.version", "unknown"),
+      "session_tz" -> spark.conf.get("spark.sql.session.timeZone"),
+      "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
+      "ansi_enabled" -> spark.conf.getOption("spark.sql.ansi.enabled")
+        .getOrElse("unset(default)"),
+      "master" -> spark.sparkContext.master,
+      "default_locale" -> java.util.Locale.getDefault.toString,
+      "sf_dir" -> sfDir)
+    Files.writeString(Paths.get(s"$outDir/spark_env.json"),
+      envPairs.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
     // rc stays 0 even when some dump failed: a partial gate (the driver
     // compares every dump that exists; a MISSING dump is a loud FAIL

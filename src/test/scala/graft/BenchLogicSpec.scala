@@ -56,4 +56,45 @@ class BenchLogicSpec extends AnyFunSuite {
       .collect { case (n, v) if v >= 0 => adjMap.getOrElse(n, v) }.sum
     assert(math.abs(totalAdj - 2.2) < 1e-9)
   }
+
+  // --- the r12 sustained-contention screen (BENCH_r11: q_events_anomaly
+  // median 14.0s / min 9.2s — ALL reps poisoned, so the min-base rule
+  // above could never fire; isolated it reads 0.985s) ---
+
+  private def sustained(medians: Seq[(String, Double)],
+      already: Set[String],
+      confirms: Map[String, Double],
+      measured: Map[String, Double] = Map.empty) =
+    Bench.selectSustained(medians, already, 2.0, 0.6,
+      n => confirms.get(n),
+      n => Some(measured.getOrElse(n, 0.9)))
+
+  test("sustained: a heavy median whose confirmation rep collapses is re-measured") {
+    val medians = Seq(
+      "phantom" -> 14.0,  // confirms at 1.0 (< 0.6×14) — the r11 case
+      "genuine" -> 7.8,   // confirms at 7.5 — really that heavy
+      "light" -> 1.9)     // under the 2s threshold, never confirmed
+    val out = sustained(medians, Set.empty,
+      confirms = Map("phantom" -> 1.0, "genuine" -> 7.5, "light" -> 0.1),
+      measured = Map("phantom" -> 0.985))
+    assert(out === Seq("phantom" -> 0.985))
+  }
+
+  test("sustained: min-base-adjudicated queries are not re-measured twice") {
+    val medians = Seq("spiked" -> 14.0)
+    assert(sustained(medians, Set("spiked"),
+      confirms = Map("spiked" -> 1.0)).isEmpty)
+  }
+
+  test("sustained: a failed or missing confirmation rep never triggers") {
+    val medians = Seq("a" -> 14.0, "b" -> 14.0)
+    assert(sustained(medians, Set.empty,
+      confirms = Map("a" -> -1.0)).isEmpty)
+  }
+
+  test("sustained: boundary — exactly ratio×median does not trigger") {
+    val medians = Seq("edge" -> 10.0)
+    assert(sustained(medians, Set.empty,
+      confirms = Map("edge" -> 6.0)).isEmpty) // 6.0 == 0.6×10, not below
+  }
 }
