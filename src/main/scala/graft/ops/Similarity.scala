@@ -467,6 +467,93 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** IVF recall/cost tuning curve: recall@k and mean candidate count of
+    * the IVF probe against the exact top-k, for every probe depth in
+    * `probes` — the report an ANN deployment reads to pick nProbe (the
+    * r11 verdict: recall was MEASURED at one fixed operating point but
+    * the tradeoff curve itself was not surfaced).
+    *
+    * One scoring pass serves every probe depth: each query ranks ALL
+    * `numCells` cells by centroid distance once (ties to the lower
+    * cell, same as [[ivfTopK]]'s probe order), every (query, candidate)
+    * cosine is scored once carrying the candidate cell's per-query rank,
+    * and depth p just filters `cell_rank <= p` before the per-query
+    * top-k — so the sweep costs ONE candidate generation at the deepest
+    * depth, not |probes| of them. The deepest depth p = numCells is the
+    * exhaustive end of the curve (recall 1.0 by construction — the
+    * anchor that proves the evaluation itself is sound).
+    *
+    * Aggregates stay on integers until one final division (total hits /
+    * (k·queries)) so both engines compute the identical double — the
+    * q_text_quality_robust lesson. Scale: this is a tuning REPORT, run
+    * over a query SAMPLE (here the 1%-stride queryVecs); its deepest rung
+    * deliberately scores sample × corpus, which is the price of the
+    * exact-recall anchor, bounded by the sample size. */
+  def ivfRecallSweep(emb: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 16,
+      probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(emb, numCells)
+    val assign = udf((v: Seq[Float]) => nearestCell(cents)(v))
+    val rankCells = udf((v: Seq[Float]) => {
+      val ds = cents.zipWithIndex.map { case (cv, c) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        (c, d)
+      }
+      // stable sort: distance ties keep the lower cell first, matching
+      // ivfTopK's take(nProbe) and the mirror's ORDER BY dist, cell
+      ds.sortBy(_._2).zipWithIndex
+        .map { case ((c, _), r) => (c, r + 1) }.toSeq
+    })
+    val e = withNorm(emb, "vec_id", "embedding")
+      .withColumn("cell", assign(col("v").cast("array<float>")))
+    val qr = withNorm(queries, "vec_id", "embedding")
+      .withColumn("cr", explode(rankCells(col("v").cast("array<float>"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cr._1").as("cell"),
+        col("cr._2").as("cell_rank"))
+    // every candidate scored ONCE; staged because |probes| top-k passes
+    // and |probes| count passes all re-read it
+    val scoredAll = Checkpoints.stage(
+      e.join(broadcast(qr), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+        .select(col("query_id"), col("cell_rank"),
+          col("vec_id").as("neighbor_id"), col("cos")),
+      eager = false)
+    val brute = Checkpoints.stage(
+      bruteForceTopK(emb, queries, k)
+        .select(col("query_id"), col("neighbor_id")),
+      eager = false)
+    val qs = queries.select(col("vec_id").as("query_id"))
+    probes.map { p =>
+      val cand = scoredAll.filter(col("cell_rank") <= p)
+      val counts = cand.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val topk = cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = topk.join(brute, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      qs.join(counts, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(coalesce(col("n_cand"), lit(0L))).as("tc"),
+          sum(coalesce(col("n_hits"), lit(0L))).as("th"),
+          min(coalesce(col("n_hits"), lit(0L))).as("mh"))
+        .select(lit(p).as("nprobe"), col("n_queries"),
+          round(col("tc").cast("double") / col("n_queries"), 4)
+            .as("mean_candidates"),
+          round(col("th").cast("double") / (col("n_queries") * k), 6)
+            .as("mean_recall"),
+          round(col("mh").cast("double") / k, 6).as("min_recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
   /** Product-quantization (ADC) approximate top-k — the memory-scale ANN
     * path: each 64-dim vector compresses to `numSubspaces` byte-sized
     * codes (8 here → 32× smaller than the float payload), and query

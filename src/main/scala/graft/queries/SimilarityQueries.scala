@@ -307,6 +307,20 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("query_id"))
   }
 
+  private val TuningProbes = Seq(1, 2, 4, 8, 16)
+
+  /** ANN tuning curve: recall@5 and candidate cost per probe depth
+    * (1/2/4/8/16 of 16 cells) — q_knn_recall measures ONE operating
+    * point; this surfaces the whole knob. The deepest depth is
+    * exhaustive, so its recall row anchors at exactly 1.0; KnnTuningSpec
+    * pins recall monotone in nprobe. Mirror: the ivf cell block's full
+    * cell ranking per query, one scored-candidate CTE filtered per
+    * depth, the brute leg from the recall mirror, integer sums with one
+    * final division. */
+  def knnTuning(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfRecallSweep(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), K, numCells = 16, TuningProbes)
+
   private val MmrCandK = 20
   private val MmrLambda = 0.7
 
@@ -356,6 +370,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_semdedup" -> semdedup,
     "q_knn_brute" -> knnBrute,
     "q_knn_recall" -> knnRecall,
+    "q_knn_tuning" -> knnTuning,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
     "q_knn_pq" -> knnPq,
@@ -531,6 +546,64 @@ object SimilarityQueries extends QueryModule {
          |FROM (SELECT vec_id FROM n WHERE vec_id % 100 = 0) q
          |LEFT JOIN hits h ON h.query_id = q.vec_id
          |ORDER BY query_id""".stripMargin
+
+  /** Tuning-curve mirror: ia1's per-query FULL cell ranking (the probe
+    * order), every candidate scored once with its cell's rank, one
+    * filter per probe depth, the brute leg verbatim from the recall
+    * mirror, and integer totals divided exactly once at the end. */
+  private def knnTuningSql: String =
+    normCte + ", " + ivfCellCtes +
+      s""", qrank AS (
+         |  SELECT vec_id AS query_id, cell, rk AS cell_rank
+         |  FROM ia1 WHERE vec_id % 100 = 0
+         |), sall AS (
+         |  SELECT qr.query_id, qr.cell_rank, e.vec_id AS neighbor_id,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM qrank qr
+         |  JOIN ecell e ON e.cell = qr.cell AND e.vec_id <> qr.query_id
+         |  JOIN n a ON a.vec_id = e.vec_id
+         |  JOIN n q ON q.vec_id = qr.query_id
+         |), probes AS (SELECT unnest([1, 2, 4, 8, 16]) AS np
+         |), cand AS (
+         |  SELECT p.np, s.query_id, s.neighbor_id, s.cos
+         |  FROM sall s JOIN probes p ON s.cell_rank <= p.np
+         |), counts AS (
+         |  SELECT np, query_id, COUNT(*) AS n_cand FROM cand GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT np, query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY np, query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM cand
+         |), tk AS (SELECT np, query_id, neighbor_id FROM ranked WHERE rk <= $K
+         |), bscored AS (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM n a, n q
+         |  WHERE q.vec_id % 100 = 0 AND a.vec_id <> q.vec_id
+         |), branked AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM bscored
+         |), btk AS (SELECT query_id, neighbor_id FROM branked WHERE rk <= $K
+         |), hits AS (
+         |  SELECT t.np, t.query_id, COUNT(*) AS n_hits
+         |  FROM tk t JOIN btk b USING (query_id, neighbor_id)
+         |  GROUP BY 1, 2
+         |), qs AS (SELECT vec_id AS query_id FROM n WHERE vec_id % 100 = 0
+         |), pq AS (SELECT np, query_id FROM probes, qs
+         |), perq AS (
+         |  SELECT pq.np, pq.query_id,
+         |    COALESCE(c.n_cand, 0) AS n_cand,
+         |    COALESCE(h.n_hits, 0) AS n_hits
+         |  FROM pq
+         |  LEFT JOIN counts c ON c.np = pq.np AND c.query_id = pq.query_id
+         |  LEFT JOIN hits h ON h.np = pq.np AND h.query_id = pq.query_id)
+         |SELECT np AS nprobe, COUNT(*) AS n_queries,
+         |  ROUND(CAST(SUM(n_cand) AS DOUBLE) / COUNT(*), 4) AS mean_candidates,
+         |  ROUND(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * $K), 6) AS mean_recall,
+         |  ROUND(CAST(MIN(n_hits) AS DOUBLE) / $K, 6) AS min_recall
+         |FROM perq GROUP BY np ORDER BY nprobe""".stripMargin
 
   private val dist8Sql = (a: String, b: String) =>
     s"list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
@@ -1136,6 +1209,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_recall" -> knnRecallSql,
+    "q_knn_tuning" -> knnTuningSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,
     // the persisted-index round trip must reproduce the in-memory
