@@ -142,6 +142,27 @@ object ScaleLadder {
     lazy val incS = staged(incInput(embS))
     lazy val incL = staged(incInput(embL))
 
+    // Predicted-vs-measured exponent for the graph family (r11 VERDICT
+    // #4: the 20k→200k exponents crept to 1.64–1.66 and the ρ/candidate
+    // explanation was NARRATED, not computed). Every graph rung's
+    // superlinear term is its pair GENERATION: the adaptive LSH widens
+    // tables as n grows (recall compensation), so pre-dedup candidate
+    // volume grows faster than n while everything downstream (loop
+    // joins, aggregates) is linear in |E| and |V|. So the computable
+    // prediction is: predicted_exponent = max(1, candidate-volume
+    // exponent), measured from the SAME adaptiveCandidateStats the
+    // AdaptiveLshSpec volume pins use, on the same planted corpora —
+    // and each graph rung's JSON carries predicted, measured, the gap,
+    // and a within-margin verdict (margin 0.35 covers rounds-count
+    // variation and the host's ±25% wall noise).
+    lazy val candRowsS = graft.ops.Similarity
+      .adaptiveCandidateStats(embS, 0.85, maxPlanes = 24)._1
+    lazy val candRowsL = graft.ops.Similarity
+      .adaptiveCandidateStats(embL, 0.85, maxPlanes = 24)._1
+    val graphRungs = Set("cluster_representatives", "triangle_counts",
+      "kcore_peel", "lpa_rounds", "full_cc")
+    val ExpMargin = 0.35
+
     // inputs are THUNKS over the lazy staged corpora, so a filtered run
     // only ever synthesizes what its rungs read
     val ops: Seq[(String, () => DataFrame, () => DataFrame,
@@ -240,6 +261,28 @@ object ScaleLadder {
           .union(batch.select(col("vec_b"))).distinct()
         materialize(graft.ops.Dedup.incrementalComponents(labels,
           "vec_id", "cluster_id", batch, "vec_a", "vec_b", verts))
+      }),
+      // r12 rungs: the r11 training-order/report additions, driven
+      // through the SAME functions the registered queries call (the
+      // *Over seams), so a rung regression IS a query regression
+      ("mix_order", () => docsS, () => docsL, { docs: DataFrame =>
+        // two MintRank range exchanges + a metadata-scale strata dim:
+        // a healthy exponent is ~1; a regression to a one-partition
+        // window over docs flat-lines the big rung on one task
+        materialize(graft.queries.CorpusQueries.mixOrderOver(
+          docs.withColumnRenamed("stratum", "source")))
+      }),
+      ("quality_robust", () => docsS, () => docsL, { docs: DataFrame =>
+        // two bounded per-source aggregates + broadcast-back: ~1
+        materialize(graft.queries.TextQueries.qualityRobustOver(
+          docs.withColumnRenamed("stratum", "source")))
+      }),
+      ("json_props", () => docsS, () => docsL, { docs: DataFrame =>
+        // schema-on-read parse + ONE partial-combined aggregate: ~1
+        materialize(graft.queries.EventsQueries.jsonPropsOver(
+          docs.select(col("stratum").as("event_type"),
+            concat(lit("{\"k\": "), (col("doc_id") % 100).cast("string"),
+              lit("}")).as("props"))))
       }))
 
     ops.filter(o => only.forall(_.contains(o._1)))
@@ -251,10 +294,21 @@ object ScaleLadder {
       val coldL = time(run(big)); sweepBlocks()
       val steadyL = time(run(big)); sweepBlocks()
       val exp = math.log(steadyL / steadyS) / math.log(ratio.toDouble)
+      // graph rungs carry the computed prediction (candidate stats run
+      // OUTSIDE the timed bodies, once per size, shared by the family)
+      val predicted = if (graphRungs(name)) {
+        val pairExp = math.log(candRowsL.toDouble / candRowsS.toDouble) /
+          math.log(ratio.toDouble)
+        val pred = math.max(1.0, pairExp)
+        val gap = exp - pred
+        s""","cand_small":$candRowsS,"cand_big":$candRowsL,""" +
+          s""""pair_exponent":${f3(pairExp)},"predicted_exponent":${f3(pred)},""" +
+          s""""exp_gap":${f3(gap)},"within_margin":${gap <= ExpMargin}"""
+      } else ""
       println(s"""{"op":"$name","n_small":$nSmall,"n_big":$nBig,""" +
         s""""cold_small":${f3(coldS)},"steady_small":${f3(steadyS)},""" +
         s""""cold_big":${f3(coldL)},"steady_big":${f3(steadyL)},""" +
-        s""""steady_exponent":${f3(exp)}}""")
+        s""""steady_exponent":${f3(exp)}$predicted}""")
     }
     spark.stop()
   }

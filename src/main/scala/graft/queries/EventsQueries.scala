@@ -196,10 +196,15 @@ object EventsQueries extends QueryModule {
     * would THROW on the string case instead of matching that contract
     * (r11 ADVICE; JsonPropsSpec pins the Spark side of each branch —
     * the fixture itself is all well-formed). */
-  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    jsonPropsOver(Tables.events(spark, dir))
+
+  /** [[jsonProps]] over any (event_type, props) frame — the scale
+    * ladder's seam, so its rung times the registered operator itself. */
+  private[graft] def jsonPropsOver(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("k", LongType)))
-    Tables.events(spark, dir)
+    events
       .select(col("event_type"),
         from_json(col("props"), schema).getField("k").as("k"))
       .groupBy(col("event_type"))

@@ -145,8 +145,13 @@ object TextQueries extends QueryModule {
     * and z is one subtract, one multiply, one divide, one 6-round from
     * them (the α literal crosses as 1.4826e0 so DuckDB parses a
     * DOUBLE, not a DECIMAL). */
-  def qualityRobust(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def qualityRobust(spark: SparkSession, dir: String): DataFrame =
+    qualityRobustOver(Tables.documents(spark, dir))
+
+  /** [[qualityRobust]] over any (doc_id, source, text) frame — the scale
+    * ladder's seam, so its rung times the registered operator itself. */
+  private[graft] def qualityRobustOver(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), col("source"),
         round(qualityScore(col("text")), 6).as("quality"))
       .withColumn("qi", round(col("quality") * 1e6, 0).cast("long"))
