@@ -88,9 +88,9 @@ object Bench {
       // schema-on-read JSON props, robust median/MAD normalization
       "q_corpus_epoch_shuffle", "q_events_json_props",
       "q_text_quality_robust", "q_corpus_mix_order",
-      // r12: the IVF recall/cost tuning curve (one shared scoring pass
-      // serving five probe depths; the deepest is the exact anchor)
-      "q_knn_tuning")
+      // r12: the ANN tuning curves (one shared scoring pass per knob —
+      // five IVF probe depths; four PQ refine depths)
+      "q_knn_tuning", "q_knn_tuning_pq")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -520,16 +520,82 @@ object Similarity {
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos",
           round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
-        .select(col("query_id"), col("cell_rank"),
+        .select(col("query_id"), col("cell_rank").as("_depth"),
           col("vec_id").as("neighbor_id"), col("cos")),
       eager = false)
+    recallCurve(scoredAll, emb, queries, k, "nprobe", probes, identity)
+  }
+
+  /** PQ refine-depth tuning curve — the second ANN knob next to
+    * [[ivfRecallSweep]]'s nProbe: recall@k of [[pqTopK]] per refine
+    * depth (how many k·refine ADC candidates earn the exact-cosine
+    * rescore). One ADC ranking at the DEEPEST depth serves every rung
+    * (depth r just filters the ADC rank prefix `ark <= k·r`), so the
+    * sweep pays one code scan and one rescore join. Recall is monotone
+    * in refine by construction (a deeper prefix is a superset, and the
+    * exact re-rank of a superset can only keep or gain brute top-k
+    * members — KnnTuningSpec pins it). mean_candidates here counts the
+    * EXACT RESCORES bought — the cost axis of the refine knob. */
+  def pqRefineSweep(emb: DataFrame, queries: DataFrame, k: Int,
+      numSubspaces: Int = 8, codebookSize: Int = 16, dims: Int = 64,
+      refines: Seq[Int] = Seq(1, 2, 5, 10)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subDims = dims / numSubspaces
+    require(subDims * numSubspaces == dims, "dims must split evenly")
+    val sub = pqSub(subDims) _
+    val cbs = pqCodebooks(emb, numSubspaces, codebookSize, subDims)
+    val encode = udf((v: Seq[Float]) => {
+      val dv = v.map(_.toDouble).toIndexedSeq
+      Array.tabulate(numSubspaces)(m => pqArgmin(cbs(m), sub(dv, m)))
+    })
+    val dtables = pqDtables(queries, cbs, numSubspaces, codebookSize, subDims)
+    val adistU = udf((codes: Seq[Int], qid: Long) => {
+      val dt = dtables(qid)
+      var s = 0.0; var m = 0
+      while (m < codes.length) { s += dt(m)(codes(m)); m += 1 }
+      s
+    })
+    val maxR = refines.max
+    val codes = emb.select(col("vec_id"), encode(col("embedding")).as("codes"))
+    val qids = broadcast(queries.select(col("vec_id").as("query_id")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    val cand = codes.crossJoin(qids)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", round(adistU(col("codes"), col("query_id")), 6))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= k * maxR)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("ark"))
+    val e = withNorm(emb, "vec_id", "embedding")
+    val q = withNorm(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scoredAll = Checkpoints.stage(
+      cand.join(e.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("cos",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+        .select(col("query_id"), col("ark").as("_depth"),
+          col("neighbor_id"), col("cos")),
+      eager = false)
+    recallCurve(scoredAll, emb, queries, k, "refine", refines, r => k * r)
+  }
+
+  /** Shared recall-curve aggregation behind both ANN tuning sweeps:
+    * `scoredAll` carries every exact-rescored candidate ONCE as
+    * (query_id, _depth, neighbor_id, cos); depth d admits the rows with
+    * `_depth <= limitFor(d)`. Integer totals, one final division. */
+  private def recallCurve(scoredAll: DataFrame, emb: DataFrame,
+      queries: DataFrame, k: Int, depthName: String, depths: Seq[Int],
+      limitFor: Int => Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val brute = Checkpoints.stage(
       bruteForceTopK(emb, queries, k)
         .select(col("query_id"), col("neighbor_id")),
       eager = false)
     val qs = queries.select(col("vec_id").as("query_id"))
-    probes.map { p =>
-      val cand = scoredAll.filter(col("cell_rank") <= p)
+    depths.map { d =>
+      val cand = scoredAll.filter(col("_depth") <= limitFor(d))
       val counts = cand.groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_cand"))
       val w = Window.partitionBy(col("query_id"))
@@ -545,13 +611,13 @@ object Similarity {
           sum(coalesce(col("n_cand"), lit(0L))).as("tc"),
           sum(coalesce(col("n_hits"), lit(0L))).as("th"),
           min(coalesce(col("n_hits"), lit(0L))).as("mh"))
-        .select(lit(p).as("nprobe"), col("n_queries"),
+        .select(lit(d).as(depthName), col("n_queries"),
           round(col("tc").cast("double") / col("n_queries"), 4)
             .as("mean_candidates"),
           round(col("th").cast("double") / (col("n_queries") * k), 6)
             .as("mean_recall"),
           round(col("mh").cast("double") / k, 6).as("min_recall"))
-    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    }.reduce(_.unionByName(_)).orderBy(col(depthName))
   }
 
   /** Product-quantization (ADC) approximate top-k — the memory-scale ANN

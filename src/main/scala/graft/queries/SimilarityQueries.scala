@@ -321,6 +321,17 @@ object SimilarityQueries extends QueryModule {
     Similarity.ivfRecallSweep(Tables.embeddings(spark, dir),
       queryVecs(spark, dir), K, numCells = 16, TuningProbes)
 
+  private val TuningRefines = Seq(1, 2, 5, 10)
+
+  /** The PQ knob's tuning curve (companion to [[knnTuning]]'s nProbe):
+    * recall@5 per ADC refine depth 1/2/5/10 — how many exact rescores
+    * buy how much recall. One ADC ranking at depth 10 serves all four
+    * rungs. q_knn_pq operates at refine 5; this row shows what moving
+    * it costs/buys. */
+  def knnTuningPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqRefineSweep(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), K, refines = TuningRefines)
+
   private val MmrCandK = 20
   private val MmrLambda = 0.7
 
@@ -371,6 +382,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_brute" -> knnBrute,
     "q_knn_recall" -> knnRecall,
     "q_knn_tuning" -> knnTuning,
+    "q_knn_tuning_pq" -> knnTuningPq,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
     "q_knn_pq" -> knnPq,
@@ -694,6 +706,73 @@ object SimilarityQueries extends QueryModule {
   /** ADC refine factor mirrored between Similarity.pqTopK's default and
     * the generated SQL. */
   private val PqRefine = 5
+
+  /** PQ refine-depth tuning mirror: the PQ code block's full ADC
+    * ranking (cand/ark, verbatim from the q_knn_pq mirror), every
+    * kept candidate exact-rescored once at the deepest depth, one
+    * prefix filter per refine rung, the brute leg, integer totals. */
+  private def knnTuningPqSql: String = {
+    val maxR = 10
+    normCte + ", " + pqCodeCtes +
+      s""", adc AS (
+         |  SELECT dt.query_id, c.vec_id,
+         |    ROUND(list_sum(list(dt.dist ORDER BY dt.m)), 6) AS adist
+         |  FROM codes c JOIN dt ON dt.m = c.m AND dt.code = c.code
+         |  WHERE c.vec_id <> dt.query_id
+         |  GROUP BY dt.query_id, c.vec_id
+         |), acand AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adist, vec_id) AS ark
+         |  FROM adc
+         |), sall AS (
+         |  SELECT c.query_id, c.ark, c.neighbor_id,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM acand c JOIN n a ON a.vec_id = c.neighbor_id
+         |    JOIN n q ON q.vec_id = c.query_id
+         |  WHERE c.ark <= $K * $maxR
+         |), refines AS (SELECT unnest([1, 2, 5, 10]) AS rf
+         |), cand AS (
+         |  SELECT r.rf, s.query_id, s.neighbor_id, s.cos
+         |  FROM sall s JOIN refines r ON s.ark <= $K * r.rf
+         |), counts AS (
+         |  SELECT rf, query_id, COUNT(*) AS n_cand FROM cand GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT rf, query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY rf, query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM cand
+         |), tk AS (SELECT rf, query_id, neighbor_id FROM ranked WHERE rk <= $K
+         |), bscored AS (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM n a, n q
+         |  WHERE q.vec_id % 100 = 0 AND a.vec_id <> q.vec_id
+         |), branked AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM bscored
+         |), btk AS (SELECT query_id, neighbor_id FROM branked WHERE rk <= $K
+         |), hits AS (
+         |  SELECT t.rf, t.query_id, COUNT(*) AS n_hits
+         |  FROM tk t JOIN btk b USING (query_id, neighbor_id)
+         |  GROUP BY 1, 2
+         |), qs AS (SELECT vec_id AS query_id FROM n WHERE vec_id % 100 = 0
+         |), pq AS (SELECT rf, query_id FROM refines, qs
+         |), perq AS (
+         |  SELECT pq.rf, pq.query_id,
+         |    COALESCE(c.n_cand, 0) AS n_cand,
+         |    COALESCE(h.n_hits, 0) AS n_hits
+         |  FROM pq
+         |  LEFT JOIN counts c ON c.rf = pq.rf AND c.query_id = pq.query_id
+         |  LEFT JOIN hits h ON h.rf = pq.rf AND h.query_id = pq.query_id)
+         |SELECT rf AS refine, COUNT(*) AS n_queries,
+         |  ROUND(CAST(SUM(n_cand) AS DOUBLE) / COUNT(*), 4) AS mean_candidates,
+         |  ROUND(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * $K), 6) AS mean_recall,
+         |  ROUND(CAST(MIN(n_hits) AS DOUBLE) / $K, 6) AS min_recall
+         |FROM perq GROUP BY rf ORDER BY refine""".stripMargin
+  }
 
   /** Mirror of ivfPqTopK: the IVF cell block and the PQ code block —
     * the SAME fragment texts that verify q_knn_ivf and q_knn_pq —
@@ -1210,6 +1289,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_recall" -> knnRecallSql,
     "q_knn_tuning" -> knnTuningSql,
+    "q_knn_tuning_pq" -> knnTuningPqSql,
     "q_knn_pq" -> knnPqSql,
     "q_knn_ivfpq" -> knnIvfPqSql,
     // the persisted-index round trip must reproduce the in-memory

@@ -39,6 +39,25 @@ class KnnTuningSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_queries")).distinct.toSeq === Seq(6L))
   }
 
+  test("PQ refine: recall monotone, rescore cost exactly k·refine") {
+    val emb = fixture
+    val rows = Similarity.pqRefineSweep(emb,
+        emb.filter(col("vec_id") % 20 === 0), k = 5,
+        numSubspaces = 4, codebookSize = 8, dims = 16,
+        refines = Seq(1, 2, 4))
+      .orderBy(col("refine")).collect()
+    assert(rows.map(_.getAs[Int]("refine")).toSeq === Seq(1, 2, 4))
+    val recalls = rows.map(_.getAs[Double]("mean_recall")).toSeq
+    // a deeper ADC prefix is a SUPERSET, and the exact re-rank of a
+    // superset can only keep or gain brute top-k members
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in refine: $recalls")
+    // the cost axis: every query buys exactly k·refine exact rescores
+    // (corpus is large enough that the ADC prefix never truncates)
+    assert(rows.map(_.getAs[Double]("mean_candidates")).toSeq ===
+      Seq(5.0, 10.0, 20.0))
+  }
+
   test("deepest-depth candidates equal the full corpus minus self") {
     val emb = fixture
     val rows = Similarity.ivfRecallSweep(emb,
