@@ -90,7 +90,12 @@ object Bench {
       "q_text_quality_robust", "q_corpus_mix_order",
       // r12: the ANN tuning curves (one shared scoring pass per knob —
       // five IVF probe depths; four PQ refine depths)
-      "q_knn_tuning", "q_knn_tuning_pq")
+      "q_knn_tuning", "q_knn_tuning_pq",
+      // r12 second wave: entity resolution (1-deletion-signature fuzzy
+      // join + contracted-CC canonical entities) and DoReMi-lite
+      // domain reweighting
+      "q_er_pairs", "q_er_entities", "q_er_admission",
+      "q_corpus_domain_reweight")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -283,6 +283,36 @@ object ScaleLadder {
           docs.select(col("stratum").as("event_type"),
             concat(lit("{\"k\": "), (col("doc_id") % 100).cast("string"),
               lit("}")).as("props"))))
+      }),
+      // r12 second wave: entity resolution end-to-end (signature
+      // explode → equi-join → verify → contraction → CC) and the
+      // DoReMi-lite mixture report
+      ("er_resolve", () => docsS, () => docsL, { docs: DataFrame =>
+        // planted mentions: md5-distinct 19-char base + one '@'
+        // substitution per doc → clusters of exactly 2, blocks O(1);
+        // signatures are 20× linear, so a healthy exponent is ~1 — a
+        // regression means the signature join grew a hot block
+        val key = col("doc_id")
+        val base = concat(lit("m-"),
+          substring(md5(key.cast("string")), 1, 10), lit("-"),
+          lpad(pmod(key, lit(1000000)).cast("string"), 6, "0"))
+        val pos = (pmod(key, lit(19)) + 1).cast("int")
+        val m = docs.select(explode(array(
+          struct((key * 2).as("mention_id"), base.as("name")),
+          struct((key * 2 + 1).as("mention_id"),
+            concat(base.substr(lit(1), pos - 1), lit("@"),
+              base.substr(pos + 1, lit(19))).as("name")))).as("m"))
+          .select(col("m.mention_id").as("mention_id"),
+            col("m.name").as("name"))
+        materialize(graft.ops.EntityResolution.resolveEntities(
+          m, "mention_id", "name"))
+      }),
+      ("domain_reweight", () => docsS, () => docsL, { docs: DataFrame =>
+        // one (domain, word) count shuffle + vocab rollup; everything
+        // after the per-domain aggregate is |domains|·steps rows: ~1
+        materialize(graft.ops.KeywordSearch.domainReweight(
+          docs.withColumnRenamed("stratum", "source"),
+          "source", "text", 2.0, 4))
       }))
 
     ops.filter(o => only.forall(_.contains(o._1)))

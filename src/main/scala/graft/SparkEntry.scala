@@ -28,7 +28,8 @@ object SparkEntry {
     CoverageQueries,
     CorpusQueries,
     SearchQueries,
-    LayoutQueries)
+    LayoutQueries,
+    EntityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

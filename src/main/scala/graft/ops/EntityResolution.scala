@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy-match entity resolution: edit-distance blocking without an
+  * all-pairs product, plus the cluster step that turns match pairs into
+  * canonical entities.
+  *
+  * Candidate generation for Levenshtein distance ≤ 1 uses the exact
+  * 1-deletion-neighborhood family sig(s) = {s} ∪ {s minus char i : i < |s|}:
+  * two strings are within distance 1 **iff** their signature sets
+  * intersect — substitution at i puts the shared s−i in both sets,
+  * deletion t = s−i puts t itself in both, equality shares s. (This is
+  * the FastSS scheme, Bocek et al. 2007; the general-k path is segment
+  * blocking à la PassJoin, Li et al. VLDB 2011 — k = 1 is the registered
+  * operating point because its signature family is both exact and
+  * linear-size: |s|+1 signatures per string.) The join is therefore an
+  * equi-join on signature hashes — O(n·len) exploded rows, shuffled on a
+  * fixed-width md5 key — followed by an exact `levenshtein` verify that
+  * also screens out any hash-collision phantom, so the result equals the
+  * brute-force all-pairs answer (EntityResolutionSpec pins the equality).
+  *
+  * Scale notes (100 TB mention tables):
+  *   - the signature join's block sizes are bounded by name-collision
+  *     multiplicity, not corpus size; mass exact-duplicate names (the
+  *     dominant real-world skew) are handled by [[resolveEntities]]'s
+  *     name-level contraction — the match graph is built over DISTINCT
+  *     names and mentions rejoin by name afterward, so a name repeated
+  *     10^6 times contributes ONE vertex, not 10^12 pairs;
+  *   - pair verification is codegen'd `levenshtein` on ≤ len-char
+  *     strings inside the joined stage — no UDF, no driver loop;
+  *   - the entity step reuses the pointer-halving connected components
+  *     ([[Dedup.connectedComponents]]): O(log diameter) rounds of
+  *     equi-join + partial min.
+  *
+  * Character semantics: signatures and `levenshtein` both operate on
+  * code points the same way in Spark and DuckDB for BMP text; the
+  * registered fixture is ASCII.
+  *
+  * Reference behavior anchor: the reference's master-CSV merge keys on
+  * exact document_id (iris-project-database-refresh
+  * `catalog search/stage3_update_master.py`) — it has no fuzzy-identity
+  * layer; this operator family is part of the beyond-reference
+  * training-pipeline surface (deduplicating author/entity mentions
+  * before per-entity quotas).
+  */
+object EntityResolution {
+
+  /** sig(s): the string itself plus every single-character deletion,
+    * as an array column. substr is 1-based; i runs 1..len, prefix
+    * substr(1, i−1) and suffix substr(i+1, len) are empty at the ends. */
+  private[graft] def deletionSignatures(s: Column): Column =
+    concat(
+      array(s),
+      transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), (i - lit(1)).cast("int")),
+          s.substr((i + lit(1)).cast("int"), length(s)))))
+
+  /** (id, name, h): one row per signature, keyed by md5 — fixed-width
+    * shuffle key regardless of name length; the levenshtein verify every
+    * consumer applies makes a hash collision harmless. At deployment
+    * scale the CORPUS side of [[edOnePairsAgainst]] persists this frame
+    * as a write-once ingest artifact (the lshPairsAgainst convention). */
+  private[graft] def signatureFrame(df: DataFrame, idCol: String,
+      strCol: String): DataFrame =
+    df.select(
+      col(idCol).as("_id"), col(strCol).as("_name"),
+      explode(deletionSignatures(col(strCol))).as("_sig"))
+      .select(col("_id"), col("_name"), md5(col("_sig")).as("_h"))
+
+  /** All pairs (id_a < id_b) of mentions within Levenshtein distance ≤ 1,
+    * with the verified distance. Exact — candidate generation is the
+    * 1-deletion-neighborhood equi-join (a theorem, not a heuristic) and
+    * every candidate is re-checked with `levenshtein`. Output columns:
+    * id_a, id_b, name_a, name_b, lev (bigint). */
+  def edOnePairs(mentions: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val sigs = signatureFrame(mentions, idCol, strCol)
+    val left = sigs.select(col("_h"),
+      col("_id").as("id_a"), col("_name").as("name_a"))
+    val right = sigs.select(col("_h"),
+      col("_id").as("id_b"), col("_name").as("name_b"))
+    left.join(right, "_h")
+      .where(col("id_a") < col("id_b"))
+      // distinct BEFORE the verify: a pair sharing k signatures arrives
+      // k times; dedup on the (narrow) pair key, then verify once
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
+      .distinct()
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("lev") <= 1)
+  }
+
+  /** ER capstone: mentions → canonical entities. Contracts to DISTINCT
+    * names first (rep = min mention id per name — the exact-duplicate
+    * skew guard), builds the distance-≤1 match graph over names, runs
+    * connected components, and rejoins every mention by name. The
+    * canonical entity_id is the minimum mention id in the entity
+    * (min over cluster of per-name minima = global minimum). Output:
+    * idCol, strCol, entity_id, entity_size (mentions, not names),
+    * is_canonical. */
+  def resolveEntities(mentions: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val reps = mentions.groupBy(col(strCol))
+      .agg(min(col(idCol)).as("_rep"))
+    val pairs = edOnePairs(
+      reps.select(col("_rep"), col(strCol)), "_rep", strCol)
+    val labels = Dedup.connectedComponents(
+      reps.select(col("_rep")), "_rep", pairs, "id_a", "id_b")
+    val named = reps.join(labels, "_rep")
+      .select(col(strCol), col("cluster_id").as("entity_id"))
+    val withEnt = mentions.select(col(idCol), col(strCol))
+      .join(named, strCol)
+    val sizes = withEnt.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("entity_size"))
+    withEnt.join(sizes, "entity_id")
+      .select(col(idCol), col(strCol), col("entity_id"),
+        col("entity_size"),
+        (col(idCol) === col("entity_id")).as("is_canonical"))
+  }
+
+  /** Incremental face of [[edOnePairs]]: distance-≤1 matches of a batch
+    * of incoming mentions AGAINST an existing corpus — no
+    * corpus-corpus or incoming-incoming pairs (the lshPairsAgainst
+    * convention). The corpus signature frame is the big side; at
+    * deployment it is the write-once ingest artifact this join reuses
+    * every batch. Output: incoming_id, incoming_name, corpus_id,
+    * corpus_name, lev. */
+  def edOnePairsAgainst(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, strCol: String): DataFrame = {
+    val corp = signatureFrame(corpus, idCol, strCol).select(col("_h"),
+      col("_id").as("corpus_id"), col("_name").as("corpus_name"))
+    val inc = signatureFrame(incoming, idCol, strCol).select(col("_h"),
+      col("_id").as("incoming_id"), col("_name").as("incoming_name"))
+    inc.join(corp, "_h")
+      .select(col("incoming_id"), col("incoming_name"),
+        col("corpus_id"), col("corpus_name"))
+      .distinct()
+      .withColumn("lev",
+        levenshtein(col("incoming_name"), col("corpus_name")).cast("long"))
+      .where(col("lev") <= 1)
+  }
+
+  /** Daily-refresh admission: assign each incoming mention its matched
+    * entity (minimum entity id among distance-≤1 dictionary hits — the
+    * deterministic tie rule) or mint a new one (its own mention id).
+    * `entities` is the published dictionary: (idCol = entity_id,
+    * strCol = canonical name). Output: idCol, strCol, entity_id,
+    * is_new. */
+  def admitMentions(entities: DataFrame, incoming: DataFrame,
+      idCol: String, strCol: String): DataFrame = {
+    val hits = edOnePairsAgainst(entities, incoming, idCol, strCol)
+      .groupBy(col("incoming_id"))
+      .agg(min(col("corpus_id")).as("_match"))
+    incoming.select(col(idCol), col(strCol))
+      .join(hits, col(idCol) === col("incoming_id"), "left")
+      .select(col(idCol), col(strCol),
+        coalesce(col("_match"), col(idCol)).as("entity_id"),
+        col("_match").isNull.as("is_new"))
+  }
+}

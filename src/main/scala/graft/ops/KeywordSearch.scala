@@ -307,4 +307,64 @@ object KeywordSearch {
         round(ln9(col("total")) -
           col("sum_ln").cast("double") / col("n_toks"), 6).as("nll_nats"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, simplified to a
+    * fixed reference): per-domain EXCESS loss — mean token NLL under the
+    * global corpus unigram LM minus under the domain's OWN unigram LM
+    * (cross-entropy minus entropy, ≥ 0 by Gibbs' inequality: how much
+    * worse the shared model fits this domain than a domain expert does) —
+    * drives multiplicative-weights updates w_t(d) ∝ exp(η·t·excess_d),
+    * emitted for steps 1..`steps`. Domains with more headroom (the
+    * signal DoReMi chases with a trained proxy; the unigram gap is its
+    * deterministic, oracle-checkable stand-in) get upweighted, and the
+    * trajectory shows how fast η concentrates the mixture.
+    *
+    * Scale: ONE corpus explode into a (domain, word) count shuffle; the
+    * global vocab rolls up from those partials (never a second scan),
+    * joins back broadcast (or shuffle via `broadcastVocab=false` for
+    * open vocabularies), and everything after the per-domain aggregate
+    * is |domains|·steps rows — metadata-scale.
+    *
+    * Determinism contract (the corpus-battery rules): ln rounded to 9 at
+    * the source, per-word products rounded to 6 then DECIMAL-summed
+    * (order-free), exp rounded to 9, per-step normalizers DECIMAL-summed,
+    * each emitted ratio one 6-rounded double division. */
+  def domainReweight(docs: DataFrame, stratumCol: String, textCol: String,
+      eta: Double, steps: Int, broadcastVocab: Boolean = true): DataFrame = {
+    val words = docs.select(col(stratumCol).as("_d"),
+      explode(toks(col(textCol))).as("word"))
+    // the only corpus-scale shuffle; staged once, feeds both rollups
+    val dw = Checkpoints.stage(
+      words.groupBy(col("_d"), col("word")).agg(count(lit(1)).as("dcnt")),
+      eager = true)
+    val globalRaw = dw.groupBy(col("word")).agg(sum(col("dcnt")).as("gcnt"))
+    val global = if (broadcastVocab) broadcast(globalRaw) else globalRaw
+    val gtot = dw.agg(sum(col("dcnt")).as("gtot"))
+    val perDom = dw.join(global, "word")
+      .groupBy(col("_d"))
+      .agg(sum(col("dcnt")).as("n_toks"),
+        sum(round(col("dcnt") * ln9(col("gcnt")), 6)
+          .cast("decimal(28,12)")).as("sum_g"),
+        sum(round(col("dcnt") * ln9(col("dcnt")), 6)
+          .cast("decimal(28,12)")).as("sum_o"))
+    val excess = perDom.crossJoin(broadcast(gtot))
+      .select(col("_d"), col("n_toks"),
+        round(
+          (ln9(col("gtot")) -
+            col("sum_g").cast("double") / col("n_toks").cast("double")) -
+          (ln9(col("n_toks")) -
+            col("sum_o").cast("double") / col("n_toks").cast("double")),
+          6).as("excess_nll"))
+    val stepped = excess
+      .select(col("_d"), col("n_toks"), col("excess_nll"),
+        explode(sequence(lit(1), lit(steps))).as("step"))
+      .withColumn("boost",
+        round(exp(lit(eta) * col("step") * col("excess_nll")), 9))
+    val norms = stepped.groupBy(col("step"))
+      .agg(sum(col("boost").cast("decimal(28,12)")).as("norm"))
+    stepped.join(broadcast(norms), "step")
+      .select(col("_d").as(stratumCol), col("step").cast("long").as("step"),
+        col("n_toks"), col("excess_nll"),
+        round(col("boost") / col("norm").cast("double"), 6).as("weight"))
+  }
 }

@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.EntityResolution
+
+/** Entity-resolution battery: fuzzy mention matching (edit distance ≤ 1
+  * via the exact 1-deletion-neighborhood join) and the canonical-entity
+  * clustering it feeds — the identity layer a training pipeline runs
+  * before per-entity quotas or per-author dedup.
+  *
+  * Fixture: the customer table's names are uniform (`Customer#…`, every
+  * neighbor one digit apart — a degenerate match graph), so dirty
+  * mentions are synthesized deterministically in BOTH engines from
+  * c_custkey (the q_corpus_pii_redact convention): an md5-derived base
+  * name (high inter-customer distance), a substitution variant ('@' at a
+  * key-derived position — '@' is outside the base alphabet, so distance
+  * is exactly 1), a deletion variant for keys ≡0 (mod 4), and an exact
+  * duplicate for keys ≡0 (mod 5) that exercises the name-level
+  * contraction in [[graft.ops.EntityResolution.resolveEntities]].
+  * Everything is integer/string arithmetic — both engines build
+  * byte-identical mentions, and `levenshtein` (classic unit-cost edit
+  * distance in both) decides ground truth identically.
+  *
+  * The q_er_entities mirror is deliberately the NON-contracted
+  * formulation — a recursive transitive closure over the mention-level
+  * pair dump (two-staged, the q_sim_clusters convention) — so agreement
+  * checks that the distinct-name contraction is semantics-preserving,
+  * not just that two copies of the same shortcut agree.
+  */
+object EntityQueries extends QueryModule {
+
+  private val BaseLen = 20
+
+  /** base = 'cust-' || md5(lpad(key,12,'0'))[1..8] || '-' || lpad(key,6,'0')
+    * — 20 ASCII chars, unique per key, distance ≥ 2 between keys with
+    * overwhelming (and in any case engine-identical) certainty. */
+  private def baseName(key: Column): Column =
+    concat(lit("cust-"),
+      substring(md5(lpad(key.cast("string"), 12, "0")), 1, 8),
+      lit("-"), lpad(key.cast("string"), 6, "0"))
+
+  /** (c_custkey → key, base, sub1, del1): the shared deterministic
+    * variant columns — base, '@'-substitution at pos = key%20, deletion
+    * at pos2 = 7·key%20. */
+  private def withVariants(spark: SparkSession, dir: String): DataFrame = {
+    val key = col("c_custkey")
+    val base = baseName(key)
+    val pos = (pmod(key, lit(20)) + 1).cast("int")
+    val pos2 = (pmod(key * 7, lit(20)) + 1).cast("int")
+    Tables.customer(spark, dir).select(key.as("key"), base.as("base"),
+      concat(base.substr(lit(1), pos - 1), lit("@"),
+        base.substr(pos + 1, lit(BaseLen))).as("sub1"),
+      concat(base.substr(lit(1), pos2 - 1),
+        base.substr(pos2 + 1, lit(BaseLen))).as("del1"))
+  }
+
+  /** Deterministic mention table: up to 4 mentions per customer.
+    * mention_id = 4·key + j; j=0 canonical, j=1 substitution at
+    * pos = key%20, j=2 deletion at pos2 = 7·key%20 (keys ≡0 mod 4),
+    * j=3 exact duplicate of the base (keys ≡0 mod 5). */
+  private[queries] def mentions(spark: SparkSession, dir: String): DataFrame = {
+    val key = col("key")
+    val base = col("base")
+    val sub1 = col("sub1")
+    val del1 = col("del1")
+    val variants = array(
+      struct((key * 4).as("mention_id"), base.as("name"),
+        lit(true).as("keep")),
+      struct((key * 4 + 1).as("mention_id"), sub1.as("name"),
+        lit(true).as("keep")),
+      struct((key * 4 + 2).as("mention_id"), del1.as("name"),
+        (pmod(key, lit(4)) === 0).as("keep")),
+      struct((key * 4 + 3).as("mention_id"), base.as("name"),
+        (pmod(key, lit(5)) === 0).as("keep")))
+    withVariants(spark, dir)
+      .select(explode(variants).as("m"))
+      .where(col("m.keep"))
+      .select(col("m.mention_id").as("mention_id"), col("m.name").as("name"))
+  }
+
+  /** All mention pairs within edit distance 1 — the blocked fuzzy join. */
+  def erPairs(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.edOnePairs(mentions(spark, dir), "mention_id", "name")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Canonical entities from the match graph (contracted CC path). */
+  def erEntities(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.resolveEntities(mentions(spark, dir),
+      "mention_id", "name")
+      .orderBy(col("mention_id"))
+
+  /** Daily-refresh admission: the published dictionary is every
+    * customer's canonical mention (entity_id = 4·key); today's arrivals
+    * (keys ≡7 mod 10) are the substitution variant (id 4·key+1 — must
+    * match its canonical at distance 1) and a '-x'-suffixed novel name
+    * (id 4·key+2, length 22 vs the dictionary's 20 → distance ≥ 2 from
+    * EVERYTHING, must mint). */
+  def erAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val v = withVariants(spark, dir)
+    val dict = v.select((col("key") * 4).as("mention_id"),
+      col("base").as("name"))
+    val inc = v.where(pmod(col("key"), lit(10)) === 7)
+      .select(explode(array(
+        struct((col("key") * 4 + 1).as("mention_id"),
+          col("sub1").as("name")),
+        struct((col("key") * 4 + 2).as("mention_id"),
+          concat(col("base"), lit("-x")).as("name")))).as("m"))
+      .select(col("m.mention_id").as("mention_id"),
+        col("m.name").as("name"))
+    EntityResolution.admitMentions(dict, inc, "mention_id", "name")
+      .orderBy(col("mention_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_er_pairs" -> erPairs,
+    "q_er_entities" -> erEntities,
+    "q_er_admission" -> erAdmission)
+
+  /** The variant CTE, mirrored clause for clause (md5/lpad/substr are
+    * byte-identical across engines; % on the non-negative key ≡ pmod). */
+  private val variantsCte: String =
+    """variants AS (
+      |  SELECT c_custkey, base,
+      |    substr(base, 1, pos - 1) || '@' || substr(base, pos + 1) AS sub1,
+      |    substr(base, 1, pos2 - 1) || substr(base, pos2 + 1) AS del1
+      |  FROM (
+      |    SELECT c_custkey,
+      |      'cust-' ||
+      |        substr(md5(lpad(CAST(c_custkey AS VARCHAR), 12, '0')), 1, 8) ||
+      |        '-' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS base,
+      |      CAST(c_custkey % 20 + 1 AS INTEGER) AS pos,
+      |      CAST((c_custkey * 7) % 20 + 1 AS INTEGER) AS pos2
+      |    FROM customer))""".stripMargin
+
+  private val mentionsCte: String = variantsCte + """,
+      |mentions AS (
+      |  SELECT mention_id, name FROM (
+      |    SELECT c_custkey * 4 + v.j AS mention_id,
+      |      CASE v.j WHEN 1 THEN sub1 WHEN 2 THEN del1 ELSE base END AS name,
+      |      CASE v.j WHEN 2 THEN c_custkey % 4 = 0
+      |               WHEN 3 THEN c_custkey % 5 = 0
+      |               ELSE TRUE END AS keep
+      |    FROM variants,
+      |    (SELECT unnest([0, 1, 2, 3]) AS j) v)
+      |  WHERE keep)""".stripMargin
+
+  private def erPairsSql: String =
+    s"""WITH $mentionsCte,
+       |sigs AS (
+       |  SELECT mention_id, name, md5(name) AS h FROM mentions
+       |  UNION ALL
+       |  SELECT mention_id, name,
+       |    md5(substr(name, 1, i - 1) || substr(name, i + 1)) AS h
+       |  FROM (SELECT mention_id, name,
+       |          unnest(generate_series(1, length(name))) AS i
+       |        FROM mentions)),
+       |cand AS (
+       |  SELECT DISTINCT a.mention_id AS id_a, b.mention_id AS id_b,
+       |    a.name AS name_a, b.name AS name_b
+       |  FROM sigs a JOIN sigs b ON a.h = b.h
+       |  WHERE a.mention_id < b.mention_id)
+       |SELECT id_a, id_b, name_a, name_b,
+       |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+       |FROM cand
+       |WHERE levenshtein(name_a, name_b) <= 1
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Two-staged (reads the PRE-VERIFIED q_er_pairs dump — its own oracle
+    * row independently rebuilds the signature join), then recomputes the
+    * clustering as a recursive reach over MENTION-level pairs: the
+    * un-contracted ground truth the contracted Spark path must equal. */
+  private def erEntitiesSql: String =
+    s"""WITH RECURSIVE $mentionsCte,
+       |prs AS (
+       |  SELECT CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b
+       |  FROM read_parquet('${QueryModule.VerifyOutToken}/q_er_pairs/*.parquet')),
+       |sym AS (SELECT a AS s, b AS d FROM prs
+       |        UNION SELECT b, a FROM prs),
+       |reach AS (
+       |  SELECT mention_id AS src, mention_id AS dst FROM mentions
+       |  UNION
+       |  SELECT r.src, e.d FROM reach r JOIN sym e ON e.s = r.dst),
+       |lab AS (
+       |  SELECT src AS mention_id, MIN(dst) AS entity_id
+       |  FROM reach GROUP BY src),
+       |sz AS (
+       |  SELECT entity_id, COUNT(*) AS entity_size FROM lab GROUP BY 1)
+       |SELECT m.mention_id, m.name, l.entity_id, s.entity_size,
+       |  m.mention_id = l.entity_id AS is_canonical
+       |FROM mentions m
+       |JOIN lab l USING (mention_id)
+       |JOIN sz s USING (entity_id)
+       |ORDER BY mention_id""".stripMargin
+
+  /** Self-contained (non-recursive) admission mirror: same dictionary,
+    * same arrivals, same signature join, same min-entity tie rule. */
+  private def erAdmissionSql: String =
+    s"""WITH $variantsCte,
+       |dict AS (
+       |  SELECT c_custkey * 4 AS entity_id, base AS name FROM variants),
+       |inc AS (
+       |  SELECT c_custkey * 4 + 1 AS mention_id, sub1 AS name
+       |  FROM variants WHERE c_custkey % 10 = 7
+       |  UNION ALL
+       |  SELECT c_custkey * 4 + 2, base || '-x'
+       |  FROM variants WHERE c_custkey % 10 = 7),
+       |dsig AS (
+       |  SELECT entity_id, name, md5(name) AS h FROM dict
+       |  UNION ALL
+       |  SELECT entity_id, name,
+       |    md5(substr(name, 1, i - 1) || substr(name, i + 1)) AS h
+       |  FROM (SELECT entity_id, name,
+       |          unnest(generate_series(1, length(name))) AS i
+       |        FROM dict)),
+       |isig AS (
+       |  SELECT mention_id, name, md5(name) AS h FROM inc
+       |  UNION ALL
+       |  SELECT mention_id, name,
+       |    md5(substr(name, 1, i - 1) || substr(name, i + 1)) AS h
+       |  FROM (SELECT mention_id, name,
+       |          unnest(generate_series(1, length(name))) AS i
+       |        FROM inc)),
+       |hits AS (
+       |  SELECT DISTINCT i.mention_id, i.name AS iname,
+       |    d.entity_id, d.name AS dname
+       |  FROM isig i JOIN dsig d ON i.h = d.h),
+       |matched AS (
+       |  SELECT mention_id, MIN(entity_id) AS m FROM hits
+       |  WHERE levenshtein(iname, dname) <= 1 GROUP BY 1)
+       |SELECT i.mention_id, i.name,
+       |  COALESCE(t.m, i.mention_id) AS entity_id,
+       |  t.m IS NULL AS is_new
+       |FROM inc i LEFT JOIN matched t USING (mention_id)
+       |ORDER BY mention_id""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "q_er_pairs" -> erPairsSql,
+    "q_er_entities" -> erEntitiesSql,
+    "q_er_admission" -> erAdmissionSql)
+}

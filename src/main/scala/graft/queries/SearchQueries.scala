@@ -56,6 +56,16 @@ object SearchQueries extends QueryModule {
   def vocabEntropy(spark: SparkSession, dir: String): DataFrame =
     KeywordSearch.vocabEntropy(Tables.documents(spark, dir), "text")
 
+  /** DoReMi-lite mixture tuning: per-source excess unigram NLL →
+    * multiplicative-weights trajectory (η = 2, steps 1..4). */
+  def domainReweight(spark: SparkSession, dir: String): DataFrame =
+    KeywordSearch.domainReweight(Tables.documents(spark, dir),
+      "source", "text", DrEta, DrSteps)
+      .orderBy(col("source"), col("step"))
+
+  private val DrEta = 2.0
+  private val DrSteps = 4
+
   /** Per-source token-length distribution: exact interpolated
     * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both
     * rank = p·(n−1) linear interpolation). At 100 TB the same report
@@ -272,6 +282,7 @@ object SearchQueries extends QueryModule {
     "q_corpus_unigram_nll" -> unigramNll,
     "q_corpus_bigram_nll" -> bigramNll,
     "q_corpus_vocab_entropy" -> vocabEntropy,
+    "q_corpus_domain_reweight" -> domainReweight,
     "q_corpus_length_pctl" -> lengthPercentiles,
     "q_corpus_zipf" -> zipfFit,
     "q_corpus_dsir" -> dsir,
@@ -346,6 +357,44 @@ object SearchQueries extends QueryModule {
       |  ROUND(ROUND(ln(total_tokens), 9)
       |    - CAST(sum_clc AS DOUBLE) / total_tokens, 6) AS entropy_nats
       |FROM agg""".stripMargin
+
+  /** Mirrors domainReweight site for site: 9-rounded ln, 6-rounded
+    * products DECIMAL-summed, 9-rounded exp, DECIMAL step normalizers,
+    * single 6-rounded double divisions. η and steps inlined from the
+    * query constants. */
+  private val domainReweightSql: String =
+    """WITH words AS (
+      |  SELECT source AS d, unnest(regexp_split_to_array(text, '\s+')) AS word
+      |  FROM documents),
+      |dw AS (SELECT d, word, COUNT(*) AS dcnt FROM words GROUP BY 1, 2),
+      |gl AS (SELECT word, SUM(dcnt) AS gcnt FROM dw GROUP BY 1),
+      |gt AS (SELECT SUM(dcnt) AS gtot FROM dw),
+      |perdom AS (
+      |  SELECT d, SUM(dcnt) AS n_toks,
+      |    SUM(CAST(ROUND(dcnt * ROUND(ln(gcnt), 9), 6) AS DECIMAL(28,12)))
+      |      AS sum_g,
+      |    SUM(CAST(ROUND(dcnt * ROUND(ln(dcnt), 9), 6) AS DECIMAL(28,12)))
+      |      AS sum_o
+      |  FROM dw JOIN gl USING (word) GROUP BY 1),
+      |ex AS (
+      |  SELECT d, n_toks,
+      |    ROUND((ROUND(ln(gtot), 9)
+      |        - CAST(sum_g AS DOUBLE) / CAST(n_toks AS DOUBLE))
+      |      - (ROUND(ln(n_toks), 9)
+      |        - CAST(sum_o AS DOUBLE) / CAST(n_toks AS DOUBLE)), 6)
+      |      AS excess_nll
+      |  FROM perdom, gt),
+      |st AS (
+      |  SELECT d, n_toks, excess_nll, s.step,
+      |    ROUND(exp(2.0 * s.step * excess_nll), 9) AS boost
+      |  FROM ex, (SELECT unnest(generate_series(1, 4)) AS step) s),
+      |tot AS (SELECT step, SUM(CAST(boost AS DECIMAL(28,12))) AS norm
+      |        FROM st GROUP BY 1)
+      |SELECT st.d AS source, CAST(st.step AS BIGINT) AS step,
+      |  CAST(st.n_toks AS BIGINT) AS n_toks, st.excess_nll,
+      |  ROUND(st.boost / CAST(tot.norm AS DOUBLE), 6) AS weight
+      |FROM st JOIN tot USING (step)
+      |ORDER BY source, step""".stripMargin
 
   private val pctlSql: String =
     """WITH t AS (
@@ -534,6 +583,7 @@ object SearchQueries extends QueryModule {
     "q_corpus_unigram_nll" -> nllSql,
     "q_corpus_bigram_nll" -> bigramSql,
     "q_corpus_vocab_entropy" -> entropySql,
+    "q_corpus_domain_reweight" -> domainReweightSql,
     "q_corpus_length_pctl" -> pctlSql,
     "q_corpus_zipf" -> zipfSql,
     "q_corpus_dsir" -> dsirSql,

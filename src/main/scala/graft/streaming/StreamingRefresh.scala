@@ -547,6 +547,34 @@ object StreamingRefresh {
       corp, graft.ops.Multimodal.pHash(media), maxHamming)
   }
 
+  /** Streaming entity-resolution admission — the fuzzy-identity face of
+    * [[admissionStream]]: arriving mentions (id, name) grow their
+    * 1-deletion signature set statelessly in their micro-batch and
+    * equi-join the STATIC dictionary signature frame (the write-once
+    * ingest artifact — [[graft.ops.EntityResolution.signatureFrame]] of
+    * the published entities, persisted here so the static subtree is
+    * not re-derived per batch). Emits exact-verified distance-≤1 hits
+    * (incoming_id, corpus_id, lev); the min-entity assignment rollup is
+    * the drained sink's job (a cross-batch aggregate would need state).
+    * ErAdmissionStreamSpec pins drain ≡ batch
+    * [[graft.ops.EntityResolution.edOnePairsAgainst]]. */
+  def erAdmissionStream(mentions: DataFrame, dictSig: DataFrame,
+      idCol: String = "mention_id", strCol: String = "name"): DataFrame = {
+    val corp = dictSig
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("_h"), col("_id").as("corpus_id"),
+        col("_name").as("corpus_name"))
+    val inc = graft.ops.EntityResolution
+      .signatureFrame(mentions, idCol, strCol)
+      .select(col("_h"), col("_id").as("incoming_id"),
+        col("_name").as("incoming_name"))
+    inc.join(corp, "_h")
+      .withColumn("lev",
+        levenshtein(col("incoming_name"), col("corpus_name")).cast("long"))
+      .where(col("lev") <= 1)
+      .select(col("incoming_id"), col("corpus_id"), col("lev"))
+  }
+
   /** Streaming classification: apply an exported NB model
     * ([[graft.ops.TextClassify.trainModel]]) to a document feed — the
     * train-offline / score-online deployment shape. The model rides a

@@ -196,4 +196,42 @@ class PairScaleLadderSpec extends SparkSpecBase {
       },
       minRecall = 0.9)
   }
+
+  /** Planted mentions: md5-distinct 19-char base + one '@' substitution
+    * partner per mention — true distance-≤1 structure is exactly n
+    * pairs, cross-base signature collisions essentially none. */
+  private def erPlanted(n: Int): DataFrame = {
+    val key = col("id")
+    val base = concat(lit("m-"), substring(md5(key.cast("string")), 1, 10),
+      lit("-"), lpad(pmod(key, lit(1000000)).cast("string"), 6, "0"))
+    val pos = (pmod(key, lit(19)) + 1).cast("int")
+    spark.range(n).select(explode(array(
+      struct(key.as("doc_id"), base.as("name")),
+      struct((key + 1000000L).as("doc_id"),
+        concat(base.substr(lit(1), pos - 1), lit("@"),
+          base.substr(pos + 1, lit(19))).as("name")))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.name").as("name"))
+  }
+
+  test("ER 1-deletion signature join: linear growth, recall exactly 1") {
+    def cand(m: DataFrame): Long = {
+      val sigs = EntityResolution.signatureFrame(m, "doc_id", "name")
+      sigs.select(col("_h"), col("_id").as("id_a"))
+        .join(sigs.select(col("_h"), col("_id").as("id_b")), Seq("_h"))
+        .filter(col("id_a") < col("id_b")).count()
+    }
+    val candS = cand(erPlanted(600))
+    val candL = cand(erPlanted(3000))
+    val scale = 3000.0 / 600.0
+    info(s"er-signatures synthetic: n=600 cand=$candS -> n=3000 cand=$candL")
+    assert(candL <= math.max(candS, 50L) * scale * 3,
+      s"er-signatures: $candS -> $candL candidate rows at ${scale}x corpus " +
+        "with linear planted structure — the signature join grew a hot block")
+    // the 1-deletion family is a THEOREM at k=1, so unlike the sketch
+    // generators recall is exactly 1.0, not a lower bound
+    val found = EntityResolution.edOnePairs(erPlanted(3000), "doc_id", "name")
+      .filter(col("id_b") === col("id_a") + 1000000L).count()
+    assert(found == 3000L,
+      s"er-signatures: found $found of 3000 planted pairs — exactness broken")
+  }
 }
