@@ -94,8 +94,8 @@ object Bench {
       // r12 second wave: entity resolution (1-deletion-signature fuzzy
       // join + contracted-CC canonical entities) and DoReMi-lite
       // domain reweighting
-      "q_er_pairs", "q_er_entities", "q_er_admission",
-      "q_corpus_domain_reweight")
+      "q_er_pairs", "q_er_pairs_k2", "q_er_entities", "q_er_admission",
+      "q_corpus_domain_reweight", "q_profile_columns")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -142,6 +142,96 @@ object EntityResolution {
       .where(col("lev") <= 1)
   }
 
+  /** Even segment partition for PassJoin: string of length L splits into
+    * k+1 segments; segment i (0-based) has length ⌊L/(k+1)⌋ + (1 if
+    * i < L mod (k+1)) and 1-based start i·⌊L/(k+1)⌋ + min(i, L mod (k+1))
+    * + 1. Returns an array of struct(l, i, start, seg). */
+  private def segmentsOf(s: Column, k: Int): Column = {
+    val L = length(s)
+    val base = floor(L / lit(k + 1)).cast("int")
+    val rem = pmod(L, lit(k + 1))
+    transform(sequence(lit(0), lit(k)), i => {
+      val segLen = base + when(i < rem, 1).otherwise(0)
+      val start = (i * base + least(i, rem) + lit(1)).cast("int")
+      struct(L.as("l"), i.cast("int").as("i"), start.as("start"),
+        s.substr(start, segLen).as("seg"))
+    })
+  }
+
+  /** PassJoin probe substrings: for every source length l in
+    * [len(t)−k, len(t)+k] and segment index i, the substrings of t with
+    * that segment's length at start positions shifted by up to ±k —
+    * the windows an untouched segment of an edit-distance-≤k partner
+    * can land in. Invalid windows (outside t, zero-length segments)
+    * are filtered out. */
+  private def probesOf(t: Column, k: Int): Column = {
+    val lenT = length(t)
+    filter(
+      flatten(transform(sequence(lenT - lit(k), lenT + lit(k)), l =>
+        flatten(transform(sequence(lit(0), lit(k)), i => {
+          val base = floor(l / lit(k + 1)).cast("int")
+          val rem = pmod(l, lit(k + 1))
+          val segLen = base + when(i < rem, 1).otherwise(0)
+          val start = (i * base + least(i, rem) + lit(1)).cast("int")
+          transform(sequence(lit(-k), lit(k)), d => {
+            val p = (start + d).cast("int")
+            struct(l.cast("int").as("l"), i.cast("int").as("i"),
+              p.as("p"), t.substr(p, segLen).as("seg"),
+              segLen.as("seglen"))
+          })
+        })))),
+      pr => pr.getField("seglen") >= 1 && pr.getField("p") >= 1 &&
+        pr.getField("p") + pr.getField("seglen") - 1 <= lenT)
+  }
+
+  /** General-k fuzzy pairs: PassJoin segment blocking (Li et al., VLDB
+    * 2011). Pigeonhole: k edits touch at most k of the k+1 segments, so
+    * every distance-≤k pair shares one string's untouched segment as an
+    * exact substring of the other, at a start position shifted by at
+    * most k — an equi-join on (source length, segment index, segment
+    * text), never an all-pairs product. Probe fan-out is the constant
+    * (2k+1)²·(k+1) per string (75 at k=2); candidates are distinct-ed
+    * and exactly `levenshtein`-verified, so the result equals brute
+    * force (EntityResolutionSpec pins it). Strings shorter than k+1
+    * characters are excluded by contract (their segments would be
+    * empty — a production table routes those few rows to an exact
+    * short-key join); [[edOnePairs]] remains the k=1 fast path with no
+    * length floor. Output: id_a, id_b, name_a, name_b, lev. */
+  def passJoinPairs(mentions: DataFrame, idCol: String, strCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"passJoinPairs: k must be >= 1, got $k")
+    val m = mentions.where(length(col(strCol)) >= k + 1)
+    val segs = m.select(col(idCol).as("id_a"), col(strCol).as("name_a"),
+      explode(segmentsOf(col(strCol), k)).as("s"))
+      .select(col("id_a"), col("name_a"), col("s.l").as("l"),
+        col("s.i").as("i"), col("s.start").as("start"),
+        md5(col("s.seg")).as("_h"))
+    val probes = m.select(col(idCol).as("id_b"), col(strCol).as("name_b"),
+      explode(probesOf(col(strCol), k)).as("p"))
+      .select(col("id_b"), col("name_b"), col("p.l").as("l"),
+        col("p.i").as("i"), col("p.p").as("p"), md5(col("p.seg")).as("_h"))
+    segs.join(probes, Seq("l", "i", "_h"))
+      .where(col("id_a") =!= col("id_b") &&
+        abs(col("p") - col("start")) <= k)
+      // both orientations arrive (the theorem applies to either side's
+      // partition); canonicalize before the distinct so each unordered
+      // pair verifies once
+      .select(
+        least(col("id_a"), col("id_b")).as("pid_a"),
+        greatest(col("id_a"), col("id_b")).as("pid_b"),
+        when(col("id_a") < col("id_b"), col("name_a"))
+          .otherwise(col("name_b")).as("pname_a"),
+        when(col("id_a") < col("id_b"), col("name_b"))
+          .otherwise(col("name_a")).as("pname_b"))
+      .distinct()
+      .withColumn("lev",
+        levenshtein(col("pname_a"), col("pname_b")).cast("long"))
+      .where(col("lev") <= k)
+      .select(col("pid_a").as("id_a"), col("pid_b").as("id_b"),
+        col("pname_a").as("name_a"), col("pname_b").as("name_b"),
+        col("lev"))
+  }
+
   /** Daily-refresh admission: assign each incoming mention its matched
     * entity (minimum entity id among distance-≤1 dictionary hits — the
     * deterministic tie rule) or mint a new one (its own mention id).

@@ -49,11 +49,19 @@ object EntityQueries extends QueryModule {
     val base = baseName(key)
     val pos = (pmod(key, lit(20)) + 1).cast("int")
     val pos2 = (pmod(key * 7, lit(20)) + 1).cast("int")
+    val posB = (pmod(key + 7, lit(20)) + 1).cast("int")
     Tables.customer(spark, dir).select(key.as("key"), base.as("base"),
       concat(base.substr(lit(1), pos - 1), lit("@"),
         base.substr(pos + 1, lit(BaseLen))).as("sub1"),
       concat(base.substr(lit(1), pos2 - 1),
-        base.substr(pos2 + 1, lit(BaseLen))).as("del1"))
+        base.substr(pos2 + 1, lit(BaseLen))).as("del1"),
+      posB.as("posB"))
+      // double substitution: '#' into sub1 at posB = (key+7)%20+1 —
+      // always a DIFFERENT position than sub1's '@' at key%20+1, so
+      // dsub is exactly distance 2 from base and 1 from sub1
+      .withColumn("dsub", concat(col("sub1").substr(lit(1), col("posB") - 1),
+        lit("#"), col("sub1").substr(col("posB") + 1, lit(BaseLen))))
+      .drop("posB")
   }
 
   /** Deterministic mention table: up to 4 mentions per customer.
@@ -83,6 +91,34 @@ object EntityQueries extends QueryModule {
   /** All mention pairs within edit distance 1 — the blocked fuzzy join. */
   def erPairs(spark: SparkSession, dir: String): DataFrame =
     EntityResolution.edOnePairs(mentions(spark, dir), "mention_id", "name")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The k=2 fixture: base + substitution always; the distance-2 double
+    * substitution for even keys; the deletion (length 19 — exercises
+    * the cross-length probe legs) for keys ≡0 mod 3. */
+  private[queries] def mentions2(spark: SparkSession, dir: String): DataFrame = {
+    val key = col("key")
+    val variants = array(
+      struct((key * 4).as("mention_id"), col("base").as("name"),
+        lit(true).as("keep")),
+      struct((key * 4 + 1).as("mention_id"), col("sub1").as("name"),
+        lit(true).as("keep")),
+      struct((key * 4 + 2).as("mention_id"), col("dsub").as("name"),
+        (pmod(key, lit(2)) === 0).as("keep")),
+      struct((key * 4 + 3).as("mention_id"), col("del1").as("name"),
+        (pmod(key, lit(3)) === 0).as("keep")))
+    withVariants(spark, dir)
+      .select(explode(variants).as("m"))
+      .where(col("m.keep"))
+      .select(col("m.mention_id").as("mention_id"), col("m.name").as("name"))
+  }
+
+  /** All mention pairs within edit distance 2 — PassJoin segment
+    * blocking, the general-k scale path next to q_er_pairs' k=1
+    * signature fast path. */
+  def erPairsK2(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.passJoinPairs(mentions2(spark, dir),
+      "mention_id", "name", k = 2)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Canonical entities from the match graph (contracted CC path). */
@@ -115,6 +151,7 @@ object EntityQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_er_pairs" -> erPairs,
+    "q_er_pairs_k2" -> erPairsK2,
     "q_er_entities" -> erEntities,
     "q_er_admission" -> erAdmission)
 
@@ -122,17 +159,21 @@ object EntityQueries extends QueryModule {
     * byte-identical across engines; % on the non-negative key ≡ pmod). */
   private val variantsCte: String =
     """variants AS (
-      |  SELECT c_custkey, base,
-      |    substr(base, 1, pos - 1) || '@' || substr(base, pos + 1) AS sub1,
-      |    substr(base, 1, pos2 - 1) || substr(base, pos2 + 1) AS del1
+      |  SELECT c_custkey, base, sub1, del1,
+      |    substr(sub1, 1, posB - 1) || '#' || substr(sub1, posB + 1) AS dsub
       |  FROM (
-      |    SELECT c_custkey,
-      |      'cust-' ||
-      |        substr(md5(lpad(CAST(c_custkey AS VARCHAR), 12, '0')), 1, 8) ||
-      |        '-' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS base,
-      |      CAST(c_custkey % 20 + 1 AS INTEGER) AS pos,
-      |      CAST((c_custkey * 7) % 20 + 1 AS INTEGER) AS pos2
-      |    FROM customer))""".stripMargin
+      |    SELECT c_custkey, base,
+      |      substr(base, 1, pos - 1) || '@' || substr(base, pos + 1) AS sub1,
+      |      substr(base, 1, pos2 - 1) || substr(base, pos2 + 1) AS del1,
+      |      CAST((c_custkey + 7) % 20 + 1 AS INTEGER) AS posB
+      |    FROM (
+      |      SELECT c_custkey,
+      |        'cust-' ||
+      |          substr(md5(lpad(CAST(c_custkey AS VARCHAR), 12, '0')), 1, 8) ||
+      |          '-' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS base,
+      |        CAST(c_custkey % 20 + 1 AS INTEGER) AS pos,
+      |        CAST((c_custkey * 7) % 20 + 1 AS INTEGER) AS pos2
+      |      FROM customer)))""".stripMargin
 
   private val mentionsCte: String = variantsCte + """,
       |mentions AS (
@@ -235,8 +276,64 @@ object EntityQueries extends QueryModule {
        |FROM inc i LEFT JOIN matched t USING (mention_id)
        |ORDER BY mention_id""".stripMargin
 
+  /** PassJoin mirror: the same even segment partition, probe windows as
+    * constant ±2 offset series (no laterals), candidate canonicalization
+    * and exact verify — independent only in dialect, so the SPEC-level
+    * brute-force equality (EntityResolutionSpec) is the semantic anchor
+    * and this mirror checks the engines execute the same algorithm on
+    * the same fixture. */
+  private def erPairsK2Sql: String =
+    s"""WITH $variantsCte,
+       |mentions2 AS (
+       |  SELECT mention_id, name FROM (
+       |    SELECT c_custkey * 4 + v.j AS mention_id,
+       |      CASE v.j WHEN 1 THEN sub1 WHEN 2 THEN dsub
+       |               WHEN 3 THEN del1 ELSE base END AS name,
+       |      CASE v.j WHEN 2 THEN c_custkey % 2 = 0
+       |               WHEN 3 THEN c_custkey % 3 = 0
+       |               ELSE TRUE END AS keep
+       |    FROM variants,
+       |    (SELECT unnest([0, 1, 2, 3]) AS j) v)
+       |  WHERE keep),
+       |m AS (SELECT mention_id, name, length(name) AS lent
+       |      FROM mentions2 WHERE length(name) >= 3),
+       |segs AS (
+       |  SELECT mention_id AS id_a, name AS name_a, lent AS l, i.i AS i,
+       |    i.i * (lent // 3) + least(i.i, lent % 3) + 1 AS start,
+       |    md5(substr(name, i.i * (lent // 3) + least(i.i, lent % 3) + 1,
+       |      (lent // 3) + CASE WHEN i.i < lent % 3 THEN 1 ELSE 0 END)) AS h
+       |  FROM m, (SELECT unnest(generate_series(0, 2)) AS i) i),
+       |probe_li AS (
+       |  SELECT mention_id AS id_b, name AS name_b, lent,
+       |    lent + dl.dl AS l, i.i AS i,
+       |    ((lent + dl.dl) // 3)
+       |      + CASE WHEN i.i < (lent + dl.dl) % 3 THEN 1 ELSE 0 END AS seglen,
+       |    i.i * ((lent + dl.dl) // 3)
+       |      + least(i.i, (lent + dl.dl) % 3) + 1 AS start
+       |  FROM m,
+       |    (SELECT unnest(generate_series(-2, 2)) AS dl) dl,
+       |    (SELECT unnest(generate_series(0, 2)) AS i) i),
+       |probes AS (
+       |  SELECT id_b, name_b, l, i, start + d.d AS p,
+       |    md5(substr(name_b, start + d.d, seglen)) AS h
+       |  FROM probe_li, (SELECT unnest(generate_series(-2, 2)) AS d) d
+       |  WHERE seglen >= 1 AND start + d.d >= 1
+       |    AND start + d.d + seglen - 1 <= lent),
+       |cand AS (
+       |  SELECT DISTINCT
+       |    least(s.id_a, p.id_b) AS id_a, greatest(s.id_a, p.id_b) AS id_b,
+       |    CASE WHEN s.id_a < p.id_b THEN s.name_a ELSE p.name_b END AS name_a,
+       |    CASE WHEN s.id_a < p.id_b THEN p.name_b ELSE s.name_a END AS name_b
+       |  FROM segs s JOIN probes p ON s.l = p.l AND s.i = p.i AND s.h = p.h
+       |  WHERE s.id_a <> p.id_b AND abs(p.p - s.start) <= 2)
+       |SELECT id_a, id_b, name_a, name_b,
+       |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+       |FROM cand WHERE levenshtein(name_a, name_b) <= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "q_er_pairs" -> erPairsSql,
+    "q_er_pairs_k2" -> erPairsK2Sql,
     "q_er_entities" -> erEntitiesSql,
     "q_er_admission" -> erAdmissionSql)
 }

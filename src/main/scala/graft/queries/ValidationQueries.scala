@@ -112,11 +112,23 @@ object ValidationQueries extends QueryModule {
       .orderBy(col("check"))
   }
 
+  /** Column profile over lineitem's mixed types (int/double/string/
+    * timestamp): counts, exact + approx distinct with the engine-side
+    * approx_ok audit (the HLL-report convention — each engine checks
+    * ITS approximate sketch against the exact count, threshold 15%),
+    * typed min/max. */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.profile(Tables.lineitem(spark, dir),
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_linestatus", "l_shipdate"))
+      .orderBy(col("col_name"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_validate_expectations" -> expectations,
     "q_validate_csv" -> csvReport,
     "q_validate_coverage" -> coverage,
     "q_master_merge" -> masterMerge,
+    "q_profile_columns" -> profileColumns,
     "q_export_audit" -> exportAudit)
 
   private val sectionsCte =
@@ -159,8 +171,38 @@ object ValidationQueries extends QueryModule {
       |  CAST(n.n_rows AS BIGINT) AS n_rows, v.violations = 0 AS pass
       |FROM v, n ORDER BY v."check"""".stripMargin
 
+  /** One profile row per column, each engine auditing its own approx
+    * sketch (threshold mirrors Profiler.ApproxTol). */
+  private def profileColSql(c: String, kind: String): String = {
+    val (minNum, maxNum, minStr, maxStr) = kind match {
+      case "num" => (s"ROUND(CAST(MIN($c) AS DOUBLE), 6)",
+        s"ROUND(CAST(MAX($c) AS DOUBLE), 6)",
+        "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      case "ts" => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+        s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S')",
+        s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S')")
+      case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+        s"MIN($c)", s"MAX($c)")
+    }
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+       |  COUNT(DISTINCT $c) AS n_distinct,
+       |  CAST(abs(approx_count_distinct($c) - COUNT(DISTINCT $c)) AS DOUBLE)
+       |    / COUNT(DISTINCT $c) <= 0.15 AS approx_ok,
+       |  $minNum AS min_num, $maxNum AS max_num,
+       |  $minStr AS min_str, $maxStr AS max_str
+       |FROM lineitem""".stripMargin
+  }
+
+  private val profileSql: String = Seq(
+    "l_orderkey" -> "num", "l_linenumber" -> "num", "l_quantity" -> "num",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
+    .map { case (c, k) => profileColSql(c, k) }
+    .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   override def oracle: Map[String, String] = Map(
     "q_validate_expectations" -> expectationsSql,
+    "q_profile_columns" -> profileSql,
     "q_validate_csv" ->
       """WITH d AS (
         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL

@@ -80,6 +80,43 @@ class EntityResolutionSpec extends SparkSpecBase {
     assert(byId(11L)._2 == 11L && byId(12L)._2 == 12L)
   }
 
+  // PassJoin k=2 fixture: length >= 3 (the documented floor), mixed
+  // lengths, pairs at distance 0/1/2 and negatives at 3+
+  private val names2 = Seq(
+    1L -> "alphabet", 2L -> "alphabet", // equal
+    3L -> "alphabXt", // 1 sub
+    4L -> "alphaXYt", // 2 subs
+    5L -> "alphabe", // 1 del
+    6L -> "alphab", // 2 dels
+    7L -> "alphabets", // 1 ins
+    8L -> "alphabetsz", // 2 ins
+    9L -> "laphabet", // transposition = 2
+    10L -> "alpXYZet", // 3 subs — must NOT match 1 (lev 3)
+    11L -> "zebra", 12L -> "zebr", 13L -> "zbr", // chain of dels
+    14L -> "abc", 15L -> "axc", 16L -> "xyc") // short strings
+
+  test("passJoinPairs equals brute-force all-pairs at distance <= 2") {
+    val m = names2.toDF("id", "name")
+    val got = EntityResolution.passJoinPairs(m, "id", "name", k = 2)
+      .select("id_a", "id_b", "lev")
+    val a = m.select(col("id").as("id_a"), col("name").as("name_a"))
+    val b = m.select(col("id").as("id_b"), col("name").as("name_b"))
+    val expect = a.crossJoin(b) // test-only oracle: 16×16
+      .where(col("id_a") < col("id_b"))
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("lev") <= 2)
+      .select("id_a", "id_b", "lev")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      s"PassJoin diverged from brute force:\n got=${got.collect().toSeq
+        .sortBy(r => (r.getLong(0), r.getLong(1)))}\n exp=${expect.collect()
+        .toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))}")
+    val pairs = got.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 9L)), "transposition (lev 2) must match at k=2")
+    assert(!pairs.contains((1L, 10L)), "lev-3 pair must not match")
+    assert(pairs.contains((11L, 13L)), "two deletions across lengths must match")
+  }
+
   test("admitMentions: min-entity tie rule and novel minting") {
     val dict = Seq(10L -> "aa", 20L -> "ab").toDF("id", "name")
     val inc = Seq(5L -> "ac", 6L -> "zz").toDF("id", "name")
