@@ -95,7 +95,7 @@ object Bench {
       // join + contracted-CC canonical entities) and DoReMi-lite
       // domain reweighting
       "q_er_pairs", "q_er_pairs_k2", "q_er_entities", "q_er_admission",
-      "q_corpus_domain_reweight", "q_profile_columns")
+      "q_corpus_domain_reweight", "q_profile_columns", "q_knn_mips")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

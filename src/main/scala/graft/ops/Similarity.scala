@@ -140,6 +140,67 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Exact max-inner-product top-k (brute) — the MIPS oracle surface.
+    * Inner product, unlike cosine, rewards magnitude (the
+    * recommendation/reward-model retrieval metric: score = u·v, not
+    * angle), so it gets its own ranking: round-4 ip, descending, vec_id
+    * tiebreak, self-matches excluded. */
+  def mipsTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      ipRound: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ip", round(dot(col("v"), col("qv")), ipRound))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("ip"))
+  }
+
+  /** MIPS → cosine reduction (the Bachrach et al. 2014 norm
+    * augmentation), probed with the SAME IVF machinery, reported as
+    * recall@k against the exact brute MIPS: corpus vector x becomes
+    * [x ; √(M²−‖x‖²)] (M = max corpus norm — every augmented vector has
+    * norm exactly M), query q becomes [q ; 0], so cos(u(x), u(q)) =
+    * (x·q)/(M‖q‖) — COSINE ranking of augmented vectors IS inner-product
+    * ranking, and the whole existing ANN stack (cells, probes, persisted
+    * indexes) applies to MIPS unchanged. Augmented coordinates are
+    * float-rounded (the fixture embedding convention) so the mirror
+    * rebuilds them in single precision; M travels as one driver-side
+    * scalar (the centroid-matrix convention), recomputed by the mirror
+    * from its own MAX(norm). Scale: one norm pass + the IVF path —
+    * candidates/query ≈ N·nProbe/cells, never N². */
+  def mipsRecall(emb: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val brute = mipsTopK(emb, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = withNorm(emb, "vec_id", "embedding")
+    val m = e.agg(max(col("nrm"))).collect()(0).getDouble(0)
+    val augE = e.select(col("vec_id"),
+      transform(concat(col("v"),
+        array(sqrt(lit(m) * lit(m) - col("nrm") * col("nrm")))),
+        x => x.cast("float")).as("embedding"))
+    val augQ = withNorm(queries, "vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(concat(col("v"), array(lit(0.0))),
+          x => x.cast("float")).as("embedding"))
+    val ivf = ivfTopK(augE, augQ, k, numCells, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 4)
+          .as("recall_at_k"))
+  }
+
   /** Maximal-marginal-relevance diversified top-k: greedily picks k of
     * the `candK` most relevant candidates, each step maximizing
     * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) (ties → smaller id) — the

@@ -28,6 +28,15 @@ object SimilarityQueries extends QueryModule {
       Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
       .orderBy(col("query_id"), col("rk"))
 
+  /** MIPS recall@5: norm-augmented IVF probe (4 of 16 cells over
+    * [x ; √(M²−‖x‖²)] vectors) against exact brute inner-product top-5 —
+    * the reduction that lets the whole cosine ANN stack serve
+    * inner-product retrieval. */
+  def knnMips(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mipsRecall(Tables.embeddings(spark, dir),
+      queryVecs(spark, dir), K)
+      .orderBy(col("query_id"))
+
   /** LSH-bucketed approximate top-5 (8 hyperplanes → 256 buckets). */
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(
@@ -380,6 +389,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_rproj" -> rproj,
     "q_sim_semdedup" -> semdedup,
     "q_knn_brute" -> knnBrute,
+    "q_knn_mips" -> knnMips,
     "q_knn_recall" -> knnRecall,
     "q_knn_tuning" -> knnTuning,
     "q_knn_tuning_pq" -> knnTuningPq,
@@ -557,6 +567,115 @@ object SimilarityQueries extends QueryModule {
          |  ROUND(COALESCE(h.n_hits, 0) / ${K.toDouble}, 4) AS recall_at_k
          |FROM (SELECT vec_id FROM n WHERE vec_id % 100 = 0) q
          |LEFT JOIN hits h ON h.query_id = q.vec_id
+         |ORDER BY query_id""".stripMargin
+
+  /** 65-dim distance for the norm-augmented space. */
+  private val adistSql = (a: String, b: String) =>
+    s"list_sum(list_transform(range(1, 66), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  private val adotSql =
+    "list_sum(list_transform(range(1, 66), i -> a.v[i] * q.v[i]))"
+
+  /** MIPS recall mirror: rebuilds the norm augmentation in single
+    * precision from DuckDB's OWN MAX(norm) (the adaptive-depth
+    * convention — the Spark side inlines the same scalar as a literal),
+    * replays the IVF cell block over the 65-dim augmented space with a
+    * SEPARATE query-probe ranking (queries augment with 0, not the
+    * √(M²−‖x‖²) term, so they are NOT corpus members here), and counts
+    * overlap against the brute inner-product leg. */
+  private def knnMipsSql: String =
+    normCte +
+      s""", mmx AS (SELECT MAX(nrm) AS m FROM n
+         |), af AS (
+         |  SELECT vec_id,
+         |    list_transform(list_append(v, sqrt(mmx.m * mmx.m - nrm * nrm)),
+         |      x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS v
+         |  FROM n, mmx
+         |), aq AS (
+         |  SELECT vec_id,
+         |    list_transform(list_append(v, 0.0),
+         |      x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS v
+         |  FROM n WHERE vec_id % 100 = 0
+         |), mseeds AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |    AS cell, v
+         |  FROM (SELECT vec_id, v FROM af ORDER BY vec_id LIMIT 16)
+         |), mxs AS (
+         |  SELECT vec_id, unnest(generate_series(0, len(v) - 1)) AS dim,
+         |         unnest(v) AS x
+         |  FROM af
+         |), ma0 AS (
+         |  SELECT e.vec_id, s.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${adistSql("e.v", "s.v")}, s.cell) AS rk
+         |  FROM af e CROSS JOIN mseeds s
+         |), mcell0 AS (SELECT vec_id, cell FROM ma0 WHERE rk = 1
+         |), mrefined AS (
+         |  SELECT c.cell, mxs.dim,
+         |    CAST(SUM(CAST(mxs.x AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM mcell0 c JOIN mxs ON mxs.vec_id = c.vec_id
+         |  GROUP BY c.cell, mxs.dim
+         |), mcents0 AS (
+         |  SELECT cell, list(m ORDER BY dim) AS cv FROM mrefined GROUP BY cell
+         |), mcents AS (
+         |  SELECT s.cell, COALESCE(c0.cv, s.v) AS cv
+         |  FROM mseeds s LEFT JOIN mcents0 c0 ON c0.cell = s.cell
+         |), ma1 AS (
+         |  SELECT e.vec_id, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${adistSql("e.v", "c.cv")}, c.cell) AS rk
+         |  FROM af e CROSS JOIN mcents c
+         |), mecell AS (SELECT vec_id, cell FROM ma1 WHERE rk = 1
+         |), mq1 AS (
+         |  SELECT q.vec_id, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${adistSql("q.v", "c.cv")}, c.cell) AS rk
+         |  FROM aq q CROSS JOIN mcents c
+         |), mqprobe AS (SELECT vec_id, cell FROM mq1 WHERE rk <= 4
+         |), afn AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM af
+         |), aqn AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM aq
+         |), mcand AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         |  FROM mqprobe q JOIN mecell e
+         |    ON e.cell = q.cell AND e.vec_id <> q.vec_id
+         |), mscored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ROUND($adotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM mcand c JOIN afn a ON a.vec_id = c.neighbor_id
+         |    JOIN aqn q ON q.vec_id = c.query_id
+         |), mranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM mscored
+         |), pscored AS (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    ROUND($dotSql, 4) AS ip
+         |  FROM n a, n q
+         |  WHERE q.vec_id % 100 = 0 AND a.vec_id <> q.vec_id
+         |), pranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ip DESC, neighbor_id) AS rk
+         |  FROM pscored
+         |), mhits AS (
+         |  SELECT i.query_id, COUNT(*) AS n_hits
+         |  FROM (SELECT query_id, neighbor_id FROM mranked WHERE rk <= $K) i
+         |  JOIN (SELECT query_id, neighbor_id FROM pranked WHERE rk <= $K) b
+         |    USING (query_id, neighbor_id)
+         |  GROUP BY i.query_id)
+         |SELECT q.vec_id AS query_id,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  ROUND(COALESCE(h.n_hits, 0) / ${K.toDouble}, 4) AS recall_at_k
+         |FROM (SELECT vec_id FROM n WHERE vec_id % 100 = 0) q
+         |LEFT JOIN mhits h ON h.query_id = q.vec_id
          |ORDER BY query_id""".stripMargin
 
   /** Tuning-curve mirror: ia1's per-query FULL cell ranking (the probe
@@ -1288,6 +1407,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_recall" -> knnRecallSql,
+    "q_knn_mips" -> knnMipsSql,
     "q_knn_tuning" -> knnTuningSql,
     "q_knn_tuning_pq" -> knnTuningPqSql,
     "q_knn_pq" -> knnPqSql,
