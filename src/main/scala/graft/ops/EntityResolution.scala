@@ -61,13 +61,26 @@ object EntityResolution {
     * shuffle key regardless of name length; the levenshtein verify every
     * consumer applies makes a hash collision harmless. At deployment
     * scale the CORPUS side of [[edOnePairsAgainst]] persists this frame
-    * as a write-once ingest artifact (the lshPairsAgainst convention). */
+    * as a write-once ingest artifact (the lshPairsAgainst convention).
+    *
+    * Generated as explode(sequence) + a PLAIN projection, not via
+    * [[deletionSignatures]]: higher-order array functions (transform/
+    * filter) are CodegenFallback — interpreted per element — and the
+    * interpreted struct building dominated the whole join at sf0.1.
+    * i = 0 emits the string itself; i in 1..len the i-th deletion.
+    * EntityResolutionSpec pins row-set equality with the array form. */
   private[graft] def signatureFrame(df: DataFrame, idCol: String,
-      strCol: String): DataFrame =
-    df.select(
-      col(idCol).as("_id"), col(strCol).as("_name"),
-      explode(deletionSignatures(col(strCol))).as("_sig"))
-      .select(col("_id"), col("_name"), md5(col("_sig")).as("_h"))
+      strCol: String): DataFrame = {
+    val s = col("_name")
+    val i = col("_i")
+    df.select(col(idCol).as("_id"), col(strCol).as("_name"))
+      .select(col("_id"), col("_name"),
+        explode(sequence(lit(0), length(s).cast("int"))).as("_i"))
+      .select(col("_id"), col("_name"),
+        md5(when(i === 0, s).otherwise(
+          concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+          .as("_h"))
+  }
 
   /** All pairs (id_a < id_b) of mentions within Levenshtein distance ≤ 1,
     * with the verified distance. Exact — candidate generation is the
@@ -81,7 +94,10 @@ object EntityResolution {
       col("_id").as("id_a"), col("_name").as("name_a"))
     val right = sigs.select(col("_h"),
       col("_id").as("id_b"), col("_name").as("name_b"))
-    left.join(right, "_h")
+    // shuffle-hash, not broadcast: both sides are the (len+1)× signature
+    // fan-out of the mention table — the static planner only sees the
+    // source scan's size and would broadcast a million-row frame
+    left.hint("shuffle_hash").join(right, "_h")
       .where(col("id_a") < col("id_b"))
       // distinct BEFORE the verify: a pair sharing k signatures arrives
       // k times; dedup on the (narrow) pair key, then verify once
@@ -133,7 +149,8 @@ object EntityResolution {
       col("_id").as("corpus_id"), col("_name").as("corpus_name"))
     val inc = signatureFrame(incoming, idCol, strCol).select(col("_h"),
       col("_id").as("incoming_id"), col("_name").as("incoming_name"))
-    inc.join(corp, "_h")
+    // the corpus signature fan-out is the big side — never broadcast it
+    inc.hint("shuffle_hash").join(corp, "_h")
       .select(col("incoming_id"), col("incoming_name"),
         col("corpus_id"), col("corpus_name"))
       .distinct()
@@ -142,46 +159,71 @@ object EntityResolution {
       .where(col("lev") <= 1)
   }
 
-  /** Even segment partition for PassJoin: string of length L splits into
-    * k+1 segments; segment i (0-based) has length ⌊L/(k+1)⌋ + (1 if
-    * i < L mod (k+1)) and 1-based start i·⌊L/(k+1)⌋ + min(i, L mod (k+1))
-    * + 1. Returns an array of struct(l, i, start, seg). */
-  private def segmentsOf(s: Column, k: Int): Column = {
-    val L = length(s)
-    val base = floor(L / lit(k + 1)).cast("int")
+  /** Even segment partition for PassJoin, as a FRAME of one row per
+    * (string, segment): string of length L splits into k+1 segments;
+    * segment i (0-based) has length ⌊L/(k+1)⌋ + (1 if i < L mod (k+1))
+    * and 1-based start i·⌊L/(k+1)⌋ + min(i, L mod (k+1)) + 1. Built with
+    * explode(sequence) + plain projections — NOT nested array
+    * higher-order functions, which are CodegenFallback and dominated the
+    * sf0.1 wall-clock when this was an array column. Output:
+    * (id_a, name_a, l, i, _h). */
+  private[graft] def segFrame(m: DataFrame, idCol: String,
+      strCol: String, k: Int): DataFrame = {
+    val L = length(col("_s")).cast("int")
+    val i = col("_i")
+    val base = (L / lit(k + 1)).cast("int")
     val rem = pmod(L, lit(k + 1))
-    transform(sequence(lit(0), lit(k)), i => {
-      val segLen = base + when(i < rem, 1).otherwise(0)
-      val start = (i * base + least(i, rem) + lit(1)).cast("int")
-      struct(L.as("l"), i.cast("int").as("i"), start.as("start"),
-        s.substr(start, segLen).as("seg"))
-    })
+    val start = (i * base + least(i, rem) + lit(1)).cast("int")
+    val segLen = (base + when(i < rem, 1).otherwise(0)).cast("int")
+    m.select(col(idCol).as("_id"), col(strCol).as("_s"))
+      .select(col("_id"), col("_s"),
+        explode(sequence(lit(0), lit(k))).as("_i"))
+      .select(col("_id").as("id_a"), col("_s").as("name_a"),
+        L.as("l"), i.as("i"),
+        md5(col("_s").substr(start, segLen)).as("_h"))
   }
 
-  /** PassJoin probe substrings: for every source length l in
-    * [len(t)−k, len(t)+k] and segment index i, the substrings of t with
-    * that segment's length at start positions shifted by up to ±k —
-    * the windows an untouched segment of an edit-distance-≤k partner
-    * can land in. Invalid windows (outside t, zero-length segments)
-    * are filtered out. */
-  private def probesOf(t: Column, k: Int): Column = {
-    val lenT = length(t)
-    filter(
-      flatten(transform(sequence(lenT - lit(k), lenT + lit(k)), l =>
-        flatten(transform(sequence(lit(0), lit(k)), i => {
-          val base = floor(l / lit(k + 1)).cast("int")
-          val rem = pmod(l, lit(k + 1))
-          val segLen = base + when(i < rem, 1).otherwise(0)
-          val start = (i * base + least(i, rem) + lit(1)).cast("int")
-          transform(sequence(lit(-k), lit(k)), d => {
-            val p = (start + d).cast("int")
-            struct(l.cast("int").as("l"), i.cast("int").as("i"),
-              p.as("p"), t.substr(p, segLen).as("seg"),
-              segLen.as("seglen"))
-          })
-        })))),
-      pr => pr.getField("seglen") >= 1 && pr.getField("p") >= 1 &&
-        pr.getField("p") + pr.getField("seglen") - 1 <= lenT)
+  /** PassJoin probe substrings with the paper's MULTI-MATCH-AWARE
+    * window (Li et al., VLDB 2011 — complete): for source length l in
+    * [len(t)−k, len(t)+k] and segment index i, the shift d = p − start_i
+    * of an untouched segment is bounded BOTH by the edits that can
+    * precede/follow segment i (−min(i,k) ≤ d ≤ min(i,k)) AND by the net
+    * length difference Δ = len(t) − l it must absorb:
+    * Δ−(k−i) ≤ d ≤ Δ+(k−i). At i=0 and Δ=0 this pins p = start exactly —
+    * the windows shrink from (2k+1)²(k+1) to ≈ (k+1)² per (t, l) without
+    * losing a single true pair (EntityResolutionSpec's brute-force
+    * equality covers mixed lengths). Same explode-not-HOF construction
+    * as [[segFrame]]; only valid d values are ever generated. Output:
+    * (id_b, name_b, l, i, _h) — `start` is a pure function of (l, i),
+    * so the position constraint is already baked in and the join needs
+    * no residual position filter. */
+  private[graft] def probeFrame(m: DataFrame, idCol: String,
+      strCol: String, k: Int): DataFrame = {
+    val lenT = length(col("_t")).cast("int")
+    val l = col("_l")
+    val i = col("_i")
+    val base = (l / lit(k + 1)).cast("int")
+    val rem = pmod(l, lit(k + 1))
+    val segLen = (base + when(i < rem, 1).otherwise(0)).cast("int")
+    val start = (i * base + least(i, rem) + lit(1)).cast("int")
+    val delta = lenT - l
+    val dLo = greatest(lit(-k), -i, delta - (lit(k) - i))
+    val dHi = least(lit(k), i, delta + (lit(k) - i))
+    val p = (start + col("_d")).cast("int")
+    m.select(col(idCol).as("_id"), col(strCol).as("_t"))
+      .select(col("_id"), col("_t"),
+        explode(sequence(lenT - lit(k), lenT + lit(k))).as("_l"))
+      .where(l >= k + 1)
+      .select(col("_id"), col("_t"), col("_l"),
+        explode(sequence(lit(0), lit(k))).as("_i"))
+      .where(segLen >= 1)
+      .select(col("_id"), col("_t"), col("_l"), col("_i"),
+        explode(when(dLo <= dHi, sequence(dLo, dHi))
+          .otherwise(array().cast("array<int>"))).as("_d"))
+      .where(p >= 1 && p + segLen - 1 <= lenT)
+      .select(col("_id").as("id_b"), col("_t").as("name_b"),
+        l.as("l"), i.as("i"),
+        md5(col("_t").substr(p, segLen)).as("_h"))
   }
 
   /** General-k fuzzy pairs: PassJoin segment blocking (Li et al., VLDB
@@ -189,9 +231,10 @@ object EntityResolution {
     * every distance-≤k pair shares one string's untouched segment as an
     * exact substring of the other, at a start position shifted by at
     * most k — an equi-join on (source length, segment index, segment
-    * text), never an all-pairs product. Probe fan-out is the constant
-    * (2k+1)²·(k+1) per string (75 at k=2); candidates are distinct-ed
-    * and exactly `levenshtein`-verified, so the result equals brute
+    * text), never an all-pairs product. Probe fan-out per string is
+    * bounded by the multi-match-aware windows (≈ (k+1)² per source
+    * length — see [[probeFrame]]); candidates are distinct-ed and
+    * exactly `levenshtein`-verified, so the result equals brute
     * force (EntityResolutionSpec pins it). Strings shorter than k+1
     * characters are excluded by contract (their segments would be
     * empty — a production table routes those few rows to an exact
@@ -201,18 +244,18 @@ object EntityResolution {
       k: Int): DataFrame = {
     require(k >= 1, s"passJoinPairs: k must be >= 1, got $k")
     val m = mentions.where(length(col(strCol)) >= k + 1)
-    val segs = m.select(col(idCol).as("id_a"), col(strCol).as("name_a"),
-      explode(segmentsOf(col(strCol), k)).as("s"))
-      .select(col("id_a"), col("name_a"), col("s.l").as("l"),
-        col("s.i").as("i"), col("s.start").as("start"),
-        md5(col("s.seg")).as("_h"))
-    val probes = m.select(col(idCol).as("id_b"), col(strCol).as("name_b"),
-      explode(probesOf(col(strCol), k)).as("p"))
-      .select(col("id_b"), col("name_b"), col("p.l").as("l"),
-        col("p.i").as("i"), col("p.p").as("p"), md5(col("p.seg")).as("_h"))
-    segs.join(probes, Seq("l", "i", "_h"))
-      .where(col("id_a") =!= col("id_b") &&
-        abs(col("p") - col("start")) <= k)
+    val segs = segFrame(m, idCol, strCol, k)
+    val probes = probeFrame(m, idCol, strCol, k)
+    // SHUFFLE_HASH, not broadcast: both sides are generator fan-outs of
+    // the mention table (the static planner only sees the tiny parquet
+    // and would happily broadcast the (2k+1)-windowed probe side — the
+    // measured 20× regression at sf0.1); at deployment scale neither
+    // side fits an executor, so the shuffled hash join on the
+    // fixed-width (l, i, md5) key is the only shape that survives 100×.
+    // No residual position filter: the multi-match-aware windows bake
+    // the shift bound into probe generation.
+    segs.hint("shuffle_hash").join(probes, Seq("l", "i", "_h"))
+      .where(col("id_a") =!= col("id_b"))
       // both orientations arrive (the theorem applies to either side's
       // partition); canonicalize before the distinct so each unordered
       // pair verifies once

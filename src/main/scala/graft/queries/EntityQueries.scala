@@ -96,7 +96,7 @@ object EntityQueries extends QueryModule {
   /** The k=2 fixture: base + substitution always; the distance-2 double
     * substitution for even keys; the deletion (length 19 — exercises
     * the cross-length probe legs) for keys ≡0 mod 3. */
-  private[queries] def mentions2(spark: SparkSession, dir: String): DataFrame = {
+  def mentions2(spark: SparkSession, dir: String): DataFrame = {
     val key = col("key")
     val variants = array(
       struct((key * 4).as("mention_id"), col("base").as("name"),

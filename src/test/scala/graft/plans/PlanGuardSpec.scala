@@ -60,6 +60,10 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_knn_recall" -> ("recall evaluation composes the q_knn_brute " +
       "baseline as its exact leg — the same fixed probe-set broadcast; " +
       "the IVF leg and the intersection are equi-joins"),
+    "q_knn_mips" -> ("MIPS recall composes the brute inner-product " +
+      "baseline as its exact leg — the same fixed probe-set broadcast " +
+      "against one linear corpus scan; the norm-augmented IVF leg and " +
+      "the overlap count are equi-joins"),
     "q_knn_pq" -> ("PQ search broadcasts the same fixed probe-vector set " +
       "to build per-query distance tables; corpus side is one scan"),
     "q_search_hybrid_rrf" -> ("hybrid retrieval broadcasts the fixed " +
