@@ -496,4 +496,59 @@ object CorpusFilters {
         expr(s"cum_start % $budget").as("seq_offset"),
         (col("last_seq") - col("first_seq")).as("n_splits"))
   }
+
+  /** Broadcast-dictionary phrase scan — the safety/blocklist face of
+    * corpus curation: a small curated dictionary of multi-word phrases,
+    * each tagged with a severity, matched POSITIONALLY (every occurrence
+    * counts, unlike `decontaminate`'s distinct-gram overlap) against
+    * every document, folded into a per-doc verdict cascade:
+    *   block — any 'block'-severity phrase occurs at all;
+    *   flag  — 'flag'-severity occurrences total ≥ flagAt;
+    *   keep  — otherwise (including docs with zero matches).
+    *
+    * Scale posture: the dictionary is driver-side tiny BY DEFINITION
+    * (a reviewed blocklist), so it broadcasts; the corpus side makes
+    * ONE explode pass per DISTINCT phrase length (a 10k-phrase list has
+    * 2–4 lengths, not 10k patterns — the reason this beats a regex
+    * alternation: the scan cost is O(words · #lengths), independent of
+    * dictionary size, and the gram→phrase match is a broadcast hash
+    * join, never a per-row regex over the whole alternation). Counts
+    * aggregate partially map-side on (doc, phrase) before the per-doc
+    * fold. */
+  def blocklistScan(docs: DataFrame, docId: String, textCol: String,
+      dict: Seq[(String, String)], flagAt: Long = 2L): DataFrame = {
+    require(dict.nonEmpty, "blocklistScan needs a non-empty dictionary")
+    require(dict.forall { case (_, s) => s == "block" || s == "flag" },
+      "blocklistScan severities must be 'block' or 'flag'")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dictDf = dict.toDF("phrase", "severity")
+    val lengths = dict.map(_._1.split("\\s+").length).distinct.sorted
+    val words = docs.select(col(docId), split(col(textCol), "\\s+").as("_w"))
+    val grams = lengths.map { n =>
+      words.select(col(docId), explode(wordNgramsOf(col("_w"), n)).as("gram"))
+    }.reduce(_.unionByName(_))
+    val hits = grams
+      .join(broadcast(dictDf), col("gram") === col("phrase"))
+      .groupBy(col(docId), col("phrase"), col("severity"))
+      .agg(count(lit(1)).as("cnt"))
+    // per-doc fold: top phrase = max count, lexicographic tiebreak —
+    // min over struct(-cnt, phrase) realizes (cnt DESC, phrase ASC)
+    val perDoc = hits.groupBy(col(docId))
+      .agg(sum(col("cnt")).as("n_hits"),
+        count(lit(1)).as("n_phrases"),
+        min(struct((-col("cnt")).as("neg"), col("phrase")))
+          .getField("phrase").as("top_phrase"),
+        max((col("severity") === "block").cast("int")).as("_has_block"),
+        sum(when(col("severity") === "flag", col("cnt")).otherwise(0L))
+          .as("_flag_hits"))
+    docs.select(col(docId)).join(perDoc, Seq(docId), "left")
+      .select(col(docId),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_phrases"), lit(0L)).as("n_phrases"),
+        col("top_phrase"),
+        when(col("_has_block") === 1, lit("block"))
+          .when(col("_flag_hits") >= flagAt, lit("flag"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
 }

@@ -150,6 +150,109 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering (the
+    * SSJoin/AllPairs/PPJoin family — Chaudhuri et al. ICDE'06, Bayardo
+    * et al. WWW'07, Xiao et al. WWW'08; all public literature).
+    *
+    * Where `ngramCandidates` keeps candidate generation linear by
+    * DROPPING corpus-hot shingles (changing the reported Jaccard — the
+    * capped join is approximate by design) and MinHash-LSH is
+    * probabilistic (misses pairs with probability 1−(1−s^r)^b), this
+    * operator is LOSSLESS: it returns exactly the pairs whose true
+    * shingle-set Jaccard ≥ `threshold`, yet still never compares all
+    * pairs.
+    *
+    * The filter: order shingles globally by (document frequency ASC,
+    * shingle ASC) — rarest first. A set s of size |s| only indexes its
+    * first |s| − ⌈t·|s|⌉ + 1 shingles ("prefix"). For any pair with
+    * J(a,b) ≥ t, |a∩b| ≥ t·|a∪b| ≥ ⌈t·max(|a|,|b|)⌉, and by
+    * pigeonhole two sets whose intersection is that large MUST share a
+    * shingle inside both prefixes (tokens outside a's prefix number
+    * ⌈t·|a|⌉ − 1 < |a∩b|) — so the equi-join on prefix shingles loses
+    * nothing (PrefixJaccardSpec pins equality with the brute-force
+    * all-pairs join on planted boundary corpora). A length filter
+    * (⌈t·|a|⌉ ≤ |b| whenever J ≥ t) prunes candidates before pair
+    * verification.
+    *
+    * Scale posture: every step is an equi-join or aggregate — shingle
+    * df (one shuffle, map-side partial), per-doc sorted set assembly
+    * (one shuffle on doc), the prefix self-join (shuffle on shingle;
+    * bucket sizes are small BY CONSTRUCTION because prefixes hold each
+    * set's globally rarest shingles), pair dedup + two set lookups.
+    * At t=0.5 the prefix is ~half of each set; at t=0.8, ~a fifth.
+    * No stop-shingle cap, no N² anywhere; a corpus-wide boilerplate
+    * shingle sorts to the END of the global order and enters a doc's
+    * prefix only when rarer shingles run out first — i.e. only for
+    * docs that are mostly boilerplate at the given threshold
+    * (PrefixJaccardSpec pins the candidate count at exactly the true
+    * pairs on a boilerplate-planted corpus). */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val (cand, sets) = prefixJaccardCandidates(docs, idCol, textCol,
+      threshold)
+    // exact verification: intersect the full (distinct) shingle sets.
+    // SHUFFLE_HASH on every join in this operator (the passJoinPairs
+    // rule): all sides are shingle/prefix fan-outs of the doc table —
+    // the static planner sees only the tiny parquet and would broadcast
+    // frames that are corpus-scale at deployment.
+    cand
+      .join(sets.hint("shuffle_hash")
+        .select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        "doc_a")
+      .join(sets.hint("shuffle_hash")
+        .select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+  }
+
+  /** Candidate stage of the prefix-filter join: (candidate pairs with
+    * both set sizes, per-doc sorted shingle sets). Split out so the
+    * spec can count candidates directly — the filter's point is that a
+    * corpus-hot shingle does not inflate this count the way it inflates
+    * an uncapped full-shingle join. */
+  private[graft] def prefixJaccardCandidates(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixJaccardPairs threshold must be in (0, 1], got $threshold")
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol))).as("shingle"))
+    // global document frequency — the canonical rarest-first order key
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // per-doc shingle set, sorted (df ASC, shingle ASC); struct sort
+    // order is field order, so sort_array gives exactly that key
+    val sets = sh.join(dfreq.hint("shuffle_hash"), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("toks"))
+      .select(col("doc_id"), col("toks.shingle").as("toks"),
+        size(col("toks")).as("n_sh"))
+    // prefix length p = n − ceil(t·n) + 1; slice is 1-based
+    val plen = (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .cast("int")
+    val pref = sets.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("toks"), lit(1), plen)).as("shingle"))
+    // candidate pairs: prefixes share a shingle + the length filter
+    // (J ≥ t forces min(|a|,|b|) ≥ ⌈t·max(|a|,|b|)⌉). The join key is
+    // the shingle — rarest-first prefixes keep bucket fan-out small;
+    // dropDuplicates collapses multi-shingle matches before the
+    // (heavier) verification joins.
+    val cand = pref.as("a").join(pref.hint("shuffle_hash").as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") >= ceil(lit(threshold) * col("b.n_sh")) &&
+          col("b.n_sh") >= ceil(lit(threshold) * col("a.n_sh")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    (cand, sets)
+  }
+
   /** Connected components over a near-dup pair graph by min-label
     * propagation with per-round label shortcutting — the survivor-selection
     * step of cluster dedup (keep one document per component).

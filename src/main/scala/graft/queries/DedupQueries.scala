@@ -78,6 +78,15 @@ object DedupQueries extends QueryModule {
     (inter, sizes)
   }
 
+  /** LOSSLESS Jaccard-threshold pairs via prefix filtering — the exact
+    * counterpart of the capped shingle join above: same shingles, same
+    * threshold, but no stop-shingle cap, so the reported Jaccard is the
+    * true one and no pair is dropped. The oracle is the brute-force
+    * all-pairs join; matching it IS the losslessness claim. */
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** MinHash signatures (8 portable md5-derived permutations). */
   def minhashSig(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignature(Tables.documents(spark, dir), "doc_id", "text")
@@ -227,6 +236,7 @@ object DedupQueries extends QueryModule {
     "q_dedup_winnow_pairs" -> winnowPairs,
     "q_dedup_clusters" -> winnowClusters,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
+    "q_dedup_prefix_jaccard" -> prefixJaccard,
     "q_dedup_minhash_sig" -> minhashSig,
     "q_dedup_minhash_pairs" -> minhashPairs,
     "q_dedup_simhash" -> simhash,
@@ -396,6 +406,21 @@ object DedupQueries extends QueryModule {
         |), inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_inter,
+        |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // exact all-pairs ground truth — the prefix filter must lose nothing
+    "q_dedup_prefix_jaccard" -> (shingleCte +
+      """, sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT doc_a, doc_b, n_inter,
         |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard

@@ -149,8 +149,23 @@ object EntityQueries extends QueryModule {
       .orderBy(col("mention_id"))
   }
 
+  private val SnWindow = 6
+
+  /** Sorted-neighborhood blocking over the same mention fixture —
+    * two passes (name, reversed name), window 6, verified at
+    * distance ≤ 1. The budgeted alternative to q_er_pairs' exact
+    * signature join: candidates are a hard 2·5·N, recall rides the
+    * sort keys (the reversed pass recovers early-position edits the
+    * forward sort scatters). */
+  def erPairsSn(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.sortedNeighborhoodPairs(mentions(spark, dir),
+      "mention_id", "name", window = SnWindow, maxDist = 1,
+      keys = Seq(identity, reverse))
+      .orderBy(col("id_a"), col("id_b"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_er_pairs" -> erPairs,
+    "q_er_pairs_sn" -> erPairsSn,
     "q_er_pairs_k2" -> erPairsK2,
     "q_er_entities" -> erEntities,
     "q_er_admission" -> erAdmission)
@@ -331,8 +346,37 @@ object EntityQueries extends QueryModule {
        |FROM cand WHERE levenshtein(name_a, name_b) <= 2
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** SN mirror: two ROW_NUMBER passes (name / reversed name, id
+    * tiebreak — MintRank's exact total order), window join on rank
+    * distance 1..5, UNION de-dup, exact levenshtein verify. */
+  private def erPairsSnSql: String = {
+    def pass(orderKey: String) =
+      s"""  SELECT LEAST(a.mention_id, b.mention_id) AS id_a,
+         |    GREATEST(a.mention_id, b.mention_id) AS id_b,
+         |    CASE WHEN a.mention_id < b.mention_id THEN a.name ELSE b.name END AS name_a,
+         |    CASE WHEN a.mention_id < b.mention_id THEN b.name ELSE a.name END AS name_b
+         |  FROM (SELECT mention_id, name,
+         |          ROW_NUMBER() OVER (ORDER BY $orderKey, name, mention_id) AS rnk
+         |        FROM mentions) a
+         |  JOIN (SELECT mention_id, name,
+         |          ROW_NUMBER() OVER (ORDER BY $orderKey, name, mention_id) AS rnk
+         |        FROM mentions) b
+         |    ON b.rnk > a.rnk AND b.rnk <= a.rnk + ${SnWindow - 1}""".stripMargin
+    s"""WITH $mentionsCte,
+       |cand AS (
+       |${pass("name")}
+       |  UNION
+       |${pass("reverse(name)")})
+       |SELECT id_a, id_b, name_a, name_b,
+       |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+       |FROM cand
+       |WHERE levenshtein(name_a, name_b) <= 1
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
     "q_er_pairs" -> erPairsSql,
+    "q_er_pairs_sn" -> erPairsSnSql,
     "q_er_pairs_k2" -> erPairsK2Sql,
     "q_er_entities" -> erEntitiesSql,
     "q_er_admission" -> erAdmissionSql)
