@@ -95,7 +95,10 @@ object Bench {
       // join + contracted-CC canonical entities) and DoReMi-lite
       // domain reweighting
       "q_er_pairs", "q_er_pairs_k2", "q_er_entities", "q_er_admission",
-      "q_corpus_domain_reweight", "q_profile_columns", "q_knn_mips")
+      "q_corpus_domain_reweight", "q_profile_columns", "q_knn_mips",
+      // r12 third wave: lossless prefix-filter Jaccard join, blocklist
+      // verdict scan, sorted-neighborhood ER blocking
+      "q_dedup_prefix_jaccard", "q_corpus_blocklist", "q_er_pairs_sn")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end wall-scale ladder for the heavy composite operators —
@@ -43,6 +43,41 @@ object ScaleLadder {
         Seq(doc, (i.toLong + 10000000L, i.toLong % 7, dup.mkString(" ")))
       } else Seq(doc)
     }.toDF("doc_id", "stratum", "text")
+  }
+
+  /** Mention table derived from a planted doc corpus: an md5-distinct
+    * 19-char base name per doc plus a distance-1 '@' substitution at a
+    * key-derived position — clusters of exactly 2, O(1) blocks, true
+    * pairs linear in n. `withK2` adds the distance-2 '#' double
+    * substitution (even keys) and a 18-char deletion (keys ≡0 mod 3)
+    * so PassJoin's cross-length probe legs are exercised. */
+  private def plantedMentions(docs: DataFrame, withK2: Boolean): DataFrame = {
+    val key = col("doc_id")
+    val base = concat(lit("m-"),
+      substring(md5(key.cast("string")), 1, 10), lit("-"),
+      lpad(pmod(key, lit(1000000)).cast("string"), 6, "0"))
+    val pos = (pmod(key, lit(19)) + 1).cast("int")
+    val posB = (pmod(key + 7, lit(19)) + 1).cast("int")
+    val sub1 = concat(base.substr(lit(1), pos - 1), lit("@"),
+      base.substr(pos + 1, lit(19)))
+    val always = Seq(
+      struct((key * 4).as("mention_id"), base.as("name"),
+        lit(true).as("keep")),
+      struct((key * 4 + 1).as("mention_id"), sub1.as("name"),
+        lit(true).as("keep")))
+    val k2 = Seq(
+      struct((key * 4 + 2).as("mention_id"),
+        concat(sub1.substr(lit(1), posB - 1), lit("#"),
+          sub1.substr(posB + 1, lit(19))).as("name"),
+        (pmod(key, lit(2)) === 0).as("keep")),
+      struct((key * 4 + 3).as("mention_id"),
+        concat(base.substr(lit(1), posB - 1),
+          base.substr(posB + 1, lit(19))).as("name"),
+        (pmod(key, lit(3)) === 0).as("keep")))
+    val variants = array((if (withK2) always ++ k2 else always): _*)
+    docs.select(explode(variants).as("m")).where(col("m.keep"))
+      .select(col("m.mention_id").as("mention_id"),
+        col("m.name").as("name"))
   }
 
   /** Embeddings with linear near-dup structure: n unit vectors; every
@@ -288,24 +323,12 @@ object ScaleLadder {
       // explode → equi-join → verify → contraction → CC) and the
       // DoReMi-lite mixture report
       ("er_resolve", () => docsS, () => docsL, { docs: DataFrame =>
-        // planted mentions: md5-distinct 19-char base + one '@'
-        // substitution per doc → clusters of exactly 2, blocks O(1);
-        // signatures are 20× linear, so a healthy exponent is ~1 — a
-        // regression means the signature join grew a hot block
-        val key = col("doc_id")
-        val base = concat(lit("m-"),
-          substring(md5(key.cast("string")), 1, 10), lit("-"),
-          lpad(pmod(key, lit(1000000)).cast("string"), 6, "0"))
-        val pos = (pmod(key, lit(19)) + 1).cast("int")
-        val m = docs.select(explode(array(
-          struct((key * 2).as("mention_id"), base.as("name")),
-          struct((key * 2 + 1).as("mention_id"),
-            concat(base.substr(lit(1), pos - 1), lit("@"),
-              base.substr(pos + 1, lit(19))).as("name")))).as("m"))
-          .select(col("m.mention_id").as("mention_id"),
-            col("m.name").as("name"))
+        // planted mentions (see plantedMentions): clusters of exactly
+        // 2, blocks O(1); signatures are 20× linear, so a healthy
+        // exponent is ~1 — a regression means the signature join grew
+        // a hot block
         materialize(graft.ops.EntityResolution.resolveEntities(
-          m, "mention_id", "name"))
+          plantedMentions(docs, withK2 = false), "mention_id", "name"))
       }),
       ("domain_reweight", () => docsS, () => docsL, { docs: DataFrame =>
         // one (domain, word) count shuffle + vocab rollup; everything
@@ -313,6 +336,39 @@ object ScaleLadder {
         materialize(graft.ops.KeywordSearch.domainReweight(
           docs.withColumnRenamed("stratum", "source"),
           "source", "text", 2.0, 4))
+      }),
+      // r12 third wave: the lossless prefix-filter join, SN blocking,
+      // PassJoin k=2, and the one-pass profiler
+      ("prefix_jaccard", () => docsS, () => docsL, { docs: DataFrame =>
+        // the planted corpus's shingles are ~all df=1 (26^6 vocab), so
+        // prefixes collide only on true pairs → candidates linear; the
+        // measured risk is a hot prefix bucket blowing the self-join.
+        // Global df agg + per-doc sort keep a healthy exponent ~1.
+        materialize(graft.ops.Dedup.prefixJaccardPairs(
+          docs, "doc_id", "text", 0.5))
+      }),
+      ("sn_blocking", () => docsS, () => docsL, { docs: DataFrame =>
+        // candidates are a HARD 2·(w−1)·N by construction — the rung
+        // pins that no plan change (rank join, MintRank exchange)
+        // reintroduces a superlinear term; healthy exponent ~1
+        materialize(graft.ops.EntityResolution.sortedNeighborhoodPairs(
+          plantedMentions(docs, withK2 = false), "mention_id", "name",
+          window = 6, maxDist = 1,
+          keys = Seq(identity[Column], org.apache.spark.sql.functions.reverse)))
+      }),
+      ("passjoin_k2", () => docsS, () => docsL, { docs: DataFrame =>
+        // segment blocking at k=2: probe fan-out is a constant ≈(k+1)²
+        // per length and blocks are md5-distinct → linear candidates;
+        // the measured risk is the probe windows widening with n
+        materialize(graft.ops.EntityResolution.passJoinPairs(
+          plantedMentions(docs, withK2 = true), "mention_id", "name",
+          k = 2))
+      }),
+      ("profile_columns", () => docsS, () => docsL, { docs: DataFrame =>
+        // one plain aggregate + one narrow (col, value) explode whose
+        // first aggregate dedups map-side — the r12 Expand fix; ~1
+        materialize(graft.ops.Profiler.profile(docs,
+          Seq("doc_id", "stratum", "text")))
       }))
 
     ops.filter(o => only.forall(_.contains(o._1)))
