@@ -220,23 +220,11 @@ object Dedup {
       textCol: String, threshold: Double): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefixJaccardPairs threshold must be in (0, 1], got $threshold")
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol))).as("shingle"))
+    val sh = shingleFrame(docs, idCol, textCol)
     // global document frequency — the canonical rarest-first order key
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // per-doc shingle set, sorted (df ASC, shingle ASC); struct sort
-    // order is field order, so sort_array gives exactly that key
-    val sets = sh.join(dfreq.hint("shuffle_hash"), "shingle")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
-        .as("toks"))
-      .select(col("doc_id"), col("toks.shingle").as("toks"),
-        size(col("toks")).as("n_sh"))
-    // prefix length p = n − ceil(t·n) + 1; slice is 1-based
-    val plen = (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .cast("int")
-    val pref = sets.select(col("doc_id"), col("n_sh"),
-      explode(slice(col("toks"), lit(1), plen)).as("shingle"))
+    val sets = setsFrom(sh, dfreq)
+    val pref = prefixOf(sets, threshold)
     // candidate pairs: prefixes share a shingle + the length filter
     // (J ≥ t forces min(|a|,|b|) ≥ ⌈t·max(|a|,|b|)⌉). The join key is
     // the shingle — rarest-first prefixes keep bucket fan-out small;
@@ -251,6 +239,86 @@ object Dedup {
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .dropDuplicates("doc_a", "doc_b")
     (cand, sets)
+  }
+
+  private def shingleFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol))).as("shingle"))
+
+  /** Per-doc shingle set sorted (df ASC, shingle ASC) — struct sort
+    * order is field order, so sort_array gives exactly that key.
+    * Shingles absent from `dfreq` take df 0 (rarest — the incremental
+    * path's unseen-shingle rule; on the batch path every shingle is
+    * present, so the left join degenerates to the inner one). */
+  private def setsFrom(sh: DataFrame, dfreq: DataFrame): DataFrame =
+    sh.join(dfreq.hint("shuffle_hash"), Seq("shingle"), "left")
+      .select(col("doc_id"), col("shingle"),
+        coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("toks"))
+      .select(col("doc_id"), col("toks.shingle").as("toks"),
+        size(col("toks")).as("n_sh"))
+
+  /** Prefix explode: the first n − ⌈t·n⌉ + 1 (rarest) shingles. */
+  private def prefixOf(sets: DataFrame, threshold: Double): DataFrame = {
+    val plen = (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .cast("int")
+    sets.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("toks"), lit(1), plen)).as("shingle"))
+  }
+
+  /** Incremental prefix join — the daily-admission face of
+    * [[prefixJaccardPairs]] (the lshPairsAgainst convention): today's
+    * batch is paired against the standing corpus WITHOUT re-pairing the
+    * corpus with itself, and the result is still EXACT — every
+    * (incoming, corpus) pair with true Jaccard ≥ t, no cap, no
+    * probability of a miss.
+    *
+    * The global shingle order comes from the CORPUS's document
+    * frequencies alone — at deployment that dictionary is a persisted,
+    * versioned artifact (the inverted-index/AnnIndex convention), so
+    * admission never rescans the corpus text; shingles the corpus has
+    * never seen take df 0 and sort FIRST (rarest). Correctness is
+    * unaffected: the prefix theorem only needs both sides to rank
+    * shingles by the SAME total order, any fixed one — and an all-new
+    * incoming shingle can never carry a corpus match anyway.
+    * PrefixJaccardSpec pins equality with the brute-force cross join
+    * including the all-unseen-shingles edge. */
+  def prefixJaccardAgainst(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixJaccardAgainst threshold must be in (0, 1], got $threshold")
+    val corpSh = shingleFrame(corpus, idCol, textCol)
+    val incSh = shingleFrame(incoming, idCol, textCol)
+    val dfreq = corpSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val corpSets = setsFrom(corpSh, dfreq)
+    val incSets = setsFrom(incSh, dfreq)
+    val cand = prefixOf(incSets, threshold).as("a")
+      .join(prefixOf(corpSets, threshold).hint("shuffle_hash").as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.n_sh") >= ceil(lit(threshold) * col("b.n_sh")) &&
+          col("b.n_sh") >= ceil(lit(threshold) * col("a.n_sh")))
+      .select(col("a.doc_id").as("incoming_id"),
+        col("b.doc_id").as("corpus_id"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .dropDuplicates("incoming_id", "corpus_id")
+    cand
+      .join(incSets.hint("shuffle_hash")
+        .select(col("doc_id").as("incoming_id"), col("toks").as("toks_a")),
+        "incoming_id")
+      .join(corpSets.hint("shuffle_hash")
+        .select(col("doc_id").as("corpus_id"), col("toks").as("toks_b")),
+        "corpus_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("incoming_id"), col("corpus_id"), col("n_inter"),
+        col("jaccard"))
   }
 
   /** Connected components over a near-dup pair graph by min-label

@@ -87,6 +87,20 @@ object DedupQueries extends QueryModule {
     Dedup.prefixJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Incremental admission via the prefix join: docs ≡7 (mod 10) are
+    * today's batch, the rest the standing corpus (the
+    * q_dedup_incremental split). EXACT incoming×corpus pairs at
+    * J ≥ 0.5 — the corpus-df order dictionary plus the df-0 rule for
+    * unseen shingles; the oracle is the brute-force cross join. */
+  def prefixIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.prefixJaccardAgainst(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 7),
+      docs.where(pmod(col("doc_id"), lit(10)) === 7),
+      "doc_id", "text")
+      .orderBy(col("incoming_id"), col("corpus_id"))
+  }
+
   /** MinHash signatures (8 portable md5-derived permutations). */
   def minhashSig(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignature(Tables.documents(spark, dir), "doc_id", "text")
@@ -237,6 +251,7 @@ object DedupQueries extends QueryModule {
     "q_dedup_clusters" -> winnowClusters,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_dedup_prefix_jaccard" -> prefixJaccard,
+    "q_dedup_prefix_incremental" -> prefixIncremental,
     "q_dedup_minhash_sig" -> minhashSig,
     "q_dedup_minhash_pairs" -> minhashPairs,
     "q_dedup_simhash" -> simhash,
@@ -429,6 +444,25 @@ object DedupQueries extends QueryModule {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // exact incoming×corpus ground truth — the incremental prefix
+    // join (corpus-df order, df-0 unseen rule) must lose nothing
+    "q_dedup_prefix_incremental" -> (shingleCte +
+      """, inc AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 7),
+        |corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 7),
+        |szi AS (SELECT doc_id, COUNT(*) AS n_sh FROM inc GROUP BY doc_id),
+        |szc AS (SELECT doc_id, COUNT(*) AS n_sh FROM corp GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS incoming_id, b.doc_id AS corpus_id,
+        |    COUNT(*) AS n_inter
+        |  FROM inc a JOIN corp b ON a.shingle = b.shingle
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT incoming_id, corpus_id, n_inter,
+        |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN szi sa ON sa.doc_id = incoming_id
+        |JOIN szc sb ON sb.doc_id = corpus_id
+        |WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+        |ORDER BY incoming_id, corpus_id""".stripMargin),
     "q_dedup_minhash_sig" -> (sigCte +
       "\nSELECT * FROM sig ORDER BY doc_id"),
     // incremental admission check: same sig CTE, band joins restricted

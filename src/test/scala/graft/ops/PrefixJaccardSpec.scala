@@ -99,6 +99,50 @@ class PrefixJaccardSpec extends SparkSpecBase {
     assert(out.head._4 == 1.0)
   }
 
+  test("incremental: equals brute-force incoming x corpus, df-0 unseen rule") {
+    import spark.implicits._
+    // corpus: 40 docs; incoming: near-dups of corpus docs (found), a
+    // doc of entirely UNSEEN shingles (df 0 everywhere — must yield
+    // nothing, not crash), and a half-new doc straddling the threshold
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, (0 until 10).map(w => s"c${i}_w$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, (0 until 10).map(w => s"c7_w$w").mkString(" ")),   // = doc 7
+      (101L, ((0 until 9).map(w => s"c3_w$w") :+ "novel").mkString(" ")),
+      (102L, (0 until 10).map(w => s"new_w$w").mkString(" ")))  // all unseen
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.prefixJaccardAgainst(corpus, incoming,
+        "doc_id", "text", t).collect()
+        .map(r => (r.getAs[Long]("incoming_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard"))).toSet
+      // brute force: shared shingles across the two sides
+      val shOf = (d: org.apache.spark.sql.DataFrame) =>
+        d.select(col("doc_id"), explode(Dedup.shingles(col("text")))
+          .as("shingle"))
+      val want = shOf(incoming).as("a")
+        .join(shOf(corpus).as("b"), col("a.shingle") === col("b.shingle"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ic"))
+        .agg(count(lit(1)).as("ni"))
+        .join(shOf(incoming).groupBy(col("doc_id").as("ia"))
+          .agg(count(lit(1)).as("na")), "ia")
+        .join(shOf(corpus).groupBy(col("doc_id").as("ic"))
+          .agg(count(lit(1)).as("nb")), "ic")
+        .withColumn("j", round(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")), 6))
+        .filter(col("j") >= t)
+        .collect()
+        .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ic"),
+          r.getAs[Long]("ni"), r.getAs[Double]("j"))).toSet
+      assert(got == want, s"t=$t: got $got want $want")
+      if (t == 0.5) {
+        assert(got.exists(_._1 == 100L), "exact copy must match its source")
+        assert(!got.exists(_._1 == 102L), "all-unseen doc must match nothing")
+      }
+    }
+  }
+
   test("single-shingle short docs and null text behave like the oracle") {
     import spark.implicits._
     // <3-word docs shingle to [whole text]; null text yields no rows
