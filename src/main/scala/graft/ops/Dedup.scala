@@ -269,6 +269,30 @@ object Dedup {
       explode(slice(col("toks"), lit(1), plen)).as("shingle"))
   }
 
+  /** Write-once corpus artifacts for STREAMING prefix admission
+    * ([[graft.streaming.StreamingRefresh.prefixAdmissionStream]]):
+    *   - the prefix index (shingle, corpus_id, n_b) — one row per
+    *     corpus doc per prefix shingle;
+    *   - the shingle sets (corpus_id, toks_b) — the full distinct set
+    *     for inline exact verification.
+    * Both derive from one pass (shared df/sets subtrees); at deployment
+    * they persist next to the df dictionary (the AnnIndex convention)
+    * and the stream never rescans corpus text. */
+  def prefixIndexArtifacts(corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixIndexArtifacts threshold must be in (0, 1], got $threshold")
+    val sh = shingleFrame(corpus, idCol, textCol)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val sets = setsFrom(sh, dfreq)
+    val pref = prefixOf(sets, threshold)
+      .select(col("shingle"), col("doc_id").as("corpus_id"),
+        col("n_sh").as("n_b"))
+    val setsOut = sets.select(col("doc_id").as("corpus_id"),
+      col("toks").as("toks_b"))
+    (pref, setsOut)
+  }
+
   /** Incremental prefix join — the daily-admission face of
     * [[prefixJaccardPairs]] (the lshPairsAgainst convention): today's
     * batch is paired against the standing corpus WITHOUT re-pairing the

@@ -511,6 +511,53 @@ object StreamingRefresh {
     * table at ingest time instead (the write-once artifact
     * lshPairsAgainst's scaladoc calls out) and passes THAT in as
     * `corpusSig`. */
+  /** Streaming EXACT-Jaccard admission — the lossless face of
+    * [[admissionStream]] (which is probabilistic MinHash-LSH): arriving
+    * docs shingle statelessly in their micro-batch (the per-row native
+    * expression — no aggregation, so the stream stays append-mode with
+    * zero state) and explode their FULL shingle set against the static
+    * corpus PREFIX index. Completeness needs only the corpus side's
+    * prefix: J(a,b) ≥ t forces |a∩b| ≥ ⌈t·|b|⌉, and b's tokens outside
+    * its prefix number ⌈t·|b|⌉ − 1, so some shared shingle lies in b's
+    * prefix — the incoming side needs no ordering at all (which is what
+    * makes the leg stateless: no df lookup, no per-doc re-sort).
+    * Verification is INLINE and exact: the joined row carries the
+    * incoming set (from the generator) and the corpus set (second
+    * stream-static join against the sets artifact), so each emitted row
+    * is already a true J ≥ t pair. Rows repeat per matching prefix
+    * shingle — the pair-level distinct is the drained sink's rollup
+    * (the per-band-hits convention); PrefixAdmissionStreamSpec pins
+    * drain+distinct ≡ [[graft.ops.Dedup.prefixJaccardAgainst]].
+    * `corpusPrefix`/`corpusSets` are the write-once ingest artifacts
+    * ([[graft.ops.Dedup.prefixIndexArtifacts]]), persisted here so the
+    * static subtrees are not re-derived every micro-batch. */
+  def prefixAdmissionStream(docs: DataFrame, corpusPrefix: DataFrame,
+      corpusSets: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val corpPref = corpusPrefix
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpSets = corpusSets
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inc = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("incoming_id"),
+        graft.ops.Dedup.shingles(col(textCol)).as("toks_a"))
+      .withColumn("n_a", size(col("toks_a")))
+      .select(col("incoming_id"), col("toks_a"), col("n_a"),
+        explode(col("toks_a")).as("shingle"))
+    inc.join(corpPref,
+        inc("shingle") === corpPref("shingle") &&
+          col("n_a") >= ceil(lit(threshold) * col("n_b")) &&
+          col("n_b") >= ceil(lit(threshold) * col("n_a")))
+      .join(corpSets, "corpus_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("incoming_id"), col("corpus_id"), col("n_inter"),
+        col("jaccard"))
+  }
+
   def admissionStream(docs: DataFrame, corpusSig: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
