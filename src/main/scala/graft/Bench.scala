@@ -99,7 +99,7 @@ object Bench {
       // r12 third wave: lossless prefix-filter Jaccard join, blocklist
       // verdict scan, sorted-neighborhood ER blocking
       "q_dedup_prefix_jaccard", "q_dedup_prefix_incremental",
-      "q_corpus_blocklist", "q_er_pairs_sn")
+      "q_corpus_blocklist", "q_er_pairs_sn", "q_text_normalize")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -47,6 +47,18 @@ object GraftFnUtil {
     else w.sliding(n).map(_.mkString(" ")).toArray.distinct
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer — the JDK's ICU
+    * tables; ≡ DuckDB `nfc_normalize` for the stable BMP sequences the
+    * oracle exercises). The isNormalized fast path skips the rebuild —
+    * ASCII (and any already-composed text) returns the input buffer
+    * untouched, so at scan speed the common case costs one table walk. */
+  def nfc(t: UTF8String): UTF8String = {
+    val s = t.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   def shingles(t: UTF8String, n: Int): ArrayData =
     new GenericArrayData(
       shingleStrings(t.toString, n).map(UTF8String.fromString): Array[AnyRef])

@@ -22,6 +22,7 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column = c(ArrayDotProduct(e(a), e(b)))
   def norm(v: Column): Column = c(ArrayNormL2(e(v)))
   def shingles(text: Column, n: Int = 3): Column = c(WordShingles(e(text), n))
+  def nfc(text: Column): Column = c(NfcNormalize(e(text)))
   def minhashSig(text: Column, numPerms: Int = 8): Column =
     c(MinHashSignature(e(text), numPerms))
   def simhash32(text: Column): Column = c(SimHash32(e(text)))
@@ -59,6 +60,9 @@ object GraftFunctions {
       case Seq(t, n) => MinHashSignature(t, intLit(n, "numPerms"))
       case args => throw new IllegalArgumentException(
         s"graft_minhash_sig expects 1-2 arguments, got ${args.length}") },
+    "graft_nfc" -> { case Seq(t) => NfcNormalize(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_nfc expects 1 argument, got ${args.length}") },
     "graft_simhash32" -> { case Seq(t) => SimHash32(t)
       case args => throw new IllegalArgumentException(
         s"graft_simhash32 expects 1 argument, got ${args.length}") },

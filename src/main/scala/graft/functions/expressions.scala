@@ -137,6 +137,27 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization — the normalize-before-dedup/tokenize
+  * stage Spark has no public function for (collation internals only).
+  * Codegen'd static call; the ASCII/already-composed fast path returns
+  * the input buffer untouched. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFnUtil.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftFnUtil.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-row MinHash signature (array<bigint> of length numPerms). */
 case class MinHashSignature(child: Expression, numPerms: Int)
     extends UnaryExpression with ExpectsInputTypes {

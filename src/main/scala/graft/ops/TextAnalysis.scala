@@ -82,4 +82,18 @@ object TextAnalysis {
 
   /** Exact content fingerprint (G15-style hash, per row). */
   def fingerprint(text: Column): Column = md5(text)
+
+  /** Canonical text normalization — the normalize-before-everything
+    * stage of a training pipeline (dedup, tokenization, and fingerprints
+    * all assume one canonical byte form): Unicode NFC composition
+    * (native codegen'd expression — Spark has no public normalize
+    * function), control/format chars → space, whitespace runs collapsed,
+    * ends trimmed. Regexes avoid lookaround and use stable general
+    * categories, so the DuckDB mirror (`nfc_normalize` + the same
+    * RE2 classes) is byte-identical on BMP text. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.GraftFunctions.nfc(text),
+        "[\\p{Cc}\\p{Cf}]", " "),
+      "\\s+", " "))
 }

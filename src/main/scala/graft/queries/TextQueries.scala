@@ -173,7 +173,29 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The deterministic non-ASCII tail the normalization query appends
+    * (the fixture text is ASCII, which NFC fixes by definition):
+    * space, e + COMBINING ACUTE (composes to é, −1 char), TAB (a Cc —
+    * stripped to space), then a 3-space run (collapsed). Mirrored in
+    * the oracle as chr() concatenation. */
+  private val NormTail = " e\u0301\tx   y"
+
+  /** Canonical normalization over documents: NFC (native expression) +
+    * control strip + whitespace collapse + trim, one codegen'd
+    * projection — no shuffle, scan speed. */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"), lit(NormTail))
+    Tables.documents(spark, dir).select(col("doc_id"),
+      length(raw).cast("long").as("n_raw"),
+      length(graft.functions.GraftFunctions.nfc(raw)).cast("long")
+        .as("n_nfc"),
+      normalizeText(raw).as("norm_text"))
+      .withColumn("n_norm", length(col("norm_text")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_normalize" -> normalize,
     "q_text_stats" -> textStats,
     "q_text_langid" -> langId,
     "q_text_quality" -> quality,
@@ -244,7 +266,24 @@ object TextQueries extends QueryModule {
     base + rounds
   }
 
+  /** Mirror of q_text_normalize: the tail rebuilt with chr()
+    * (chr(769) = COMBINING ACUTE, chr(9) = TAB), nfc_normalize for the
+    * native expression, the same RE2-safe category classes, 'g' flags
+    * for Spark's replace-all default. */
+  private val normalizeSql: String = {
+    val raw = "text || ' e' || chr(769) || chr(9) || 'x   y'"
+    val norm = s"trim(regexp_replace(regexp_replace(nfc_normalize($raw), " +
+      s"'[\\p{Cc}\\p{Cf}]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    s"""SELECT doc_id,
+       |  length($raw) AS n_raw,
+       |  length(nfc_normalize($raw)) AS n_nfc,
+       |  $norm AS norm_text,
+       |  length($norm) AS n_norm
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q_text_normalize" -> normalizeSql,
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(text, '\s+')) AS n_tokens_ws,
