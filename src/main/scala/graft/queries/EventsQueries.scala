@@ -219,7 +219,17 @@ object EventsQueries extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** k-anonymous aggregate release: (event_type, value bucket) cells
+    * at k = 5 with the 10 → 100 → suppress generalization ladder —
+    * every emitted count describes ≥ 5 distinct users. */
+  def kanon(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.kAnonRelease(Tables.events(spark, dir),
+      "event_type", "user_id", "value", k = 5)
+      .orderBy(col("event_type"), col("level"),
+        col("bucket_lo").asc_nulls_first)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_kanon" -> kanon,
     "q_events_json_props" -> jsonProps,
     "q_events_anomaly" -> anomalies,
     "q_events_scd2" -> scd2,
@@ -231,6 +241,41 @@ object EventsQueries extends QueryModule {
     "q_events_retention" -> retention)
 
   override def oracle: Map[String, String] = Map(
+    // mirror of the two-level generalization ladder; COUNT(DISTINCT)
+    // is BIGINT in both engines, buckets are exact double arithmetic
+    "q_events_kanon" ->
+      """WITH e AS (
+        |  SELECT event_type AS t, user_id AS u,
+        |    floor(value / 10) * 10 AS b, floor(value / 100) * 100 AS bc
+        |  FROM events),
+        |fine AS (
+        |  SELECT t, b, COUNT(DISTINCT u) AS n_users, COUNT(*) AS n_events
+        |  FROM e GROUP BY t, b),
+        |fine_ok AS (SELECT * FROM fine WHERE n_users >= 5),
+        |rest AS (
+        |  SELECT e.* FROM e LEFT JOIN fine_ok
+        |    ON e.t = fine_ok.t AND e.b = fine_ok.b
+        |  WHERE fine_ok.t IS NULL),
+        |coarse AS (
+        |  SELECT t, bc, COUNT(DISTINCT u) AS n_users, COUNT(*) AS n_events
+        |  FROM rest GROUP BY t, bc),
+        |coarse_ok AS (SELECT * FROM coarse WHERE n_users >= 5),
+        |rest2 AS (
+        |  SELECT rest.* FROM rest LEFT JOIN coarse_ok
+        |    ON rest.t = coarse_ok.t AND rest.bc = coarse_ok.bc
+        |  WHERE coarse_ok.t IS NULL),
+        |supp AS (
+        |  SELECT t, COUNT(DISTINCT u) AS nu, COUNT(*) AS ne
+        |  FROM rest2 GROUP BY t)
+        |SELECT t AS event_type, 'fine' AS level, b AS bucket_lo,
+        |  n_users, n_events FROM fine_ok
+        |UNION ALL
+        |SELECT t, 'coarse', bc, n_users, n_events FROM coarse_ok
+        |UNION ALL
+        |SELECT t, 'suppressed', NULL,
+        |  CASE WHEN nu >= 5 THEN nu END,
+        |  CASE WHEN nu >= 5 THEN ne END FROM supp
+        |ORDER BY event_type, level, bucket_lo NULLS FIRST""".stripMargin,
     "q_events_json_props" ->
       """WITH p AS (
         |  SELECT event_type,
