@@ -100,7 +100,7 @@ object Bench {
       // verdict scan, sorted-neighborhood ER blocking
       "q_dedup_prefix_jaccard", "q_dedup_prefix_incremental",
       "q_corpus_blocklist", "q_er_pairs_sn", "q_text_normalize",
-      "q_events_kanon", "q_corpus_drift")
+      "q_events_kanon", "q_corpus_drift", "q_events_pseudo")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

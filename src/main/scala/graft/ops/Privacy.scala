@@ -79,4 +79,17 @@ object Privacy {
       .select(col("_t").as(typeCol), col("level"),
         col("_bucket").as("bucket_lo"), col("n_users"), col("n_events"))
   }
+
+  /** Deterministic salted pseudonym: sha256(salt ':' id) as lowercase
+    * hex — the identity-scrubbing transform that PRESERVES joinability
+    * (equal ids map to equal tokens across every table pseudonymized
+    * with the same salt, so downstream sessionization/retention/joins
+    * still work) while the raw id never leaves the boundary. The salt
+    * is the secret: without it the token is not invertible by
+    * dictionary attack over the id space. Pure projection — scan
+    * speed, codegen'd sha2, no shuffle; ≡ DuckDB
+    * sha256(salt || ':' || id), so the oracle replays it exactly. */
+  def pseudonym(id: org.apache.spark.sql.Column, salt: String)
+      : org.apache.spark.sql.Column =
+    sha2(concat_ws(":", lit(salt), id.cast("string")), 256)
 }

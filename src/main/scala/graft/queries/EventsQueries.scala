@@ -228,8 +228,25 @@ object EventsQueries extends QueryModule {
       .orderBy(col("event_type"), col("level"),
         col("bucket_lo").asc_nulls_first)
 
+  /** Pseudonymized per-user activity rollup: user_id never appears in
+    * the output — the salted sha256 token does, and because equal ids
+    * map to equal tokens the rollup (counts, distinct types, value
+    * sum) is EXACTLY what the raw-id rollup would be, row for row.
+    * That equivalence is the referential-integrity claim, and the
+    * oracle checks it end-to-end by recomputing the same tokens. */
+  def pseudo(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(graft.ops.Privacy.pseudonym(col("user_id"), "graft-demo-salt")
+        .as("user_token"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("value").cast("decimal(28,12)")).cast("double").as("value_sum"))
+      .withColumn("value_sum", round(col("value_sum"), 6))
+      .orderBy(col("user_token"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_kanon" -> kanon,
+    "q_events_pseudo" -> pseudo,
     "q_events_json_props" -> jsonProps,
     "q_events_anomaly" -> anomalies,
     "q_events_scd2" -> scd2,
@@ -241,6 +258,15 @@ object EventsQueries extends QueryModule {
     "q_events_retention" -> retention)
 
   override def oracle: Map[String, String] = Map(
+    // same salted token, same decimal-sum-then-round money math
+    "q_events_pseudo" ->
+      """SELECT sha256('graft-demo-salt' || ':' || CAST(user_id AS VARCHAR))
+        |    AS user_token,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |    AS value_sum
+        |FROM events GROUP BY 1 ORDER BY user_token""".stripMargin,
     // mirror of the two-level generalization ladder; COUNT(DISTINCT)
     // is BIGINT in both engines, buckets are exact double arithmetic
     "q_events_kanon" ->

@@ -62,4 +62,32 @@ class KAnonSpec extends SparkSpecBase {
     assert(total == 3000L,
       s"released+suppressed events = $total, expected 3000")
   }
+
+  test("pseudonym: stable, distinct per id, join-preserving") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ids = (0 until 50).map(i => Tuple1(i.toLong % 20)).toDF("uid")
+    val toks = ids.select(col("uid"),
+      Privacy.pseudonym(col("uid"), "s1").as("tok")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // stable: every occurrence of an id gets the same token
+    toks.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).distinct.length == 1)
+    }
+    // distinct ids -> distinct tokens; token never leaks the raw id
+    val byId = toks.toMap
+    assert(byId.values.toSeq.distinct.length == 20)
+    byId.foreach { case (id, t) =>
+      assert(t.length == 64 && !t.contains(id.toString + ":"))
+    }
+    // join-preserving: grouping by token gives the same count multiset
+    // as grouping by the raw id
+    val rawCounts = toks.groupBy(_._1).values.map(_.length).toSeq.sorted
+    val tokCounts = toks.groupBy(_._2).values.map(_.length).toSeq.sorted
+    assert(rawCounts == tokCounts)
+    // a different salt is a different token universe
+    val other = ids.select(Privacy.pseudonym(col("uid"), "s2").as("t"))
+      .collect().map(_.getString(0)).toSet
+    assert(other.intersect(byId.values.toSet).isEmpty)
+  }
 }
