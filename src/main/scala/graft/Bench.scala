@@ -100,7 +100,13 @@ object Bench {
       // verdict scan, sorted-neighborhood ER blocking
       "q_dedup_prefix_jaccard", "q_dedup_prefix_incremental",
       "q_corpus_blocklist", "q_er_pairs_sn", "q_text_normalize",
-      "q_events_kanon", "q_corpus_drift", "q_events_pseudo")
+      "q_events_kanon", "q_corpus_drift", "q_events_pseudo",
+      // r12 fourth wave: content-hash snapshot diff, incremental
+      // aggregate maintenance (three-slice merge), last-click
+      // attribution (the stream-stream interval join's batch face),
+      // and TF-IDF keyword extraction
+      "q_refresh_diff", "q_agg_incremental",
+      "q_events_attribution", "q_text_keywords")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

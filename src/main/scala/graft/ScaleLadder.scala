@@ -369,6 +369,39 @@ object ScaleLadder {
         // first aggregate dedups map-side — the r12 Expand fix; ~1
         materialize(graft.ops.Profiler.profile(docs,
           Seq("doc_id", "stratum", "text")))
+      }),
+      // r12 fourth wave: snapshot diff, TF-IDF keywords, attribution
+      ("refresh_diff", () => docsS, () => docsL, { docs: DataFrame =>
+        // hashes under each scan + ONE full-outer key shuffle of
+        // (key, 32-char hash) — shuffle volume independent of row
+        // width; healthy exponent ~1
+        val old = docs.filter(col("doc_id") % 17 =!= 3)
+          .withColumn("text", when(col("doc_id") % 13 === 1,
+            concat(col("text"), lit(" STALE"))).otherwise(col("text")))
+        val nw = docs.filter(col("doc_id") % 11 =!= 5)
+        materialize(graft.ops.SnapshotDiff.diff(old, nw, "doc_id"))
+      }),
+      ("tfidf_topk", () => docsS, () => docsL, { docs: DataFrame =>
+        // one corpus explode + per-(doc,term) aggregate; the planted
+        // 26^6 vocabulary is OPEN (df≈1 everywhere), so the rung runs
+        // the shuffle df-join path (broadcast would ship ~n·60 rows);
+        // per-doc top-k windows are 60-row partitions. Healthy ~1
+        materialize(graft.ops.KeywordSearch.tfidfTopK(
+          docs, "doc_id", "text", k = 3, broadcastDf = false))
+      }),
+      ("attribution", () => docsS, () => docsL, { docs: DataFrame =>
+        // planted sessions: 8 events per user, 5 min apart — each
+        // purchase sees O(1) clicks inside the 30-min lookback, so
+        // candidate pairs are linear by construction; the stream-stream
+        // join's batch face is one user-key equi-join. Healthy ~1
+        val base = 1700000000000000L
+        val ev = docs.select(col("doc_id").as("event_id"),
+          (col("doc_id") / 8).cast("long").as("user_id"),
+          timestamp_micros(lit(base) +
+            (col("doc_id") % 8) * 300000000L).as("ts"))
+        materialize(graft.streaming.StreamingRefresh.attributionPairs(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), lookbackMin = 30))
       }))
 
     ops.filter(o => only.forall(_.contains(o._1)))

@@ -124,6 +124,58 @@ object KeywordSearch {
     docs.select(explode(toks(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
+  /** TF-IDF keyword extraction: the top-k most characteristic terms per
+    * document — the corpus-statistical tagger behind faceted browsing,
+    * weak labeling, and retrieval-index boosting. Smooth idf
+    * ln((N+1)/(df+1)) (never negative, defined at df = N), tf normalized
+    * by document length; ties broken by term text so ranking is
+    * engine-stable.
+    *
+    * Determinism contract: idf's ln is [[ln9]]-rounded at the source;
+    * score = round(tf · idf / dl, 6) is three IEEE basic ops both
+    * engines replay identically.
+    *
+    * Scale shape (100 TB corpus): ONE corpus explode into the (doc,
+    * term) tf aggregate — dl rides in the group key (functionally
+    * dependent on the doc id, so it adds no groups); document frequency
+    * rolls up FROM the tf partials (never a second text scan) and joins
+    * back broadcast for natural-language vocabularies (pass
+    * `broadcastDf = false` for open vocabularies — shuffle join on the
+    * term key). The per-doc top-k window partitions by doc id —
+    * millions of small partitions, no global sort. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, broadcastDf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), toks(col(textCol)).as("ts"))
+      .select(col(idCol), size(col("ts")).as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf rows are distinct per (doc, term), so df is a plain count —
+    // and it feeds the scoring join, so stage it: one tf computation,
+    // not two
+    val tfS = Checkpoints.stage(tf, eager = true)
+    val dfsRaw = tfS.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfs = if (broadcastDf) broadcast(dfsRaw) else dfsRaw
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    val scored = tfS.join(dfs, "term")
+      .crossJoin(broadcast(nDocs)) // 1-row corpus count
+      .withColumn("idf",
+        ln9((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+      .withColumn("score",
+        round(col("tf").cast("double") * col("idf") / col("dl"), 6))
+    // tfS stays staged until the caller materializes the returned frame
+    // (release() here would free blocks the lazy plan still reads); the
+    // periodic cleaner reclaims it, matching unigramNll's convention.
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Corpus-level unigram distribution report: vocabulary size, token
     * count, and Shannon entropy in nats (H = ln(total) − Σ cnt·ln(cnt) /
     * total — the expected value of `unigramNll` over the corpus). The

@@ -95,10 +95,35 @@ object CdcQueries extends QueryModule {
       .orderBy(col("id"))
   }
 
+  /** Content-hash snapshot diff (ops/SnapshotDiff) between two
+    * deterministic versions of the orders master: keys ≡3 (mod 17) are
+    * absent from the OLD snapshot (→ added), keys ≡5 (mod 11) are
+    * absent from the NEW (→ removed), and keys ≡1 (mod 13) carry a
+    * stale priority in the old snapshot (→ changed). The mirror
+    * recomputes both row hashes byte-identically (chr(1) separator,
+    * chr(0) null sentinel), so the hash compare verifies the entire
+    * diff pipeline — stringification, hashing, full-outer classify. */
+  def refreshDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("id"),
+      col("o_custkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("priority"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("mdate"))
+    val oldSnap = base.filter(col("id") % 17 =!= 3)
+      .withColumn("priority",
+        when(col("id") % 13 === 1, lit("0-STALE")).otherwise(col("priority")))
+    val newSnap = base.filter(col("id") % 11 =!= 5)
+    graft.ops.SnapshotDiff.diff(oldSnap, newSnap, "id")
+      .orderBy(col("id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_process_list" -> processList,
     "q_cdc_delete_list" -> deleteList,
     "q_cdc_counts" -> cdcCounts,
+    "q_refresh_diff" -> refreshDiff,
     "q_upsert_master" -> upsertMaster)
 
   /** Shared CTE text building the same synthetic tables in DuckDB. */
@@ -138,6 +163,41 @@ object CdcQueries extends QueryModule {
       |)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "q_refresh_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_custkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status, o_orderpriority AS priority,
+        |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS mdate
+        |  FROM orders),
+        |oldh AS (
+        |  SELECT id, md5(concat_ws(chr(1),
+        |    COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+        |    COALESCE(CAST(cents AS VARCHAR), chr(0)),
+        |    COALESCE(status, chr(0)),
+        |    COALESCE(CASE WHEN id % 13 = 1 THEN '0-STALE' ELSE priority END,
+        |      chr(0)),
+        |    COALESCE(mdate, chr(0)))) AS old_hash
+        |  FROM base WHERE id % 17 <> 3),
+        |newh AS (
+        |  SELECT id, md5(concat_ws(chr(1),
+        |    COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+        |    COALESCE(CAST(cents AS VARCHAR), chr(0)),
+        |    COALESCE(status, chr(0)),
+        |    COALESCE(priority, chr(0)),
+        |    COALESCE(mdate, chr(0)))) AS new_hash
+        |  FROM base WHERE id % 11 <> 5),
+        |j AS (
+        |  SELECT COALESCE(o.id, n.id) AS id, o.old_hash, n.new_hash
+        |  FROM oldh o FULL OUTER JOIN newh n ON o.id = n.id)
+        |SELECT id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type,
+        |  old_hash, new_hash
+        |FROM j
+        |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+        |ORDER BY id""".stripMargin,
     "q_cdc_process_list" -> (baseCtes +
       """
         |SELECT file_name, file_path, file_size,

@@ -244,7 +244,67 @@ object EventsQueries extends QueryModule {
       .withColumn("value_sum", round(col("value_sum"), 6))
       .orderBy(col("user_token"))
 
+  /** Last-click attribution: each purchase attributed to the user's
+    * LATEST click within a 30-minute lookback (ties on click time break
+    * to the greatest click id); purchases with no qualifying click keep
+    * NULLs. Built ON the shared stream-stream candidate builder
+    * (`StreamingRefresh.attributionPairs` — the same join plan runs
+    * under watermarks; AttributionStreamSpec pins drain ≡ batch), then
+    * picks last-click with a skew-safe struct-max aggregate and joins
+    * back to the purchase side LEFT — no window function.
+    *
+    * Scale shape: one user-key equi-join with a range predicate, one
+    * per-purchase aggregate, one left join back. The oracle re-derives
+    * the winner independently with a ROW_NUMBER window. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val pairs = graft.streaming.StreamingRefresh
+      .attributionPairs(purchases, clicks, lookbackMin = 30)
+    val best = pairs.groupBy(col("purchase_id"))
+      .agg(max(struct(col("c_ts_us"), col("click_id"))).as("w"))
+      .select(col("purchase_id"), col("w.click_id").as("click_id"),
+        col("w.c_ts_us").as("click_ts_us"))
+    purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_ts_us"))
+      .join(best, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("p_ts_us"),
+        col("click_id"), col("click_ts_us"),
+        (col("p_ts_us") - col("click_ts_us")).as("gap_us"),
+        col("click_id").isNotNull.as("attributed"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Incremental aggregate maintenance, exercised end-to-end: per-type
+    * value stats computed by MERGING three independently-aggregated
+    * time slices (before Jan 15 / Jan 15–22 / Jan 23 on — yesterday's
+    * persisted state plus two delta batches), while the oracle computes
+    * the same report DIRECTLY over all events — the hash compare proves
+    * merge(state(A), state(B), state(C)) ≡ state(A∪B∪C) against an
+    * independent engine (IncrementalAggSpec pins it inside Spark for
+    * arbitrary splits). */
+  def aggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalAgg
+    val e = Tables.events(spark, dir).select(col("event_type"), col("ts"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val slices = Seq(
+      e.filter(col("ts") < lit("2024-01-15").cast("timestamp")),
+      e.filter(col("ts") >= lit("2024-01-15").cast("timestamp") &&
+        col("ts") < lit("2024-01-23").cast("timestamp")),
+      e.filter(col("ts") >= lit("2024-01-23").cast("timestamp")))
+      .map(IncrementalAgg.state(_, "event_type", "cents"))
+    IncrementalAgg.report(
+      IncrementalAgg.merge("event_type", slices), "event_type")
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_attribution" -> attribution,
+    "q_agg_incremental" -> aggIncremental,
     "q_events_kanon" -> kanon,
     "q_events_pseudo" -> pseudo,
     "q_events_json_props" -> jsonProps,
@@ -258,6 +318,49 @@ object EventsQueries extends QueryModule {
     "q_events_retention" -> retention)
 
   override def oracle: Map[String, String] = Map(
+    // independent winner derivation: ROW_NUMBER over the candidate
+    // pairs (vs Spark's struct-max), same 30-min microsecond bound
+    "q_events_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT p.purchase_id, c.click_id, c.c_ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.c_ts_us DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts_us <= p.p_ts_us
+        |    AND c.c_ts_us >= p.p_ts_us - 1800000000),
+        |best AS (SELECT purchase_id, click_id, c_ts_us FROM cand WHERE rn = 1)
+        |SELECT p.purchase_id, p.user_id, p.p_ts_us,
+        |  b.click_id, b.c_ts_us AS click_ts_us,
+        |  p.p_ts_us - b.c_ts_us AS gap_us,
+        |  b.click_id IS NOT NULL AS attributed
+        |FROM p LEFT JOIN best b USING (purchase_id)
+        |ORDER BY p.purchase_id""".stripMargin,
+    // DIRECT full aggregate — Spark goes through the three-slice merge,
+    // so hash equality proves the state algebra cross-engine; ss crosses
+    // as digit string (HLL convention), variance as E[x²]−E[x]² in
+    // doubles (each input exact below 2^53)
+    "q_agg_incremental" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+        |    SUM(CAST(cents AS HUGEINT) * cents) AS ssh,
+        |    MIN(cents) AS min_v, MAX(cents) AS max_v
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n, s, CAST(ssh AS VARCHAR) AS ss, min_v, max_v,
+        |  ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+        |  ROUND(CAST(ssh AS DOUBLE) / n
+        |    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6)
+        |    AS variance
+        |FROM a ORDER BY event_type""".stripMargin,
     // same salted token, same decimal-sum-then-round money math
     "q_events_pseudo" ->
       """SELECT sha256('graft-demo-salt' || ':' || CAST(user_id AS VARCHAR))

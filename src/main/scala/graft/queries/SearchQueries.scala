@@ -274,7 +274,17 @@ object SearchQueries extends QueryModule {
       .orderBy(col("exact_n").desc, col("gram"))
   }
 
+  /** TF-IDF top-3 keywords per document (KeywordSearch.tfidfTopK):
+    * smooth idf ln((N+1)/(df+1)) rounded at the source, score =
+    * tf·idf/dl rounded to 6, term-text tiebreak — rank-stable across
+    * engines. */
+  def keywords(spark: SparkSession, dir: String): DataFrame =
+    KeywordSearch.tfidfTopK(Tables.documents(spark, dir), "doc_id", "text",
+      k = 3)
+      .orderBy(col("doc_id"), col("rk"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_keywords" -> keywords,
     "q_corpus_cms_topk" -> cmsTopK,
     "q_search_bm25" -> bm25,
     "q_search_bm25_index" -> bm25Index,
@@ -574,6 +584,33 @@ object SearchQueries extends QueryModule {
        |ORDER BY exact_n DESC, gram""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // same tokenization as nllSql; dl = array length (empty tokens
+    // count, matching Spark's size(split(...))); idf ln rounded to 9 at
+    // the source, score = tf·idf/dl with the same left-assoc op order
+    "q_text_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (
+        |  SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS dl
+        |  FROM documents),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    ROUND(CAST(t.tf AS DOUBLE)
+        |      * ROUND(ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)), 9)
+        |      / l.dl, 6) AS score
+        |  FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tf, df, score FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_corpus_cms_topk" -> cmsSql,
     "q_search_bm25" -> bm25Sql,
     // the persisted-index round trip must reproduce the from-scratch

@@ -722,6 +722,40 @@ object StreamingRefresh {
     * Under Trigger.AvailableNow (one batch) the drain therefore equals
     * the batch `asofJoin` row-for-row; AsofStreamSpec pins both the
     * equality and the cross-batch arrival semantics. */
+  /** Attribution candidate pairs: every click by the same user in the
+    * `lookbackMin`-minute window ending at each purchase — the
+    * STREAM-STREAM interval join (Spark's two-sided-state join operator:
+    * each side buffers rows until the other side's watermark passes the
+    * time-range bound, so state is bounded by watermark + lookback, not
+    * by stream length). The SAME plan runs in batch — callers pass
+    * batch frames for the oracle-checked face (q_events_attribution
+    * picks last-click on top) and watermarked streams for the
+    * streaming face (AttributionStreamSpec pins drain ≡ batch).
+    *
+    * Inputs need (event_id, user_id, ts); streaming callers must
+    * `withWatermark("ts", …)` BOTH sides before calling (required by
+    * the stream-stream join planner; a 1-hour watermark bounds the
+    * click buffer at watermark + lookback).
+    *
+    * Scale shape: an equi-join on user_id with a range predicate —
+    * shuffles both sides on the user key once; the range condition
+    * prunes inside each key group. No window function, no collect. */
+  def attributionPairs(purchases: DataFrame, clicks: DataFrame,
+      lookbackMin: Int = 30): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("p_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES"),
+      "inner")
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        unix_micros(col("c_ts")).as("c_ts_us"))
+  }
+
   def asofStream(tagged: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = tagged.sparkSession

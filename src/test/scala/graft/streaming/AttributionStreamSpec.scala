@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Stream-stream interval join (attribution candidates): two watermarked
+  * event streams joined on user + a 30-minute time-range bound — Spark's
+  * two-sided-state join operator, state bounded by watermark + lookback.
+  * The drain over the fixture must equal the batch attributionPairs
+  * row-for-row (same code path, batch frames). */
+class AttributionStreamSpec extends SparkSpecBase {
+
+  private def sideFixture(eventType: String): Seq[(Long, Long, Long)] =
+    graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === eventType)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def asEvents(df: org.apache.spark.sql.DataFrame) =
+    df.toDF("event_id", "user_id", "ts_us")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"))
+
+  test("one-batch drain equals the batch candidate join row-for-row") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Long)]
+    val purchasesIn = MemoryStream[(Long, Long, Long)]
+    val stream = StreamingRefresh.attributionPairs(
+      asEvents(purchasesIn.toDF()).withWatermark("ts", "1 hour"),
+      asEvents(clicksIn.toDF()).withWatermark("ts", "1 hour"),
+      lookbackMin = 30)
+    val q = stream.writeStream
+      .format("memory").queryName("attr_stream").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("attr-ckpt").toString)
+      .start()
+    clicksIn.addData(sideFixture("click"))
+    purchasesIn.addData(sideFixture("purchase"))
+    q.processAllAvailable()
+
+    val streamed = spark.sql(
+      "SELECT purchase_id, click_id FROM attr_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = graft.Tables.events(spark, sfDir)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val batch = StreamingRefresh.attributionPairs(
+      side("purchase"), side("click"), lookbackMin = 30)
+      .select(col("purchase_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture produced no candidate pairs")
+    q.stop()
+  }
+
+  test("the range bound is inclusive at the purchase instant, exclusive past the lookback") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000000L // µs
+    val min = 60L * 1000000
+    val clicksIn = MemoryStream[(Long, Long, Long)]
+    val purchasesIn = MemoryStream[(Long, Long, Long)]
+    val stream = StreamingRefresh.attributionPairs(
+      asEvents(purchasesIn.toDF()).withWatermark("ts", "1 hour"),
+      asEvents(clicksIn.toDF()).withWatermark("ts", "1 hour"),
+      lookbackMin = 30)
+    val q = stream.writeStream
+      .format("memory").queryName("attr_stream2").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("attr-ckpt2").toString)
+      .start()
+    // purchase at base+30min; clicks at exactly the bound edges
+    purchasesIn.addData(Seq((900L, 7L, base + 30 * min)))
+    clicksIn.addData(Seq(
+      (1L, 7L, base),               // exactly lookback ago — included
+      (2L, 7L, base - 1),           // 1µs past lookback — excluded
+      (3L, 7L, base + 30 * min),    // at the purchase instant — included
+      (4L, 7L, base + 30 * min + 1) // after the purchase — excluded
+    ))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT click_id FROM attr_stream2")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L))
+    q.stop()
+  }
+}
