@@ -106,7 +106,11 @@ object Bench {
       // attribution (the stream-stream interval join's batch face),
       // and TF-IDF keyword extraction
       "q_refresh_diff", "q_agg_incremental",
-      "q_events_attribution", "q_text_keywords")
+      "q_events_attribution", "q_text_keywords",
+      // r12 fourth wave, second half: sliding windows (the Expand-based
+      // 1h/15m rolling metrics), the pairwise KMV contamination matrix,
+      // and the column-pair mutual-information audit
+      "q_events_sliding", "q_corpus_overlap_matrix", "q_profile_mi")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

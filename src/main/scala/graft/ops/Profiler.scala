@@ -40,6 +40,58 @@ object Profiler {
     * broken sketch; each engine audits its OWN sketch. */
   val ApproxTol = 0.15
 
+  /** Column-pair dependence: mutual information I(X;Y) in nats between
+    * two categorical columns, with both marginal entropies — the audit
+    * behind "is `lang` redundant given `source`?" and stratification
+    * design (NMI = mi / min(H) is one more division away). ONE scan:
+    * the joint (x, y, count) aggregate is the only wide shuffle; both
+    * marginals and the total ROLL UP from the joint (never a second
+    * scan), join back broadcast (the joint's distinct-pair count is
+    * bounded by the category product, metadata at any corpus size).
+    *
+    * Determinism (the corpus-battery ln9 contract): each term's ln is
+    * computed on ONE double division of exact ints (c_xy·N and c_x·c_y
+    * are exact below 2⁵³ for categorical cardinalities), rounded to 9;
+    * per-cell products round to 9 then DECIMAL-sum; finals round to 6.
+    * I(X;Y) = Σ (c_xy/N)·ln(c_xy·N / (c_x·c_y)) ≥ 0; H via the
+    * vocabEntropy formulation. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def ln9(c: org.apache.spark.sql.Column) = round(log(c), 9)
+    val joint = Checkpoints.stage(
+      df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+        .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+        .agg(count(lit(1)).as("cxy")),
+      eager = true)
+    val mx = joint.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+    val tot = joint.agg(sum(col("cxy")).as("n"))
+    def entropyOf(m: DataFrame, c: String) =
+      m.crossJoin(broadcast(tot)) // 1-row total
+        .select((round(col(c).cast("double") / col("n") *
+          ln9(col(c).cast("double") / col("n")), 9))
+          .cast("decimal(28,12)").as("plnp"))
+        .agg((-sum(col("plnp")).cast("double")).as("h"))
+    val mi = joint
+      .join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      .select(round(col("cxy").cast("double") / col("n") *
+        ln9((col("cxy") * col("n")).cast("double") /
+          (col("cx") * col("cy"))), 9)
+        .cast("decimal(28,12)").as("term"))
+      .agg(sum(col("term")).cast("double").as("mi"),
+        count(lit(1)).as("n_cells"))
+    mi.crossJoin(entropyOf(mx, "cx").select(col("h").as("hx")))
+      .crossJoin(entropyOf(my, "cy").select(col("h").as("hy")))
+      .crossJoin(broadcast(tot))
+      .select(col("n").as("n_rows"), col("n_cells"),
+        round(col("mi"), 6).as("mi_nats"),
+        round(col("hx"), 6).as("h_x"),
+        round(col("hy"), 6).as("h_y"),
+        // a constant column has H = 0: NMI is undefined, not Infinity
+        when(least(col("hx"), col("hy")) > 0,
+          round(col("mi") / least(col("hx"), col("hy")), 6)).as("nmi"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     cols.foreach(c => require(types.contains(c),

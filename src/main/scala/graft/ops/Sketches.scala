@@ -179,6 +179,57 @@ object Sketches {
           col("exact_overlap").cast("double"), 6)).as("rel_err"))
   }
 
+  /** Pairwise KMV overlap MATRIX across the groups of one frame — the
+    * corpus-contamination report: estimated shared-key cardinality and
+    * Jaccard for every group pair, from ONE bounded aggregate. Per-group
+    * sketch state is ≤ k longs, so |groups| sketches collect to the
+    * driver as metadata (the adjudicated-collect convention: KMV
+    * sketches ≤ 256 longs); the |groups|²/2 pair arithmetic is
+    * driver-side on that metadata and parallelizes back out as the
+    * result frame. At 100 TB this is the ONLY shape that works — the
+    * exact pairwise intersection needs a per-key self-join, which the
+    * registered query adds as the small-|groups| audit leg.
+    *
+    * Estimator (Beyer et al. 2007, as kmvOverlap): over the combined
+    * k smallest union hashes u, est_union = (k−1)·2⁶⁰/u(k−1) (exact
+    * size when |u| < k), est_jaccard = |both|/|u|, est_inter =
+    * est_jaccard · est_union — every value a deterministic function of
+    * the portable md5 hash stream, so DuckDB replays it exactly. */
+  def kmvOverlapMatrix(df: DataFrame, groupCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kmv = udaf(new KmvAggregator(k), Encoders.scalaLong)
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sketches = df
+      .filter(col(hashCol).isNotNull) // NULL is "no key", never a phantom
+      .groupBy(col(groupCol)).agg(kmv(col(hashCol)).as("__s"))
+      .collect()
+      .map(r => r.get(0).toString ->
+        r.getAs[scala.collection.Seq[Long]](1).toArray)
+      .sortBy(_._1)
+    val rows = for {
+      ((a, sa), i) <- sketches.zipWithIndex
+      (b, sb) <- sketches.drop(i + 1)
+    } yield {
+      val u = (sa ++ sb).distinct.sorted.take(k)
+      val (inA, inB) = (sa.toSet, sb.toSet)
+      val nBoth = u.count(x => inA(x) && inB(x))
+      val estU =
+        if (u.isEmpty) 0.0
+        else if (u.length < k) u.length.toDouble
+        else round4((k - 1).toDouble * HashSpace / u(k - 1).toDouble)
+      val jac = if (u.isEmpty) 0.0 else round4(nBoth.toDouble / u.length)
+      val inter =
+        if (u.isEmpty) 0.0
+        else round4(nBoth.toDouble / u.length * estU)
+      (a, b, u.length.toLong, nBoth.toLong, estU, inter, jac)
+    }
+    rows.toSeq.toDF("group_a", "group_b", "u_size", "n_both",
+      "est_union", "est_inter", "est_jaccard")
+  }
+
   /** Bounded-state quantile estimation over positive integer values
     * (token counts, byte sizes): a log-scale histogram with a 2-bit
     * sub-exponent mantissa — values clamp below at 4, bin key =

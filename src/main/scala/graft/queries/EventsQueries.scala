@@ -23,6 +23,17 @@ object EventsQueries extends QueryModule {
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** Sliding 1-hour windows every 15 minutes — the rolling-metrics
+    * companion to [[windowed]]; calls the STREAMING builder directly
+    * (`StreamingRefresh.slidingCounts` — watermark is a no-op in
+    * batch), so the oracle-checked plan is the very plan the stream
+    * runs. The mirror rebuilds window membership arithmetically:
+    * each event belongs to the 4 epoch-aligned starts
+    * (⌊us/15min⌋ − j)·15min, j ∈ 0..3. */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingRefresh.slidingCounts(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Sessionization: a session breaks after a >30-minute gap per user.
     * lag + running sum of break flags — the batch formulation of
     * `sessionWindow`/flatMapGroupsWithState. */
@@ -311,6 +322,7 @@ object EventsQueries extends QueryModule {
     "q_events_anomaly" -> anomalies,
     "q_events_scd2" -> scd2,
     "q_events_windowed" -> windowed,
+    "q_events_sliding" -> sliding,
     "q_events_sessions" -> sessions,
     "q_events_type_pivot" -> typePivot,
     "q_events_asof" -> asof,
@@ -458,6 +470,17 @@ object EventsQueries extends QueryModule {
         |  valid_to_us,
         |  CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM runs ORDER BY user_id, version""".stripMargin,
+    "q_events_sliding" ->
+      """WITH w AS (
+        |  SELECT e.event_type, e.value,
+        |    make_timestamp((epoch_us(e.ts) // 900000000 - t.j) * 900000000)
+        |      AS ws
+        |  FROM events e, (SELECT unnest(range(0, 4)) AS j) t)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "q_events_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, COUNT(*) AS n_events,

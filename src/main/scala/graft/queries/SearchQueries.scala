@@ -214,6 +214,50 @@ object SearchQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Pairwise cross-source contamination matrix: for every source pair,
+    * the KMV-estimated shared-shingle cardinality and Jaccard (the
+    * 100 TB path — one bounded aggregate, |sources| sketches of ≤ k
+    * longs) NEXT TO the exact intersection/union/Jaccard audit legs
+    * (affordable here because |sources| is small and each shingle hash
+    * lands in ≤ |sources| groups, so the self-join fan-out is bounded).
+    * One staged distinct (source, hv) frame feeds sketches, sizes, and
+    * the exact self-join — the corpus text is tokenized ONCE. */
+  def overlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.ops.Checkpoints.stage(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(graft.functions.GraftFunctions.shingles(col("text"), 3))
+            .as("gram"))
+        .select(col("source"),
+          conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+        .distinct(), eager = true)
+    val est = Sketches.kmvOverlapMatrix(sh, "source", "hv", KmvK)
+      .select(col("group_a").as("source_a"), col("group_b").as("source_b"),
+        col("u_size"), col("n_both"), col("est_union"), col("est_inter"),
+        col("est_jaccard"))
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.hv") === col("y.hv") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val pairs = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")),
+        col("source_a") < col("source_b"))
+    pairs
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_inter"))
+      .withColumn("exact_jaccard",
+        round(col("exact_inter") / col("exact_union").cast("double"), 6))
+      .join(est, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("exact_inter"), col("exact_union"), col("exact_jaccard"),
+        col("u_size"), col("n_both"), col("est_union"), col("est_inter"),
+        col("est_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   private val HllP = 8
 
   /** Per-source distinct-shingle cardinality via HyperLogLog (p = 8,
@@ -297,6 +341,7 @@ object SearchQueries extends QueryModule {
     "q_corpus_zipf" -> zipfFit,
     "q_corpus_dsir" -> dsir,
     "q_corpus_distinct_kmv" -> distinctKmv,
+    "q_corpus_overlap_matrix" -> overlapMatrix,
     "q_corpus_distinct_hll" -> distinctHll,
     "q_corpus_hist_pctl" -> histPercentiles)
 
@@ -625,6 +670,7 @@ object SearchQueries extends QueryModule {
     "q_corpus_zipf" -> zipfSql,
     "q_corpus_dsir" -> dsirSql,
     "q_corpus_distinct_kmv" -> kmvSql,
+    "q_corpus_overlap_matrix" -> overlapMatrixSql,
     "q_corpus_distinct_hll" -> hllSql,
     "q_corpus_hist_pctl" -> histSql)
 
@@ -666,6 +712,80 @@ object SearchQueries extends QueryModule {
        |  ROUND(ABS(est_distinct - exact_distinct)
        |    / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
        |FROM agg ORDER BY source""".stripMargin
+
+  /** Replays the KMV pair estimator exactly: same portable md5 hash
+    * stream, per-source k smallest, per-pair union-take-k, n_both over
+    * that union, est_union from the kth union hash — then the exact
+    * intersection/union legs from the full distinct hash sets. Rounding
+    * order matches the Scala site for site (est_union rounded to 4
+    * BEFORE the est_inter multiply). */
+  private def overlapMatrixSql: String =
+    s"""WITH t AS (
+       |  SELECT source, text, regexp_split_to_array(text, '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT source, unnest(CASE WHEN len(w) < 3 THEN [text]
+       |    ELSE list_distinct(list_transform(range(1, greatest(len(w)-2,0)+1),
+       |      i -> array_to_string(list_transform(range(i, i+3), j -> w[j]), ' '))) END)
+       |    AS gram
+       |  FROM t
+       |), h AS (
+       |  SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS hv
+       |  FROM sh
+       |), rk AS (
+       |  SELECT source, hv,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+       |  FROM h
+       |), sk AS (SELECT source, hv FROM rk WHERE rn <= $KmvK
+       |), sz AS (SELECT source, COUNT(*) AS n FROM h GROUP BY source
+       |), pr AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    a.n AS n_a, b.n AS n_b
+       |  FROM sz a JOIN sz b ON a.source < b.source
+       |), pu AS (
+       |  SELECT p.source_a, p.source_b, s.hv,
+       |    MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+       |    MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+       |  FROM pr p JOIN sk s
+       |    ON s.source = p.source_a OR s.source = p.source_b
+       |  GROUP BY 1, 2, 3
+       |), ru AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+       |    ORDER BY hv) AS rn
+       |  FROM pu
+       |), ag AS (
+       |  SELECT source_a, source_b,
+       |    COUNT(*) AS u_size,
+       |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+       |    MAX(CASE WHEN rn = $KmvK THEN hv END) AS kth
+       |  FROM ru WHERE rn <= $KmvK GROUP BY 1, 2
+       |), es AS (
+       |  SELECT source_a, source_b, u_size, n_both,
+       |    CASE WHEN u_size < $KmvK THEN CAST(u_size AS DOUBLE)
+       |      ELSE ROUND(${KmvK - 1}.0 * 1152921504606846976.0
+       |        / CAST(kth AS DOUBLE), 4) END AS est_union,
+       |    ROUND(n_both / CAST(u_size AS DOUBLE), 4) AS est_jaccard
+       |  FROM ag
+       |), ex AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |    COUNT(*) AS exact_inter
+       |  FROM h x JOIN h y ON x.hv = y.hv AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+       |  COALESCE(ex.exact_inter, 0) AS exact_inter,
+       |  p.n_a + p.n_b - COALESCE(ex.exact_inter, 0) AS exact_union,
+       |  ROUND(COALESCE(ex.exact_inter, 0)
+       |    / CAST(p.n_a + p.n_b - COALESCE(ex.exact_inter, 0) AS DOUBLE), 6)
+       |    AS exact_jaccard,
+       |  es.u_size, es.n_both, es.est_union,
+       |  ROUND(es.n_both / CAST(es.u_size AS DOUBLE) * es.est_union, 4)
+       |    AS est_inter,
+       |  es.est_jaccard
+       |FROM pr p
+       |LEFT JOIN ex ON ex.source_a = p.source_a AND ex.source_b = p.source_b
+       |JOIN es ON es.source_a = p.source_a AND es.source_b = p.source_b
+       |ORDER BY p.source_a, p.source_b""".stripMargin
 
   /** Rebuilds the log-histogram quantile sketch in SQL: the same
     * integer bin key (values clamp at 4; key = 4·(length(bin(v))−1) +

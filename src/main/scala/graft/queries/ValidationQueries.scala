@@ -123,12 +123,20 @@ object ValidationQueries extends QueryModule {
         "l_linestatus", "l_shipdate"))
       .orderBy(col("col_name"))
 
+  /** Column-pair dependence audit: I(source; lang) in nats plus both
+    * marginal entropies and NMI over documents — one joint aggregate,
+    * marginals rolled up from it (Profiler.mutualInformation). */
+  def profileMi(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.mutualInformation(
+      Tables.documents(spark, dir), "source", "lang")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_validate_expectations" -> expectations,
     "q_validate_csv" -> csvReport,
     "q_validate_coverage" -> coverage,
     "q_master_merge" -> masterMerge,
     "q_profile_columns" -> profileColumns,
+    "q_profile_mi" -> profileMi,
     "q_export_audit" -> exportAudit)
 
   private val sectionsCte =
@@ -200,9 +208,44 @@ object ValidationQueries extends QueryModule {
     .map { case (c, k) => profileColSql(c, k) }
     .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Mirrors mutualInformation site for site: ln rounded to 9 on one
+    * double division of exact ints, per-cell products rounded to 9 then
+    * DECIMAL(28,12)-summed, finals rounded to 6; NMI from the raw sums. */
+  private val miSql: String =
+    """WITH joint AS (
+      |  SELECT source AS x, lang AS y, COUNT(*) AS cxy FROM documents
+      |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+      |mx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM joint GROUP BY x),
+      |my AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM joint GROUP BY y),
+      |tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM joint),
+      |terms AS (
+      |  SELECT CAST(ROUND(cxy / CAST(n AS DOUBLE)
+      |    * ROUND(ln(CAST(cxy * n AS DOUBLE) / (cx * cy)), 9), 9)
+      |    AS DECIMAL(28,12)) AS term
+      |  FROM joint JOIN mx USING (x) JOIN my USING (y), tot),
+      |mia AS (
+      |  SELECT CAST(SUM(term) AS DOUBLE) AS mi, COUNT(*) AS n_cells
+      |  FROM terms),
+      |hxa AS (
+      |  SELECT -CAST(SUM(CAST(ROUND(cx / CAST(n AS DOUBLE)
+      |    * ROUND(ln(cx / CAST(n AS DOUBLE)), 9), 9)
+      |    AS DECIMAL(28,12))) AS DOUBLE) AS h
+      |  FROM mx, tot),
+      |hya AS (
+      |  SELECT -CAST(SUM(CAST(ROUND(cy / CAST(n AS DOUBLE)
+      |    * ROUND(ln(cy / CAST(n AS DOUBLE)), 9), 9)
+      |    AS DECIMAL(28,12))) AS DOUBLE) AS h
+      |  FROM my, tot)
+      |SELECT tot.n AS n_rows, mia.n_cells, ROUND(mia.mi, 6) AS mi_nats,
+      |  ROUND(hxa.h, 6) AS h_x, ROUND(hya.h, 6) AS h_y,
+      |  CASE WHEN LEAST(hxa.h, hya.h) > 0
+      |    THEN ROUND(mia.mi / LEAST(hxa.h, hya.h), 6) END AS nmi
+      |FROM mia, hxa, hya, tot""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "q_validate_expectations" -> expectationsSql,
     "q_profile_columns" -> profileSql,
+    "q_profile_mi" -> miSql,
     "q_validate_csv" ->
       """WITH d AS (
         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL

@@ -48,6 +48,25 @@ object StreamingRefresh {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** SLIDING 1-hour windows every 15 minutes per event type — each event
+    * lands in exactly 4 overlapping windows (the engine plans one Expand
+    * over the scan, NOT four passes). This is THE query shape for
+    * "rolling last-hour metrics refreshed sub-hourly"; the identical
+    * plan serves batch (watermark is a no-op there — q_events_sliding
+    * calls this directly) and streaming (SlidingStreamSpec pins
+    * drain ≡ batch). Window starts align to the epoch in UTC, so the
+    * mirror can rebuild membership arithmetically. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Gap-based event-time sessionization (30-minute inactivity closes a
     * session) — the streaming form of EventsQueries.sessions, expressed
     * with the built-in `session_window` so state handling, watermark
