@@ -110,7 +110,10 @@ object Bench {
       // r12 fourth wave, second half: sliding windows (the Expand-based
       // 1h/15m rolling metrics), the pairwise KMV contamination matrix,
       // and the column-pair mutual-information audit
-      "q_events_sliding", "q_corpus_overlap_matrix", "q_profile_mi")
+      "q_events_sliding", "q_corpus_overlap_matrix", "q_profile_mi",
+      // the widest relational plan (Q8-shaped 7-table market share)
+      // and the CUBE grouping-set completion
+      "q_rel_market_share", "q_rel_cube")
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,

@@ -188,7 +188,67 @@ object Relational extends QueryModule {
       Tables.customer(spark, dir), "c_custkey",
       Tables.orders(spark, dir), "o_custkey", KmvK)
 
+  /** TPC-H Q8-shaped national market share: of the 'PROMO'-type part
+    * revenue sold into the ASIA region, the fraction supplied by
+    * NATION_7's suppliers, per order year — the widest registered
+    * relational plan (lineitem→part→supplier→orders→customer→nation×2→
+    * region; seven base-table joins). Dimension filters (part type,
+    * region) reach their scans as PushedFilters; the constant-size dims
+    * (nation, region) broadcast; part/supplier/customer stay
+    * AQE-decided (they grow with SF — a broadcast hint here would be a
+    * 100 TB lie). Revenue is the exact DECIMAL volume; the share is one
+    * double division rounded to 6. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n1 = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice").cast(D) *
+      (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(vol).as("_total"),
+        sum(when(col("supp_nation") === "NATION_7", vol)).as("_nation"),
+        count(lit(1)).as("n_lineitems"))
+      .select(col("o_year"), col("n_lineitems"),
+        col("_total").cast("double").as("total_revenue"),
+        coalesce(col("_nation").cast("double"), lit(0.0))
+          .as("nation_revenue"),
+        round(coalesce(col("_nation").cast("double"), lit(0.0)) /
+          col("_total").cast("double"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** CUBE over (status, priority): all four grouping sets in one pass
+    * (the engine plans ONE Expand, not four scans), with grouping_id
+    * disambiguating rolled-up NULLs from data NULLs. Completes the
+    * grouping-set family next to q_rel_rollup. */
+  def statusCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("revenue"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_market_share" -> marketShare,
+    "q_rel_cube" -> statusCube,
     "q_rel_join_card" -> joinCardinality,
     "q_rel_rollup" -> pricingRollup,
     "q_rel_pricing_summary" -> pricingSummary,
@@ -254,6 +314,41 @@ object Relational extends QueryModule {
        |FROM e""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // same decimal volume, same conditional-sum + double division
+    "q_rel_market_share" ->
+      """WITH j AS (
+        |  SELECT year(o.o_orderdate) AS o_year, n2.n_name AS supp_nation,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(5,2)) - CAST(l.l_discount AS DECIMAL(5,2)))
+        |      AS vol
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |    AND r.r_name = 'ASIA'
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey),
+        |a AS (
+        |  SELECT o_year, COUNT(*) AS n_lineitems,
+        |    SUM(vol) AS total,
+        |    SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol END) AS nat
+        |  FROM j GROUP BY o_year)
+        |SELECT o_year, n_lineitems,
+        |  CAST(total AS DOUBLE) AS total_revenue,
+        |  COALESCE(CAST(nat AS DOUBLE), 0.0) AS nation_revenue,
+        |  ROUND(COALESCE(CAST(nat AS DOUBLE), 0.0)
+        |    / CAST(total AS DOUBLE), 6) AS mkt_share
+        |FROM a ORDER BY o_year""".stripMargin,
+    "q_rel_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
     "q_rel_join_card" -> joinCardSql,
     "q_rel_rollup" ->
       """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
