@@ -241,16 +241,21 @@ object SearchQueries extends QueryModule {
         col("x.hv") === col("y.hv") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
       .agg(count(lit(1)).as("exact_inter"))
-    val pairs = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+    // the pair spine IS the sketch matrix — a driver-built local
+    // relation (structurally bounded, satisfying the BNLJ plan guard),
+    // so every audit leg attaches with a plain equi-join; a
+    // `sizes < sizes` inequality join would put an unbounded aggregate
+    // on the broadcast side of a nested-loop join
+    est
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")),
+        Seq("source_a"))
       .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")),
-        col("source_a") < col("source_b"))
-    pairs
+        Seq("source_b"))
       .join(inter, Seq("source_a", "source_b"), "left")
       .na.fill(0L, Seq("exact_inter"))
       .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_inter"))
       .withColumn("exact_jaccard",
         round(col("exact_inter") / col("exact_union").cast("double"), 6))
-      .join(est, Seq("source_a", "source_b"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         col("exact_inter"), col("exact_union"), col("exact_jaccard"),
         col("u_size"), col("n_both"), col("est_union"), col("est_inter"),
