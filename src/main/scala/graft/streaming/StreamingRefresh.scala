@@ -775,6 +775,31 @@ object StreamingRefresh {
         unix_micros(col("c_ts")).as("c_ts_us"))
   }
 
+  /** LEFT-OUTER face of [[attributionPairs]]: purchases with NO
+    * qualifying click emit with null click columns — in batch
+    * immediately; in streaming ONLY once the click-side watermark
+    * passes the purchase's lookback window (the engine must prove no
+    * matching click can still arrive before it may emit the null row —
+    * the state-eviction semantics that make outer stream-stream joins
+    * the hard case). AttributionStreamSpec pins both: the null row is
+    * withheld while the window is open and emitted after a later batch
+    * advances the watermark past it. */
+  def attributionPairsOuter(purchases: DataFrame, clicks: DataFrame,
+      lookbackMin: Int = 30): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("p_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        unix_micros(col("c_ts")).as("c_ts_us"))
+  }
+
   def asofStream(tagged: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = tagged.sparkSession

@@ -59,6 +59,62 @@ class AttributionStreamSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("left-outer: the null row waits for the watermark, then emits") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000000L
+    val hour = 3600L * 1000000
+    val clicksIn = MemoryStream[(Long, Long, Long)]
+    val purchasesIn = MemoryStream[(Long, Long, Long)]
+    val stream = StreamingRefresh.attributionPairsOuter(
+      asEvents(purchasesIn.toDF()).withWatermark("ts", "1 hour"),
+      asEvents(clicksIn.toDF()).withWatermark("ts", "1 hour"),
+      lookbackMin = 30)
+    val q = stream.writeStream
+      .format("memory").queryName("attr_outer").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("attr-ckpt3").toString)
+      .start()
+    // batch 1: a click-less purchase (user 9) and a matched one (user 8)
+    purchasesIn.addData(Seq((500L, 9L, base), (501L, 8L, base)))
+    clicksIn.addData(Seq((600L, 8L, base - 60L * 1000000)))
+    q.processAllAvailable()
+    val afterB1 = spark.sql("SELECT purchase_id, click_id FROM attr_outer")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // the matched pair emits; the null row for 500 is WITHHELD — a
+    // qualifying click could still arrive within the watermark
+    assert(afterB1 === Set((501L, Some(600L))))
+    // batch 2: far-future events on BOTH sides advance both watermarks
+    // past purchase 500's window — the engine can now prove no click
+    // will ever match, and the null row emits
+    purchasesIn.addData(Seq((502L, 1L, base + 10 * hour)))
+    clicksIn.addData(Seq((601L, 1L, base + 10 * hour)))
+    q.processAllAvailable()
+    val afterB2 = spark.sql("SELECT purchase_id, click_id FROM attr_outer")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(afterB2.contains((500L, None)))
+    q.stop()
+  }
+
+  test("left-outer batch face equals inner plus null-extended unmatched") {
+    val ev = graft.Tables.events(spark, sfDir)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val outer = StreamingRefresh.attributionPairsOuter(
+      side("purchase"), side("click"), 30)
+    val inner = StreamingRefresh.attributionPairs(
+      side("purchase"), side("click"), 30)
+    assert(outer.filter(col("click_id").isNotNull).count() === inner.count())
+    // every purchase appears; unmatched ones exactly once with nulls
+    val nPurch = side("purchase").count()
+    assert(outer.select(col("purchase_id")).distinct().count() === nPurch)
+    assert(outer.filter(col("click_id").isNull)
+      .groupBy(col("purchase_id")).count()
+      .filter(col("count") > 1).count() === 0L)
+  }
+
   test("the range bound is inclusive at the purchase instant, exclusive past the lookback") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
