@@ -31,10 +31,16 @@ object IncrementalAgg {
   /** Mergeable per-group state over a long-valued measure column:
     * (group, n, s, ss, min_v, max_v). `ss` accumulates in DECIMAL(38,0)
     * — at 10¹² rows of 10⁵-magnitude values the sum of squares passes
-    * int64, and decimal aggregation is exact and order-free. */
+    * int64, and decimal aggregation is exact and order-free.
+    *
+    * `n` counts NON-NULL values (count(valueCol), not COUNT(*)) so every
+    * component of the state describes the same row population — with a
+    * nullable measure, a row-count n would dilute mean and variance
+    * while s/ss/min/max silently skipped the NULLs (r12 ADVICE; the
+    * registered oracle mirrors COUNT(valueCol) for the same reason). */
   def state(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     df.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("n"),
+      count(col(valueCol)).as("n"),
       sum(col(valueCol)).as("s"),
       sum(col(valueCol).cast("decimal(38,0)") * col(valueCol)).as("ss"),
       min(col(valueCol)).as("min_v"),

@@ -194,7 +194,15 @@ object Sketches {
     * k smallest union hashes u, est_union = (k−1)·2⁶⁰/u(k−1) (exact
     * size when |u| < k), est_jaccard = |both|/|u|, est_inter =
     * est_jaccard · est_union — every value a deterministic function of
-    * the portable md5 hash stream, so DuckDB replays it exactly. */
+    * the portable md5 hash stream, so DuckDB replays it exactly.
+    *
+    * EAGER, unlike every other builder in Sketches: the per-group
+    * aggregate and the driver collect run AT CONSTRUCTION TIME (the
+    * pair arithmetic needs the sketch metadata on the driver), so the
+    * returned frame is a pre-computed local relation, not a lazy plan —
+    * callers composing it must account for the up-front job. A NULL
+    * group key is dropped alongside NULL hashes (r12 ADVICE: it would
+    * NPE in the driver-side toString and name no real group). */
   def kmvOverlapMatrix(df: DataFrame, groupCol: String, hashCol: String,
       k: Int): DataFrame = {
     val spark = df.sparkSession
@@ -203,7 +211,8 @@ object Sketches {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val sketches = df
-      .filter(col(hashCol).isNotNull) // NULL is "no key", never a phantom
+      // NULL hash is "no key", never a phantom; NULL group names no group
+      .filter(col(hashCol).isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol)).agg(kmv(col(hashCol)).as("__s"))
       .collect()
       .map(r => r.get(0).toString ->

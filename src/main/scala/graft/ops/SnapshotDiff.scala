@@ -35,6 +35,13 @@ object SnapshotDiff {
   /** Classified diff between two snapshots sharing `keyCol` and an
     * identical payload column set. Emits one row per non-identical key:
     * (key, change_type ∈ added|removed|changed, old_hash, new_hash).
+    *
+    * NULL-key semantics (r12 ADVICE): the join is NULL-SAFE (`<=>`; the
+    * mirror uses IS NOT DISTINCT FROM), so a NULL key present in both
+    * snapshots compares content like any other key instead of
+    * double-reporting as removed+added. A properly keyed snapshot has at
+    * most one NULL-key row per side; many NULL keys on both sides would
+    * cross-pair like any duplicated key value.
     */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String): DataFrame = {
     val payload = newSnap.columns.filterNot(_ == keyCol).toSeq
@@ -43,12 +50,14 @@ object SnapshotDiff {
       s"snapshot schemas differ: old=$oldPayload new=$payload — a diff over " +
         "mismatched payloads would classify every key as changed")
     require(payload.nonEmpty, s"no payload columns besides key '$keyCol'")
-    def hashed(df: DataFrame, as: String) =
-      df.select(col(keyCol), md5(concat_ws(Sep,
+    def hashed(df: DataFrame, keyAs: String, as: String) =
+      df.select(col(keyCol).as(keyAs), md5(concat_ws(Sep,
         payload.map(c => coalesce(col(c).cast("string"), lit(NullSentinel))): _*))
         .as(as))
-    hashed(oldSnap, "old_hash")
-      .join(hashed(newSnap, "new_hash"), Seq(keyCol), "full_outer")
+    hashed(oldSnap, "__k_old", "old_hash")
+      .join(hashed(newSnap, "__k_new", "new_hash"),
+        col("__k_old") <=> col("__k_new"), "full_outer")
+      .withColumn(keyCol, coalesce(col("__k_old"), col("__k_new")))
       .withColumn("change_type",
         when(col("old_hash").isNull, "added")
           .when(col("new_hash").isNull, "removed")

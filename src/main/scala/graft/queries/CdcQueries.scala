@@ -188,8 +188,10 @@ object CdcQueries extends QueryModule {
         |    COALESCE(mdate, chr(0)))) AS new_hash
         |  FROM base WHERE id % 11 <> 5),
         |j AS (
+        |  -- null-safe, mirroring SnapshotDiff's <=> key join
         |  SELECT COALESCE(o.id, n.id) AS id, o.old_hash, n.new_hash
-        |  FROM oldh o FULL OUTER JOIN newh n ON o.id = n.id)
+        |  FROM oldh o FULL OUTER JOIN newh n
+        |    ON o.id IS NOT DISTINCT FROM n.id)
         |SELECT id,
         |  CASE WHEN old_hash IS NULL THEN 'added'
         |       WHEN new_hash IS NULL THEN 'removed'

@@ -363,7 +363,7 @@ object EventsQueries extends QueryModule {
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |  FROM events),
         |a AS (
-        |  SELECT event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+        |  SELECT event_type, COUNT(cents) AS n, CAST(SUM(cents) AS BIGINT) AS s,
         |    SUM(CAST(cents AS HUGEINT) * cents) AS ssh,
         |    MIN(cents) AS min_v, MAX(cents) AS max_v
         |  FROM c GROUP BY 1)

@@ -66,6 +66,21 @@ class IncrementalAggSpec extends SparkSpecBase {
     assert(rows(merged) === rows(direct))
   }
 
+  test("a nullable measure computes moments over the non-null population") {
+    // r12 ADVICE: n was COUNT(*) while s/ss/min/max skipped NULLs,
+    // diluting mean and variance; n must be count(valueCol)
+    import spark.implicits._
+    val t = Seq(("a", Some(1L)), ("a", Option.empty[Long]), ("a", Some(3L)))
+      .toDF("g", "v")
+    val r = IncrementalAgg.report(
+      IncrementalAgg.state(t, "g", "v"), "g").collect().head
+    assert(r.getAs[Long]("n") === 2L)
+    assert(r.getAs[Long]("s") === 4L)
+    assert(r.getAs[String]("ss") === "10")
+    assert(r.getAs[Double]("mean") === 2.0)
+    assert(r.getAs[Double]("variance") === 1.0)
+  }
+
   test("report stats match hand math on a tiny group") {
     import spark.implicits._
     val t = Seq(("a", 1L), ("a", 3L), ("a", 5L)).toDF("g", "v")

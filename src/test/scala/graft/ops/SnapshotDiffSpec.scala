@@ -47,6 +47,22 @@ class SnapshotDiffSpec extends SparkSpecBase {
     assert(classes(old, nw) === Map(1L -> "changed"))
   }
 
+  test("a NULL key matches itself null-safely, never removed+added") {
+    // r12 ADVICE: plain-equality join double-reported a both-sides NULL
+    // key; the <=> join compares its content like any other key
+    val old = Seq((Some(1L), "a"), (Option.empty[Long], "x"))
+      .toDF("id", "p")
+    val same = Seq((Some(1L), "a"), (Option.empty[Long], "x"))
+      .toDF("id", "p")
+    assert(SnapshotDiff.diff(old, same, "id").count() === 0L)
+    val changed = Seq((Some(1L), "a"), (Option.empty[Long], "y"))
+      .toDF("id", "p")
+    val out = SnapshotDiff.diff(old, changed, "id")
+      .select(col("id"), col("change_type")).collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(0) && out.head.getString(1) === "changed")
+  }
+
   test("mismatched payload schemas are rejected loudly") {
     val old = Seq((1L, "a")).toDF("id", "p1")
     val nw = Seq((1L, "a")).toDF("id", "other")

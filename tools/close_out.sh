@@ -16,6 +16,21 @@ if [ -n "$(git status --porcelain -- src build.sbt project tools)" ]; then
   exit 1
 fi
 
+# Auto-unseal (r12 VERDICT #2: 373329d sits in history as a synthetic
+# red because source landed one commit before the manual unseal).
+# close_out IS the re-verify path, so it may unseal mechanically: if
+# GATE.json is still sealed from a previous gate, flip sealed:false in
+# its own visible commit BEFORE the suite runs — the suite below then
+# polices the actual work, and the seal is re-written at the new HEAD
+# on success. Round-start convention stays: the FIRST source commit of
+# a round should co-land the sealed:false flip so no intermediate
+# commit ever fails GateSealSpec on fresh checkout.
+if grep -q '"sealed": true' GATE.json 2>/dev/null; then
+  sed -i 's/"sealed": true/"sealed": false/' GATE.json
+  git add GATE.json
+  git commit -m "Unseal the round gate for re-verification (close_out auto-unseal)"
+fi
+
 CPUS="${SPARK_GRAFT_CPUS:-16}"
 OUT001="${GATE_OUT001:-/tmp/gate_r_sf001}"
 OUT01="${GATE_OUT01:-/tmp/gate_r_sf01}"
