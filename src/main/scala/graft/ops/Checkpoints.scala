@@ -129,6 +129,53 @@ object Checkpoints {
     staged.head.unpersist(blocking = false)
   }
 
+  /** Transient staged frames (see [[stageTransient]]) awaiting release:
+    * each entry's blocks become dead once the single consuming plan has
+    * materialized, and releasing early only costs a recompute (lineage
+    * is preserved), so the queue is swept aggressively. */
+  private val transientFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Stage a compute-once/consume-within-ONE-plan frame (TF-IDF's tf
+    * partials, unigramNll's vocab) with DETERMINISTIC release instead of
+    * the wait-for-the-periodic-cleaner convention (r12 VERDICT #5: each
+    * single-shot call leaked one MEMORY_AND_DISK frame for up to 30 min;
+    * the r11 ladder measured 5.6× steady inflation when loops leak this
+    * class of block).
+    *
+    * Unlike [[stage]], lineage is NOT truncated: the frame is persisted
+    * and eagerly materialized (one job computes it once; every scan in
+    * the consuming plan reads the cache), so releasing its blocks is
+    * safe at ANY time — a later action simply recomputes from lineage
+    * instead of failing on vanished checkpoint blocks. That safety is
+    * what lets each `stageTransient` call sweep ALL prior transient
+    * frames (their consumers have run by then in every registered-query
+    * flow; a plan still unmaterialized when its input is swept degrades
+    * to recompute, never to wrong results), and lets batch drivers call
+    * [[releaseTransients]] at a loop boundary for an exact zero.
+    * Iterative operators must keep using [[stage]]: their loop rounds
+    * need lineage truncation, and their predecessors are provably dead
+    * — the stronger [[release]] applies there. */
+  def stageTransient(df: DataFrame): DataFrame = {
+    releaseTransients()
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count() // materialize NOW: one computation feeds all consumers
+    transientFrames.add(cached)
+    cached
+  }
+
+  /** Release every outstanding transient frame now (idempotent; safe at
+    * any time — see [[stageTransient]]). Batch drivers running many
+    * TF-IDF/NLL calls per session call this at their loop boundary. */
+  def releaseTransients(): Unit = {
+    var f = transientFrames.poll()
+    while (f != null) { f.unpersist(blocking = false); f = transientFrames.poll() }
+  }
+
+  /** Spec surface: outstanding transient frames. */
+  private[graft] def transientCount: Int = transientFrames.size()
+
   /** Conf keys the loop-compile clone re-syncs from the parent on
     * every keepPartitioning stage: the seam's own routing key (reliable
     * vs local checkpointing) and the runtime cartesian guard (so a

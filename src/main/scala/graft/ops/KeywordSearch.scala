@@ -154,8 +154,10 @@ object KeywordSearch {
       .agg(count(lit(1)).as("tf"))
     // tf rows are distinct per (doc, term), so df is a plain count —
     // and it feeds the scoring join, so stage it: one tf computation,
-    // not two
-    val tfS = Checkpoints.stage(tf, eager = true)
+    // not two. Transient staging (persist, not checkpoint) so the
+    // blocks release deterministically instead of leaking to the
+    // periodic cleaner (r12 VERDICT #5).
+    val tfS = Checkpoints.stageTransient(tf)
     val dfsRaw = tfS.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dfs = if (broadcastDf) broadcast(dfsRaw) else dfsRaw
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -167,9 +169,9 @@ object KeywordSearch {
         ln9((col("n_docs") + 1).cast("double") / (col("df") + 1)))
       .withColumn("score",
         round(col("tf").cast("double") * col("idf") / col("dl"), 6))
-    // tfS stays staged until the caller materializes the returned frame
-    // (release() here would free blocks the lazy plan still reads); the
-    // periodic cleaner reclaims it, matching unigramNll's convention.
+    // tfS is swept by the next stageTransient call (or an explicit
+    // Checkpoints.releaseTransients) — lineage is intact, so an early
+    // sweep costs a recompute, never a failed read.
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"),
@@ -341,12 +343,11 @@ object KeywordSearch {
     */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String,
       broadcastVocab: Boolean = true): DataFrame = {
-    // vocab feeds the token join AND the total; checkpoint = one corpus
-    // explode, not two
-    val vocabRaw = Checkpoints.stage(
+    // vocab feeds the token join AND the total; staged = one corpus
+    // explode, not two. Transient (deterministic release — r12 #5).
+    val vocabRaw = Checkpoints.stageTransient(
       unigramCounts(docs, textCol)
-        .withColumn("lncnt", ln9(col("cnt")).cast("decimal(28,12)")),
-      eager = true)
+        .withColumn("lncnt", ln9(col("cnt")).cast("decimal(28,12)")))
     val vocab = if (broadcastVocab) broadcast(vocabRaw) else vocabRaw
     val total = vocabRaw.agg(sum(col("cnt")).as("total"))
     val words = docs.select(col(idCol), explode(toks(col(textCol))).as("word"))

@@ -80,6 +80,44 @@ class BlockReleaseSpec extends SparkSpecBase {
         "after 10 merge rounds (expected <= 3: final stage + predecessor)")
   }
 
+  test("repeated TF-IDF / NLL calls hold a flat persistent-RDD count") {
+    // r12 VERDICT #5: tfidfTopK/unigramNll staged their partials and
+    // left release to the periodic cleaner — one leaked frame per call
+    // in a long-lived session. stageTransient sweeps prior frames on
+    // every call (safe: lineage preserved, an early sweep recomputes),
+    // and releaseTransients() is the deterministic loop-boundary zero.
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta gamma delta"),
+      (3L, "gamma delta epsilon alpha beta"))
+      .toDF("doc_id", "text")
+    Checkpoints.releaseTransients()
+    val before = persisted
+    (1 to 5).foreach { _ =>
+      assert(KeywordSearch.tfidfTopK(docs, "doc_id", "text", k = 2).count() > 0)
+      assert(KeywordSearch.unigramNll(docs, "doc_id", "text").count() > 0)
+    }
+    val fresh = persisted -- before
+    assert(fresh.size <= 1,
+      s"transient staging leaked: ${fresh.size} new persistent RDDs after " +
+        "10 calls (expected <= 1: only the most recent call's frame)")
+    Checkpoints.releaseTransients()
+    assert((persisted -- before).isEmpty,
+      "releaseTransients must free the last outstanding transient frame")
+    assert(Checkpoints.transientCount === 0)
+  }
+
+  test("a swept transient frame recomputes instead of failing") {
+    // the safety property that allows aggressive sweeping: lineage is
+    // preserved, so consuming a released transient frame degrades to a
+    // recompute, never to a vanished-block failure
+    val out = KeywordSearch.tfidfTopK(
+      Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text"), "doc_id",
+      "text", k = 1)
+    Checkpoints.releaseTransients() // sweep BEFORE the plan materializes
+    assert(out.count() === 2)
+  }
+
   test("MMR selection holds a bounded staged-frame count, not one per pick") {
     val rnd = new scala.util.Random(7)
     val emb = (0L until 40L)
