@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit, sum, xxhash64}
 
 /** Benchmark harness (driver contract): runs the headline query set on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
@@ -34,7 +35,7 @@ object Bench {
     * frozen headline `total` stays comparable round-over-round: the new
     * ANN/compression paths, the corpus-hygiene battery, and the capstone
     * full export (now oracle-checked, worth a perf trendline). */
-  private val extras = Seq(
+  private[graft] val extras = Seq(
     "q_knn_pq", "q_knn_ivfpq", "q_sim_quantize",
     "q_corpus_repetition", "q_corpus_decontaminate", "q_corpus_pii_redact",
     "q_corpus_sample", "q_corpus_quota", "q_corpus_mix",
@@ -113,7 +114,60 @@ object Bench {
       "q_events_sliding", "q_corpus_overlap_matrix", "q_profile_mi",
       // the widest relational plan (Q8-shaped 7-table market share)
       // and the CUBE grouping-set completion
-      "q_rel_market_share", "q_rel_cube")
+      "q_rel_market_share", "q_rel_cube",
+      // r13: the right-outer attribution face (unconverted clicks),
+      // the deep-breadcrumb stack fold, and the incremental ANN upsert
+      "q_events_attribution_unconverted", "q_sections_deep_breadcrumbs",
+      "q_knn_index_incremental")
+
+  /** The deep tier of the extras: the ~15 heaviest queries by the r12
+    * adjudicated record, pinned so their trendline keeps 3-rep medians
+    * while the long tail drops to one steady rep (r12 VERDICT #7: 101
+    * extras at ~162 s adjudicated were swallowing the close-out; the
+    * sustained-contention screen still re-measures any tail rep that
+    * reads heavy, so a poisoned single rep cannot ship unadjudicated).
+    * Queries NEW this round also get debut 3-rep medians (see
+    * freshExtras). Revisit membership when the record shifts. */
+  private[graft] val deepTier = Seq(
+    "q_pipe_full_export", "q_layout_zorder", "q_sim_clusters_incremental",
+    "q_dedup_representatives", "q_sim_triangles", "q_er_pairs_k2",
+    "q_sim_lpa", "q_sim_pagerank", "q_er_entities", "q_pipe_retrieve",
+    "q_knn_tuning", "q_layout_compaction", "q_sim_kcore",
+    "q_knn_tuning_pq", "q_dedup_prefix_jaccard")
+
+  /** Extras added THIS round — debut with full 3-rep medians so their
+    * first committed number is trustworthy, then graduate to the tail
+    * (or the deep tier, if they read heavy). */
+  private[graft] val freshExtras = Seq(
+    "q_events_attribution_unconverted", "q_sections_deep_breadcrumbs",
+    "q_knn_index_incremental")
+
+  /** Host-speed calibration (r12 VERDICT #1: the driver's core read
+    * +35% round-over-round with ZERO adjudications — a uniform host-band
+    * shift is invisible to the self-relative screens by construction).
+    * A fixed, deterministic, CPU-bound job — 4·10⁹ range rows through a
+    * 4-deep xxhash64 chain into one sum, no IO, no data dependence —
+    * is timed as 1 untimed + 3 timed reps (median). `host_factor` =
+    * calib_sec / [[CalibRefSec]]; `total_normalized` = total / factor
+    * divides the band out so round-over-round comparisons read the
+    * ENGINE's movement. The reference second is pinned to the r13
+    * close-out host (factor 1.0 there by construction). */
+  private val CalibRows = 4_000_000_000L
+  private[graft] val CalibRefSec = 3.15
+
+  private def calibrationSec(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val h4 = xxhash64(xxhash64(xxhash64(xxhash64(col("id")))))
+      spark.range(0, CalibRows, 1, spark.sparkContext.defaultParallelism)
+        .select((h4 % lit(1048576L)).as("h"))
+        .agg(sum(col("h"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT/codegen warm, untimed
+    val reps = (1 to 3).map(_ => once()).sorted
+    reps(1)
+  }
 
   /** Time a query set at one scale dir: name → seconds (-1 = fail). */
   private def timeSet(spark: SparkSession, sfDir: String,
@@ -297,6 +351,10 @@ object Bench {
       }
     }
 
+    // first calibration: right after warm-up, so it reads the band the
+    // steady medians are about to be measured under
+    val calibStart = calibrationSec(spark)
+
     val SteadyReps = 3
     val (results, resultsMin) = timeSetMedian(spark, sfDir, headline, SteadyReps)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -329,8 +387,26 @@ object Bench {
         -1.0 }
 
     // round-5 extras: steady-state (post-warm JVM) at the primary scale,
-    // in their own keys — NOT folded into the frozen `total`
-    val (extraResults, extraMin) = timeSetMedian(spark, sfDir, extras, SteadyReps)
+    // in their own keys — NOT folded into the frozen `total`. Tiered by
+    // default (r12 VERDICT #7): the pinned deep tier + this round's
+    // debuts keep 3-rep medians; the long tail runs ONE steady rep
+    // (SPARK_GRAFT_EXTRAS_MODE=full restores 3 reps everywhere). The
+    // screens below still cover the tail — a heavy-reading single rep
+    // buys the sustained confirmation + full re-measure.
+    val extrasMode = sys.env.getOrElse("SPARK_GRAFT_EXTRAS_MODE", "tiered")
+    val deepSet = (deepTier ++ freshExtras).toSet
+    val (extraResults, extraMin) =
+      if (extrasMode == "full") timeSetMedian(spark, sfDir, extras, SteadyReps)
+      else {
+        val (dR, dM) = timeSetMedian(spark, sfDir,
+          extras.filter(deepSet), SteadyReps)
+        val (tR, tM) = timeSetMedian(spark, sfDir,
+          extras.filterNot(deepSet), 1)
+        val (mR, mM) = ((dR ++ tR).toMap, (dM ++ tM).toMap)
+        // keep the extras' declared order for stable artifact diffs
+        (extras.flatMap(n => mR.get(n).map(n -> _)),
+          extras.flatMap(n => mM.get(n).map(n -> _)))
+      }
     val totalExtra = extraResults.collect { case (_, v) if v >= 0 => v }.sum
 
     // end-of-run outlier adjudication (see adjudicateOutliers): every
@@ -361,6 +437,14 @@ object Bench {
     // cluster job; the raw in-suite median stays visible in `queries`).
     // A FAILED re-measure reports -1 in `adjudicated` (visible) but
     // must not poison the sum — fall back to the raw median then.
+    // second calibration AFTER the suite has quiesced (the same moment
+    // the adjudication re-measures run). The MIN of the two readings is
+    // the host's demonstrated capability this run — contention only ever
+    // slows the fixed job — and divides the band out of the totals.
+    val calibEnd = calibrationSec(spark)
+    val calibSec = math.min(calibStart, calibEnd)
+    val hostFactor = calibSec / CalibRefSec
+
     val adjMap = adjudicated.toMap.filter(_._2 >= 0)
     val totalAdj = results
       .collect { case (n, v) if v >= 0 => adjMap.getOrElse(n, v) }.sum
@@ -371,8 +455,16 @@ object Bench {
       .collect { case (n, v) if v >= 0 => adjMap.getOrElse(n, v) }.sum
 
     val methodology =
-      s"r12-cold+steady-median$SteadyReps+adjudicate-minbase2.5x+sustained${SustainedThreshold}s"
-    val line = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","queries":${jsonNum(results)},"queries_min":${jsonNum(resultsMin)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"adjudicated":${jsonNum(adjudicated)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"$methodology","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-median"},"rows":$rows,"queries_extra":${jsonNum(extraResults)},"queries_extra_min":${jsonNum(extraMin)},"total_extra":${f3(totalExtra)},"total_extra_adj":${f3(totalExtraAdj)},"bucketed_ingest_sec":${f3(ingestSec)},"extras_note":"r5+ additions, steady medians, excluded from the frozen total; adjudication (min-base spikes AND the 2s/0.6 sustained-contention screen) covers extras too — total_extra_adj is the trustworthy extras number; bucketed ingest timed separately","sf":"$sfDir"$small}"""
+      s"r13-cold+steady-median$SteadyReps+adjudicate-minbase2.5x+sustained${SustainedThreshold}s+hostcalib+extras-$extrasMode"
+    val normNote = "host_factor = min(two fixed 4e9-row xxhash64-chain " +
+      s"calibration medians) / $CalibRefSec (the r13 close-out host); " +
+      "total_normalized divides the host band out of the adjudicated core"
+    val tierNote =
+      if (extrasMode == "full") "extras mode full: 3-rep medians everywhere"
+      else s"extras tiered: ${deepTier.size} pinned heaviest + " +
+        s"${freshExtras.count(extras.contains)} debuts at 3-rep medians; " +
+        "the long tail at ONE steady rep (sustained screen still covers it)"
+    val line = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","queries":${jsonNum(results)},"queries_min":${jsonNum(resultsMin)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"host_factor":${f3(hostFactor)},"total_normalized":${f3(totalAdj / hostFactor)},"calib_sec":${f3(calibSec)},"calib_sec_start":${f3(calibStart)},"calib_sec_end":${f3(calibEnd)},"adjudicated":${jsonNum(adjudicated)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"$methodology","norm_note":"$normNote","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-median"},"rows":$rows,"queries_extra":${jsonNum(extraResults)},"queries_extra_min":${jsonNum(extraMin)},"total_extra":${f3(totalExtra)},"total_extra_adj":${f3(totalExtraAdj)},"total_extra_adj_normalized":${f3(totalExtraAdj / hostFactor)},"extras_mode":"$extrasMode","deep_tier":[${(deepTier ++ freshExtras.filter(extras.contains)).map("\"" + _ + "\"").mkString(",")}],"tier_note":"$tierNote","bucketed_ingest_sec":${f3(ingestSec)},"extras_note":"r5+ additions, steady medians, excluded from the frozen total; adjudication (min-base spikes AND the 2s/0.6 sustained-contention screen) covers extras too — total_extra_adj is the trustworthy extras number; bucketed ingest timed separately","sf":"$sfDir"$small}"""
     // The full-detail line goes ONLY to BENCH_LAST.json — r7 proved it
     // outgrows the driver's ~2000-char stdout tail window, and r8 proved
     // that printing BOTH a full and a compact line leaves a first-match
@@ -382,7 +474,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     catch { case _: Throwable => () }
-    val compact = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","compact":true,"queries":${jsonNum(results)},"adjudicated":${jsonNum(adjudicated)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"total_cold":${f3(totalCold)},"total_extra":${f3(totalExtra)},"total_extra_adj":${f3(totalExtraAdj)},"bucketed_ingest_sec":${f3(ingestSec)},"methodology":"$methodology","sf":"$sfDir","full":"BENCH_LAST.json"}"""
+    val compact = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","compact":true,"queries":${jsonNum(results)},"adjudicated":${jsonNum(adjudicated)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"host_factor":${f3(hostFactor)},"total_normalized":${f3(totalAdj / hostFactor)},"calib_sec":${f3(calibSec)},"total_cold":${f3(totalCold)},"total_extra":${f3(totalExtra)},"total_extra_adj":${f3(totalExtraAdj)},"total_extra_adj_normalized":${f3(totalExtraAdj / hostFactor)},"extras_mode":"$extrasMode","bucketed_ingest_sec":${f3(ingestSec)},"methodology":"$methodology","sf":"$sfDir","full":"BENCH_LAST.json"}"""
     println(compact)
     spark.stop()
   }

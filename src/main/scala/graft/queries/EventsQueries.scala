@@ -290,6 +290,31 @@ object EventsQueries extends QueryModule {
       .orderBy(col("purchase_id"))
   }
 
+  /** Unconverted clicks — the re-marketing feed and the RIGHT-OUTER face
+    * of the stream-stream attribution join (r12 VERDICT #4): every click
+    * with NO purchase by the same user inside the click's forward
+    * 30-minute window, derived by running the shared candidate builder
+    * right-outer (`StreamingRefresh.attributionPairsOuterRight` — the
+    * same plan runs under watermarks, where the null row may emit only
+    * once the purchase watermark clears the window; AttributionStreamSpec
+    * pins the withheld-then-emitted semantics) and keeping the
+    * null-purchase rows. The oracle derives the same set INDEPENDENTLY
+    * with a NOT EXISTS anti-join, so agreement is a real semantic check,
+    * not a restatement. */
+  def attributionUnconverted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.streaming.StreamingRefresh
+      .attributionPairsOuterRight(purchases, clicks, lookbackMin = 30)
+      .filter(col("purchase_id").isNull)
+      .select(col("click_id"), col("user_id"),
+        col("c_ts_us").as("click_ts_us"))
+      .orderBy(col("click_id"))
+  }
+
   /** Incremental aggregate maintenance, exercised end-to-end: per-type
     * value stats computed by MERGING three independently-aggregated
     * time slices (before Jan 15 / Jan 15–22 / Jan 23 on — yesterday's
@@ -315,6 +340,7 @@ object EventsQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_attribution" -> attribution,
+    "q_events_attribution_unconverted" -> attributionUnconverted,
     "q_agg_incremental" -> aggIncremental,
     "q_events_kanon" -> kanon,
     "q_events_pseudo" -> pseudo,
@@ -353,6 +379,18 @@ object EventsQueries extends QueryModule {
         |  b.click_id IS NOT NULL AS attributed
         |FROM p LEFT JOIN best b USING (purchase_id)
         |ORDER BY p.purchase_id""".stripMargin,
+    // independent derivation: NOT EXISTS anti-join (vs Spark's
+    // right-outer + null filter), same inclusive microsecond bounds
+    "q_events_attribution_unconverted" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  epoch_us(c.ts) AS click_ts_us
+        |FROM events c
+        |WHERE c.event_type = 'click' AND NOT EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
+        |ORDER BY click_id""".stripMargin,
     // DIRECT full aggregate — Spark goes through the three-slice merge,
     // so hash equality proves the state algebra cross-engine; ss crosses
     // as digit string (HLL convention), variance as E[x²]−E[x]² in

@@ -800,6 +800,37 @@ object StreamingRefresh {
         unix_micros(col("c_ts")).as("c_ts_us"))
   }
 
+  /** RIGHT-OUTER face of [[attributionPairs]]: clicks with NO qualifying
+    * purchase in their FORWARD window [c_ts, c_ts + lookback] emit with
+    * null purchase columns — the re-marketing feed (q_events_attribution_
+    * unconverted filters to exactly those). The state bound is the
+    * MIRROR of the left-outer face: there the engine buffered the CLICK
+    * side until the purchase watermark passed the lookback; here it must
+    * buffer the PURCHASE side and hold each click until the purchase
+    * watermark proves no purchase inside the click's forward window can
+    * still arrive — only then may the null row emit (AttributionStreamSpec
+    * pins withheld-then-emitted on this side too). In batch the same
+    * plan returns immediately with plain right-outer semantics.
+    *
+    * A click with several qualifying purchases emits one row per
+    * purchase (candidate semantics, like the inner face); an unconverted
+    * click emits exactly once, nulls on the purchase columns. */
+  def attributionPairsOuterRight(purchases: DataFrame, clicks: DataFrame,
+      lookbackMin: Int = 30): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("p_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES"),
+      "right_outer")
+      .select(col("click_id"), col("c_user").as("user_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        col("purchase_id"), unix_micros(col("p_ts")).as("p_ts_us"))
+  }
+
   def asofStream(tagged: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = tagged.sparkSession

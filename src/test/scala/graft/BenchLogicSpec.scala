@@ -97,4 +97,18 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(sustained(medians, Set.empty,
       confirms = Map("edge" -> 6.0)).isEmpty) // 6.0 == 0.6×10, not below
   }
+
+  test("tiering: every deep-tier and fresh-extras name is a registered extra") {
+    // timeSetMedian silently skips unknown names, so a typo here would
+    // quietly drop a query from the record instead of failing loudly
+    val ex = Bench.extras.toSet
+    val missing = (Bench.deepTier ++ Bench.freshExtras).filterNot(ex)
+    assert(missing.isEmpty,
+      s"deep-tier/fresh names not in extras: ${missing.mkString(", ")}")
+    assert(Bench.deepTier.distinct.size == Bench.deepTier.size)
+  }
+
+  test("host calibration reference is pinned and positive") {
+    assert(Bench.CalibRefSec > 0.0)
+  }
 }

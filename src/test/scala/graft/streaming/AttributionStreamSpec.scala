@@ -115,6 +115,61 @@ class AttributionStreamSpec extends SparkSpecBase {
       .filter(col("count") > 1).count() === 0L)
   }
 
+  test("right-outer: the unconverted click waits for the purchase watermark, then emits") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000000L
+    val hour = 3600L * 1000000
+    val clicksIn = MemoryStream[(Long, Long, Long)]
+    val purchasesIn = MemoryStream[(Long, Long, Long)]
+    val stream = StreamingRefresh.attributionPairsOuterRight(
+      asEvents(purchasesIn.toDF()).withWatermark("ts", "1 hour"),
+      asEvents(clicksIn.toDF()).withWatermark("ts", "1 hour"),
+      lookbackMin = 30)
+    val q = stream.writeStream
+      .format("memory").queryName("attr_router").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("attr-ckpt4").toString)
+      .start()
+    // batch 1: an unconverted click (user 9) and a converting one
+    // (user 8: purchase 60 s AFTER the click — inside its forward window)
+    clicksIn.addData(Seq((700L, 9L, base), (701L, 8L, base)))
+    purchasesIn.addData(Seq((800L, 8L, base + 60L * 1000000)))
+    q.processAllAvailable()
+    val afterB1 = spark.sql("SELECT click_id, purchase_id FROM attr_router")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // the converted pair emits; click 700's null row is WITHHELD — a
+    // qualifying purchase could still arrive within the watermark
+    assert(afterB1 === Set((701L, Some(800L))))
+    // batch 2: far-future events advance both watermarks past click
+    // 700's forward window — no purchase can ever match, null row emits
+    clicksIn.addData(Seq((702L, 1L, base + 10 * hour)))
+    purchasesIn.addData(Seq((801L, 1L, base + 10 * hour)))
+    q.processAllAvailable()
+    val afterB2 = spark.sql("SELECT click_id, purchase_id FROM attr_router")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(afterB2.contains((700L, None)))
+    q.stop()
+  }
+
+  test("right-outer batch face: every click appears; unmatched exactly once with nulls") {
+    val ev = graft.Tables.events(spark, sfDir)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val outer = StreamingRefresh.attributionPairsOuterRight(
+      side("purchase"), side("click"), 30)
+    val inner = StreamingRefresh.attributionPairs(
+      side("purchase"), side("click"), 30)
+    assert(outer.filter(col("purchase_id").isNotNull).count() === inner.count())
+    assert(outer.select(col("click_id")).distinct().count() ===
+      side("click").count())
+    assert(outer.filter(col("purchase_id").isNull)
+      .groupBy(col("click_id")).count()
+      .filter(col("count") > 1).count() === 0L)
+  }
+
   test("the range bound is inclusive at the purchase instant, exclusive past the lookback") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
