@@ -194,7 +194,61 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** W12 deep-breadcrumb gate (r12 VERDICT #3): the documents fixture's
+    * period-3 heading cycle exercises the hierarchy fold only at trivial
+    * depth, so the running-stack truncation law (a shallower heading
+    * truncates the stack; levels may skip; " > " join) was guarded by
+    * parity alone. This query synthesizes a deterministic heading stream
+    * FROM the documents table — per doc_id < 4096: group = doc_id % 8,
+    * level = 1 + (md5-60bit("bc:" || doc_id) mod 5), the portable hash
+    * convention both engines replay; the resulting 1..5 walk reaches
+    * full 5-deep stacks, multi-entry truncations, and level skips in
+    * both directions (DeepBreadcrumbSpec pins each structural property;
+    * a plain arithmetic walk was tried first and capped at depth 3 —
+    * an AP mod 5 is too ordered) — and runs the
+    * REAL operator (`Sections.hierarchyString`, the same fold
+    * DocPipeline applies per chapter) over each group's ordered stream.
+    * The DuckDB mirror rebuilds every breadcrumb RELATIONALLY (latest
+    * prior heading per shallower level, invalidated by any strictly
+    * shallower heading in between — a self-join + NOT EXISTS, not a
+    * restatement of the fold), so agreement is a genuine cross-engine
+    * check of multi-level stack semantics.
+    *
+    * Scale shape: parallel across groups, sequential within one (the
+    * DocPipeline chapter contract); the doc_id cap bounds the synthesized
+    * stream — and the mirror's quadratic self-join — identically at
+    * every SF. */
+  def deepBreadcrumbs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.Sections
+    val heads = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 4096)
+      .select(
+        (col("doc_id") % 8).as("grp"),
+        col("doc_id").as("seq"),
+        (lit(1) + conv(substring(md5(
+          concat_ws(":", lit("bc"), col("doc_id")).cast("binary")), 1, 15),
+          16, 10).cast("long") % 5).cast("int").as("level"))
+      .withColumn("title", concat(lit("H"), col("level").cast("string"),
+        lit("."), col("seq").cast("string")))
+      .as[(Long, Long, Int, String)]
+    heads.groupByKey(_._1)
+      .flatMapGroups { (g: Long, it: Iterator[(Long, Long, Int, String)]) =>
+        val rows = it.toIndexedSeq.sortBy(_._2)
+        val secs = rows.map(r => Sections.Section(
+          title = r._4, level = r._3, content = "", tokenCount = 0,
+          parentTitle = "", startPage = None, endPage = None, pageCount = 0))
+        rows.indices.map { i =>
+          (g, rows(i)._2, rows(i)._3.toLong, rows(i)._4,
+            Sections.hierarchyString(secs, i))
+        }
+      }
+      .toDF("grp", "seq", "level", "title", "breadcrumb")
+      .orderBy(col("grp"), col("seq"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sections_deep_breadcrumbs" -> deepBreadcrumbs,
     "q_text_normalize" -> normalize,
     "q_text_stats" -> textStats,
     "q_text_langid" -> langId,
@@ -283,6 +337,39 @@ object TextQueries extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+    // relational rebuild of the stack fold: the ancestor at each
+    // shallower level is the LATEST prior heading of that level with no
+    // strictly shallower heading in between (that is exactly the
+    // truncation law); string_agg in level order + the section's own
+    // title mirrors the " > " join
+    "q_sections_deep_breadcrumbs" ->
+      """WITH lv AS (
+        |  SELECT doc_id,
+        |    1 + CAST('0x' || substr(md5('bc:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 5 AS level
+        |  FROM documents WHERE doc_id < 4096),
+        |h AS (
+        |  SELECT doc_id % 8 AS grp, doc_id AS seq, level,
+        |    'H' || CAST(level AS VARCHAR) || '.' || CAST(doc_id AS VARCHAR)
+        |      AS title
+        |  FROM lv),
+        |anc AS (
+        |  SELECT c.grp, c.seq, p.level AS plevel, p.title AS ptitle,
+        |    ROW_NUMBER() OVER (PARTITION BY c.grp, c.seq, p.level
+        |      ORDER BY p.seq DESC) AS rn
+        |  FROM h c JOIN h p
+        |    ON p.grp = c.grp AND p.seq < c.seq AND p.level < c.level
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM h k WHERE k.grp = c.grp AND k.seq > p.seq
+        |      AND k.seq < c.seq AND k.level < p.level)),
+        |crumbs AS (
+        |  SELECT grp, seq, string_agg(ptitle, ' > ' ORDER BY plevel) AS prefix
+        |  FROM anc WHERE rn = 1 GROUP BY grp, seq)
+        |SELECT h.grp, h.seq, CAST(h.level AS BIGINT) AS level, h.title,
+        |  CASE WHEN c.prefix IS NULL THEN h.title
+        |       ELSE c.prefix || ' > ' || h.title END AS breadcrumb
+        |FROM h LEFT JOIN crumbs c ON c.grp = h.grp AND c.seq = h.seq
+        |ORDER BY h.grp, h.seq""".stripMargin,
     "q_text_normalize" -> normalizeSql,
     "q_text_stats" ->
       """SELECT doc_id,
