@@ -71,7 +71,116 @@ object AnnIndex {
         .repartition(1).write.mode("overwrite").parquet(s"$vdir/meta")
       Similarity.encodeIvfPq(emb, centroids, cbs, subDims)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/codes")
+      // drift baseline: the build corpus's own nearest-centroid distance
+      // distribution under THESE quantizers (one extra scan-speed pass at
+      // build time; approx-quantile state is bounded). driftReport
+      // compares each future delta batch against this p95.
+      emb.select(nearestDistU(centroids)(col("embedding")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("d"), lit(0.95), lit(10000)).as("p95_dist"))
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/stats")
     }
+  }
+
+  /** Per-vector distance to its nearest centroid — the assignment
+    * distance the drift baseline and trigger both score. */
+  private def nearestDistU(centroids: Array[Array[Double]]) =
+    udf((v: Seq[Float]) => {
+      var best = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cv = centroids(c)
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        if (d < best) best = d
+        c += 1
+      }
+      best
+    })
+
+  /** Cell-level incremental UPSERT (r12 VERDICT #6): encode `newEmb`
+    * with the current committed build's PINNED quantizers (no retrain —
+    * daily-refresh reality is append; q_knn_index_incremental proves the
+    * probe equals an in-memory rebuild under the same quantizers), and
+    * publish a new version that REWRITES ONLY THE TOUCHED CELL
+    * PARTITIONS (base survivors minus replaced ids, plus the delta) and
+    * chains every untouched cell to the base build via the `_BASE`
+    * marker. Newest-wins by construction: a vec_id present in both base
+    * and delta survives only with its delta codes, resolved at WRITE
+    * time by a bounded anti-join — readers never pay a per-row dedup.
+    *
+    * Scale shape: IO is O(touched cells + delta), never O(corpus) — at
+    * deployment cell counts (thousands) a 0.1% daily delta touches a
+    * fraction of partitions; the chain means the rest are never copied.
+    * Readers resolve the chain in [[loadCodes]] (untouched-cell scans
+    * partition-prune on the parent); versioned-publish atomicity is
+    * unchanged — a reader sees the old committed build or the complete
+    * new one, and GC protects chained ancestors (IndexVersioning).
+    * A deep chain is collapsed by the next full [[save]] (which the
+    * [[driftReport]] trigger recommends when the quantizers go stale). */
+  def upsert(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val baseVs = IndexVersioning.committedVersions(spark, dir)
+    require(baseVs.nonEmpty,
+      s"upsert($dir): no committed build to layer on — run save() first")
+    val baseV = baseVs.last
+    val baseDir = s"$dir/v_$baseV"
+    val (centroids, cbs, subDims) = loadQuantizers(spark, baseDir)
+    IndexVersioning.publish(spark, dir) { vdir =>
+      // quantizers (and the drift baseline they define) are PINNED:
+      // copy the metadata-scale frames so every version dir resolves
+      // its own quantizers without chain-walking
+      Seq("meta", "centroids", "codebooks", "stats").foreach { part =>
+        spark.read.parquet(s"$baseDir/$part").repartition(1)
+          .write.mode("overwrite").parquet(s"$vdir/$part")
+      }
+      val delta = Similarity.encodeIvfPq(newEmb, centroids, cbs, subDims)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touched = delta.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq // <= numCells rows: metadata
+        require(touched.nonEmpty,
+          s"upsert($dir): empty delta — nothing to layer")
+        // touched cells rewritten fully: base survivors (anti-join on
+        // the replaced ids — the delta is the small side at deployment)
+        // + the delta rows
+        val survivors = loadCodes(spark, baseDir)
+          .filter(col("cell").isin(touched: _*))
+          .join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        survivors.unionByName(delta)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$vdir/codes")
+        IndexVersioning.writeBaseMarker(spark, vdir, baseV)
+      } finally delta.unpersist(blocking = false)
+    }
+  }
+
+  /** Drift trigger for the pinned-quantizer upsert path: the fraction of
+    * `newEmb` whose nearest-centroid distance exceeds the build corpus's
+    * own 95th-percentile assignment distance (the `stats/` baseline
+    * written at [[save]] time). One row: (n_new, n_beyond, frac_beyond,
+    * threshold, retrain_recommended = frac_beyond > maxFrac). Under no
+    * drift ~5% of a same-distribution batch lands beyond its p95; a
+    * shifted batch saturates toward 1.0 — recommend a full save() (which
+    * retrains quantizers and collapses the upsert chain). One projection
+    * + one aggregate over the delta batch; centroids and the threshold
+    * are driver-side metadata. */
+  def driftReport(newEmb: DataFrame, dir: String,
+      maxFrac: Double = 0.25): DataFrame = {
+    val spark = newEmb.sparkSession
+    val vdir = resolveDir(spark, dir)
+    val (centroids, _, _) = loadQuantizers(spark, vdir)
+    val threshold = spark.read.parquet(s"$vdir/stats")
+      .head().getAs[Double]("p95_dist")
+    newEmb.select(nearestDistU(centroids)(col("embedding")).as("d"))
+      .agg(count(lit(1)).as("n_new"),
+        count(when(col("d") > threshold, 1)).as("n_beyond"))
+      .select(col("n_new"), col("n_beyond"),
+        round(col("n_beyond") / col("n_new").cast("double"), 6)
+          .as("frac_beyond"),
+        lit(threshold).as("threshold"),
+        (col("n_beyond") / col("n_new").cast("double") > maxFrac)
+          .as("retrain_recommended"))
   }
 
   /** Load the index's quantizers: (centroids by cell, codebooks by
@@ -98,12 +207,37 @@ object AnnIndex {
     (centroids, cbs, subDims)
   }
 
+  /** The cells a build dir's own codes layout holds — a filesystem
+    * LISTING of the `cell=<n>` partition directories (pure metadata,
+    * no scan), used to mask chained-parent cells out of the union. */
+  private def ownCells(spark: SparkSession, dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap(_.getPath.getName.stripPrefix("cell=").toIntOption)
+  }
+
   /** The index's encoded-corpus frame, with the directory-inferred
-    * partition column normalized to the int the scoring joins expect. */
-  private[graft] def loadCodes(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/codes")
+    * partition column normalized to the int the scoring joins expect.
+    * Resolves the upsert chain: a layered build holds only its TOUCHED
+    * cells; every other cell comes from the `_BASE` ancestor — the
+    * NOT-IN-cells filter is a partition-column predicate, so the parent
+    * scan partition-prunes to exactly the chained cells. Newest-wins is
+    * structural (a cell lives in exactly one layer). */
+  private[graft] def loadCodes(spark: SparkSession, dir: String): DataFrame = {
+    val own = spark.read.parquet(s"$dir/codes")
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         col("codes"))
+    IndexVersioning.baseDirOf(spark, dir) match {
+      case None => own
+      case Some(bdir) =>
+        val mine = ownCells(spark, dir)
+        own.unionByName(
+          loadCodes(spark, bdir).filter(!col("cell").isin(mine: _*)))
+    }
+  }
 
   /** Probe a persisted index: top-k ADC candidates from the probed
     * cells' code partitions, exact-cosine re-rank against `emb` (the

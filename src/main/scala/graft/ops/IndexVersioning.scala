@@ -50,6 +50,63 @@ object IndexVersioning {
     committedVersions(spark, dir).lastOption
       .map(v => s"$dir/v_$v").getOrElse(dir)
 
+  /** Marker file: this build LAYERS on a base version (cell-level
+    * upsert — AnnIndex.upsert writes only the touched cell partitions
+    * and chains the untouched ones). Content: the base version number
+    * as decimal text. Chained ancestors are protected from the
+    * below-floor GC sweep for as long as any retained version reaches
+    * them through `_BASE` links. */
+  val BaseMarker = "_BASE"
+
+  /** Record that `vdir` (a build dir inside a `publish` write) layers on
+    * committed version `baseV` of the same index. */
+  def writeBaseMarker(spark: SparkSession, vdir: String, baseV: Long): Unit = {
+    val (fs, _) = fsOf(spark, vdir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$vdir/$BaseMarker"), false)
+    out.write(baseV.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The base version number `v` layers on, if any. */
+  def baseVersionOf(spark: SparkSession, dir: String, v: Long): Option[Long] = {
+    val (fs, _) = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/v_$v/$BaseMarker")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
+      finally in.close()
+    }
+  }
+
+  /** The base BUILD DIRECTORY a (version-resolved) build dir layers on,
+    * if any — `dir` must be `<index>/v_<n>`; the flat pre-versioning
+    * layout never chains. */
+  def baseDirOf(spark: SparkSession, vdir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(vdir)
+    val name = p.getName
+    if (!name.startsWith("v_")) None
+    else name.stripPrefix("v_").toLongOption.flatMap { v =>
+      val parent = p.getParent.toString
+      baseVersionOf(spark, parent, v).map(b => s"$parent/v_$b")
+    }
+  }
+
+  /** Transitive `_BASE` closure of `roots` over the committed versions —
+    * the set GC must retain so no retained version's chain dangles. */
+  private def chainClosure(spark: SparkSession, dir: String,
+      roots: Set[Long]): Set[Long] = {
+    var seen = Set.empty[Long]
+    var frontier = roots
+    while (frontier.nonEmpty) {
+      seen ++= frontier
+      frontier = frontier.flatMap(v => baseVersionOf(spark, dir, v))
+        .diff(seen)
+    }
+    seen
+  }
+
   /** Run `write` against the next build directory, then atomically
     * publish it and GC per the marker rules below. If `write` throws,
     * `_COMMITTED` is never created and the partial dir (still carrying
@@ -105,7 +162,11 @@ object IndexVersioning {
     // sweep deleted a SLOW publisher's live claim once two commits
     // landed during its write — r11 ADVICE):
     //  (a) COMMITTED dirs below the previous committed version: old
-    //      versions past their one-window retention; always swept.
+    //      versions past their one-window retention — swept UNLESS a
+    //      retained version (the new build or the previous committed
+    //      one) reaches them through a `_BASE` chain: a layered upsert's
+    //      codes live partly in its ancestors, so sweeping an ancestor
+    //      would gut a live committed build.
     //  (b) CLAIMED-but-uncommitted dirs: in-flight or abandoned builds,
     //      indistinguishable by marker — swept only once the claim file
     //      is older than [[ClaimTtlKey]], wherever they sit relative to
@@ -115,6 +176,7 @@ object IndexVersioning {
     //      create, or foreign junk): nothing can ever commit them;
     //      always swept.
     val floor = prior.lastOption.getOrElse(0L)
+    val protectedVs = chainClosure(spark, dir, Set(next, floor))
     val ttlMs = spark.conf.getOption(ClaimTtlKey).map(_.toLong)
       .getOrElse(DefaultClaimTtlMs)
     val now = System.currentTimeMillis()
@@ -127,7 +189,7 @@ object IndexVersioning {
             val committed = fs.exists(
               new org.apache.hadoop.fs.Path(s.getPath, "_COMMITTED"))
             val claimPath = new org.apache.hadoop.fs.Path(s.getPath, "_CLAIMED")
-            if (committed) v < floor
+            if (committed) v < floor && !protectedVs.contains(v)
             else if (fs.exists(claimPath))
               try now - fs.getFileStatus(claimPath).getModificationTime > ttlMs
               catch { case _: java.io.FileNotFoundException => false }

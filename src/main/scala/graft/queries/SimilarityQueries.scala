@@ -376,9 +376,38 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Incremental ANN index maintenance (r12 VERDICT #6): build the
+    * persisted index on 90% of the corpus (vec_id % 10 <> 0), then
+    * cell-level UPSERT the remaining 10% with the base build's PINNED
+    * quantizers (no retrain; only touched cell partitions are written,
+    * untouched cells chain via `_BASE` — AnnIndex.upsert), and probe the
+    * layered index. The DuckDB mirror trains its k-means/PQ CTEs on the
+    * SAME 90% subset but encodes and probes ALL vectors — exactly the
+    * pinned-quantizer contract — so the hash compare proves the layered
+    * probe equals a from-scratch encode under the frozen quantizers
+    * (IncrementalIndexSpec additionally pins probe ≡ in-memory rebuild
+    * inside Spark, newest-wins replacement, chain GC protection, and
+    * the drift trigger). */
+  def knnIndexIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ixDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ann_inc_" + java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes("UTF-8")).toString.take(8) +
+        "_p" + ProcessHandle.current().pid()).getAbsolutePath
+    // sequential reps reuse the dir: each rep publishes a fresh full
+    // build + its upsert layer, and the versioned GC sweeps everything
+    // below the new chain (the chain-protection rule is exercised on
+    // every rep — the layered build's ancestor survives, older pairs go)
+    val emb = Tables.embeddings(spark, dir)
+    graft.ops.AnnIndex.save(emb.filter(col("vec_id") % 10 =!= 0), ixDir)
+    graft.ops.AnnIndex.upsert(emb.filter(col("vec_id") % 10 === 0), ixDir)
+    graft.ops.AnnIndex.topK(spark, ixDir, emb, queryVecs(spark, dir), K)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_mmr" -> mmr,
     "q_knn_ivfpq_index" -> knnIvfPqIndex,
+    "q_knn_index_incremental" -> knnIndexIncremental,
     "q_sim_pagerank" -> pagerank,
     "q_sim_triangles" -> triangles,
     "q_sim_kcore" -> kcore,
@@ -472,10 +501,10 @@ object SimilarityQueries extends QueryModule {
     * cell, as the Scala loop keeps the first minimum). Exposes `ecell`
     * (vector → its cell) and `qprobe` (query → its 4 probed cells).
     * Shared verbatim by the IVF and IVF-PQ mirrors. */
-  private def ivfCellCtes: String =
+  private def ivfCellCtes(trainPred: String = "TRUE"): String =
     s"""iseeds AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v
-       |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)
+       |  FROM (SELECT vec_id, v FROM n WHERE $trainPred ORDER BY vec_id LIMIT 16)
        |), ixs AS (
        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS dim,
        |         unnest(embedding) AS x
@@ -485,6 +514,7 @@ object SimilarityQueries extends QueryModule {
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${distSql("e.v", "s.v")}, s.cell) AS rk
        |  FROM n e CROSS JOIN iseeds s
+       |  WHERE ${trainPred.replace("vec_id", "e.vec_id")}
        |), icell0 AS (SELECT vec_id, cell FROM ia0 WHERE rk = 1
        |), irefined AS (
        |  SELECT c.cell, ixs.dim,
@@ -508,7 +538,7 @@ object SimilarityQueries extends QueryModule {
   /** Mirror of ivfTopK: the cell block + exact-cosine ranking over the
     * probed-cell candidates. */
   private def knnIvfSql: String = {
-    normCte + ", " + ivfCellCtes +
+    normCte + ", " + ivfCellCtes() +
       s""", cand AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
          |  FROM qprobe q JOIN ecell e ON e.cell = q.cell AND e.vec_id <> q.vec_id
@@ -532,7 +562,7 @@ object SimilarityQueries extends QueryModule {
     * mirror arithmetic, so a drift in either leg fails three gates at
     * once. */
   private def knnRecallSql: String =
-    normCte + ", " + ivfCellCtes +
+    normCte + ", " + ivfCellCtes() +
       s""", icand AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
          |  FROM qprobe q JOIN ecell e ON e.cell = q.cell AND e.vec_id <> q.vec_id
@@ -683,7 +713,7 @@ object SimilarityQueries extends QueryModule {
     * filter per probe depth, the brute leg verbatim from the recall
     * mirror, and integer totals divided exactly once at the end. */
   private def knnTuningSql: String =
-    normCte + ", " + ivfCellCtes +
+    normCte + ", " + ivfCellCtes() +
       s""", qrank AS (
          |  SELECT vec_id AS query_id, cell, rk AS cell_rank
          |  FROM ia1 WHERE vec_id % 100 = 0
@@ -745,7 +775,7 @@ object SimilarityQueries extends QueryModule {
     * lookup tables. Exposes `codes` (vector × subspace → code) and `dt`
     * (query × subspace × code → distance). Shared verbatim by the PQ
     * and IVF-PQ mirrors. */
-  private def pqCodeCtes: String =
+  private def pqCodeCtes(trainPred: String = "TRUE"): String =
     s"""ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m
        |), sub AS (
        |  SELECT vec_id, ms.m,
@@ -753,7 +783,7 @@ object SimilarityQueries extends QueryModule {
        |  FROM n, ms
        |), pseedv AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, v
-       |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)
+       |  FROM (SELECT vec_id, v FROM n WHERE $trainPred ORDER BY vec_id LIMIT 16)
        |), pseeds AS (
        |  SELECT s.code, ms.m, list_slice(s.v, ms.m*8 + 1, ms.m*8 + 8) AS sv
        |  FROM pseedv s, ms
@@ -762,6 +792,7 @@ object SimilarityQueries extends QueryModule {
        |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
        |      ORDER BY ${dist8Sql("sub.sv", "s.sv")}, s.code) AS rk
        |  FROM sub JOIN pseeds s ON s.m = sub.m
+       |  WHERE ${trainPred.replace("vec_id", "sub.vec_id")}
        |), pc0 AS (SELECT vec_id, m, code FROM pa0 WHERE rk = 1
        |), pxs AS (
        |  SELECT c.m, c.code, dd.d, sub.sv[dd.d] AS x
@@ -795,7 +826,7 @@ object SimilarityQueries extends QueryModule {
     * Scala m-ascending summation) rounded before ranking, ADC refine,
     * exact-cosine re-rank — exactly as the Spark side does. */
   private def knnPqSql: String = {
-    normCte + ", " + pqCodeCtes +
+    normCte + ", " + pqCodeCtes() +
       s""", adc AS (
          |  SELECT dt.query_id, c.vec_id,
          |    ROUND(list_sum(list(dt.dist ORDER BY dt.m)), 6) AS adist
@@ -832,7 +863,7 @@ object SimilarityQueries extends QueryModule {
     * prefix filter per refine rung, the brute leg, integer totals. */
   private def knnTuningPqSql: String = {
     val maxR = 10
-    normCte + ", " + pqCodeCtes +
+    normCte + ", " + pqCodeCtes() +
       s""", adc AS (
          |  SELECT dt.query_id, c.vec_id,
          |    ROUND(list_sum(list(dt.dist ORDER BY dt.m)), 6) AS adist
@@ -897,8 +928,8 @@ object SimilarityQueries extends QueryModule {
     * the SAME fragment texts that verify q_knn_ivf and q_knn_pq —
     * composed: ADC runs only over (query, vector) pairs whose cells
     * meet in the probe set, then the refine re-rank. */
-  private def knnIvfPqSql: String = {
-    normCte + ", " + ivfCellCtes + ", " + pqCodeCtes +
+  private def knnIvfPqSql(trainPred: String = "TRUE"): String = {
+    normCte + ", " + ivfCellCtes(trainPred) + ", " + pqCodeCtes(trainPred) +
       s""", adc AS (
          |  SELECT dt.query_id, c.vec_id,
          |    ROUND(list_sum(list(dt.dist ORDER BY dt.m)), 6) AS adist
@@ -1411,10 +1442,14 @@ object SimilarityQueries extends QueryModule {
     "q_knn_tuning" -> knnTuningSql,
     "q_knn_tuning_pq" -> knnTuningPqSql,
     "q_knn_pq" -> knnPqSql,
-    "q_knn_ivfpq" -> knnIvfPqSql,
+    "q_knn_ivfpq" -> knnIvfPqSql(),
     // the persisted-index round trip must reproduce the in-memory
     // composition bit-for-bit, so it shares its mirror
-    "q_knn_ivfpq_index" -> knnIvfPqSql,
+    "q_knn_ivfpq_index" -> knnIvfPqSql(),
+    // same mirror with the k-means/PQ TRAINING restricted to the base
+    // 90% — encode/probe still cover all vectors: the pinned-quantizer
+    // upsert contract
+    "q_knn_index_incremental" -> knnIvfPqSql("vec_id % 10 <> 0"),
     "q_sim_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
