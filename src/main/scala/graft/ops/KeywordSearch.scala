@@ -69,13 +69,13 @@ object KeywordSearch {
     val toksArr = toks(col(textCol))
     // ONE corpus text scan: per doc, its token length and its matching
     // tokens — a frame orders of magnitude narrower than the text.
-    // Checkpointed because it feeds the corpus stats, the tf table, and
+    // Staged because it feeds the corpus stats, the tf table, and
     // (via tf) the scoring join; without it the text would be re-read
-    // and re-tokenized for each consumer.
-    val base = Checkpoints.stage(
+    // and re-tokenized for each consumer. Transient (deterministic
+    // release — the r12 #5 convention sweep).
+    val base = Checkpoints.stageTransient(
       docs.select(col(idCol), size(toksArr).as("dl"),
-        filter(toksArr, t => t.isin(termList: _*)).as("ts")),
-      eager = true)
+        filter(toksArr, t => t.isin(termList: _*)).as("ts")))
     // 1-row corpus stats: N and avgdl (exact integer sum / count).
     val stats = base.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -226,15 +226,15 @@ object KeywordSearch {
       .select(col(idCol), toks(col(textCol)).as("w"))
       .select(col(idCol), explode(pairsArr).as("p"))
       .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
-    // bigram table with its context marginal; ln terms pre-rounded
-    val table = Checkpoints.stage(
+    // bigram table with its context marginal; ln terms pre-rounded.
+    // Transient staging: one computation, deterministic release.
+    val table = Checkpoints.stageTransient(
       docPairs.groupBy(col("prev"), col("cur"))
         .agg(count(lit(1)).as("c2"))
         .withColumn("c1", sum(col("c2"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
         .withColumn("term",
-          (ln9(col("c1")) - ln9(col("c2"))).cast("decimal(28,12)")),
-      eager = true)
+          (ln9(col("c1")) - ln9(col("c2"))).cast("decimal(28,12)")))
     val t = if (broadcastVocab) broadcast(table) else table
     docPairs.join(t, Seq("prev", "cur"))
       .groupBy(col(idCol))
@@ -305,12 +305,12 @@ object KeywordSearch {
       isTarget: Column, broadcastVocab: Boolean = true): DataFrame = {
     val words = docs.select(col(idCol), isTarget.as("_t"),
       explode(toks(col(textCol))).as("word"))
-    // one pass: raw count and target count per word
-    val vocabRaw = Checkpoints.stage(
+    // one pass: raw count and target count per word; transient staging
+    // (deterministic release)
+    val vocabRaw = Checkpoints.stageTransient(
       words.groupBy(col("word"))
         .agg(count(lit(1)).as("cr"),
-          sum(when(col("_t"), 1L).otherwise(0L)).as("ct")),
-      eager = true)
+          sum(when(col("_t"), 1L).otherwise(0L)).as("ct")))
     val tots = vocabRaw.agg(sum(col("cr")).as("tot_r"),
       sum(col("ct")).as("tot_t"), count(lit(1)).as("v"))
     val terms = vocabRaw.crossJoin(broadcast(tots))
@@ -386,10 +386,10 @@ object KeywordSearch {
       eta: Double, steps: Int, broadcastVocab: Boolean = true): DataFrame = {
     val words = docs.select(col(stratumCol).as("_d"),
       explode(toks(col(textCol))).as("word"))
-    // the only corpus-scale shuffle; staged once, feeds both rollups
-    val dw = Checkpoints.stage(
-      words.groupBy(col("_d"), col("word")).agg(count(lit(1)).as("dcnt")),
-      eager = true)
+    // the only corpus-scale shuffle; staged once (transient —
+    // deterministic release), feeds both rollups
+    val dw = Checkpoints.stageTransient(
+      words.groupBy(col("_d"), col("word")).agg(count(lit(1)).as("dcnt")))
     val globalRaw = dw.groupBy(col("word")).agg(sum(col("dcnt")).as("gcnt"))
     val global = if (broadcastVocab) broadcast(globalRaw) else globalRaw
     val gtot = dw.agg(sum(col("dcnt")).as("gtot"))
