@@ -118,7 +118,10 @@ object Bench {
       // r13: the right-outer attribution face (unconverted clicks),
       // the deep-breadcrumb stack fold, and the incremental ANN upsert
       "q_events_attribution_unconverted", "q_sections_deep_breadcrumbs",
-      "q_knn_index_incremental")
+      "q_knn_index_incremental",
+      // r13 second wave: the full-outer reconciliation feed and
+      // contrastive hard-negative mining over the IVF probe
+      "q_events_attribution_full", "q_knn_hard_negatives")
 
   /** The deep tier of the extras: the ~15 heaviest queries by the r12
     * adjudicated record, pinned so their trendline keeps 3-rep medians
@@ -140,7 +143,8 @@ object Bench {
     * (or the deep tier, if they read heavy). */
   private[graft] val freshExtras = Seq(
     "q_events_attribution_unconverted", "q_sections_deep_breadcrumbs",
-    "q_knn_index_incremental")
+    "q_knn_index_incremental", "q_events_attribution_full",
+    "q_knn_hard_negatives")
 
   /** Host-speed calibration (r12 VERDICT #1: the driver's core read
     * +35% round-over-round with ZERO adjudications — a uniform host-band

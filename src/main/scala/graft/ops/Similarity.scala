@@ -528,6 +528,59 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training (the batch-mining
+    * step of triplet/InfoNCE pipelines — Schroff et al. CVPR'15 calls
+    * these "semi-hard" when bounded by the positive margin; here we mine
+    * the top-k hardest cross-label candidates outright): per query, the
+    * `k` most similar vectors whose LABEL DIFFERS from the query's —
+    * near-duplicates of the anchor that the loss must learn to push
+    * away. Same IVF probe machinery as [[ivfTopK]] (a coarse quantizer
+    * buckets the corpus; the query scans its nProbe nearest cells), with
+    * the label carried through the candidate join and the cross-label
+    * filter applied BEFORE the per-query top-k window, so the mined
+    * negatives are the hardest in the probed region, not post-filtered
+    * leftovers of an unlabeled top-k.
+    *
+    * Scale shape: identical to ivfTopK — candidates/query ≈ N·nProbe/C
+    * via one equi-join on the cell id (the corpus side never shuffles);
+    * labels ride the scan projection; per-query windows are
+    * candidate-bounded. Output: (query_id, query_label, rk, neighbor_id,
+    * neighbor_label, cos). */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", numCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = ivfCentroids(emb, numCells)
+    val assign = udf((v: Seq[Float]) => nearestCell(centroids)(v))
+    val probes = udf((v: Seq[Float]) => {
+      val ds = centroids.zipWithIndex.map { case (cv, c) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        (c, d)
+      }
+      ds.sortBy(_._2).take(nProbe).map(_._1)
+    })
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+      col(labelCol).as("neighbor_label"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("cell", assign(col("v").cast("array<float>")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"), col(labelCol).as("query_label"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(probes(col("qv").cast("array<float>"))))
+    val scored = e.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("neighbor_label") =!= col("query_label"))
+      .withColumn("cos",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("query_label"), col("rk"),
+        col("vec_id").as("neighbor_id"), col("neighbor_label"), col("cos"))
+  }
+
   /** IVF recall/cost tuning curve: recall@k and mean candidate count of
     * the IVF probe against the exact top-k, for every probe depth in
     * `probes` — the report an ANN deployment reads to pick nProbe (the

@@ -315,6 +315,28 @@ object EventsQueries extends QueryModule {
       .orderBy(col("click_id"))
   }
 
+  /** The reconciliation feed — the FULL-OUTER face completing the
+    * stream-stream attribution family (inner: q_events_attribution;
+    * left: unmatched purchases inside it; right:
+    * q_events_attribution_unconverted): every candidate pair plus both
+    * sides' unmatched rows in one frame, with a face tag. The oracle
+    * mirrors with a FULL OUTER JOIN on the same microsecond bounds. */
+  def attributionFull(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.streaming.StreamingRefresh
+      .attributionPairsFull(purchases, clicks, lookbackMin = 30)
+      .withColumn("face",
+        when(col("click_id").isNull, "purchase_only")
+          .when(col("purchase_id").isNull, "click_only")
+          .otherwise("matched"))
+      .orderBy(col("purchase_id").asc_nulls_first,
+        col("click_id").asc_nulls_first)
+  }
+
   /** Incremental aggregate maintenance, exercised end-to-end: per-type
     * value stats computed by MERGING three independently-aggregated
     * time slices (before Jan 15 / Jan 15–22 / Jan 23 on — yesterday's
@@ -341,6 +363,7 @@ object EventsQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_attribution" -> attribution,
     "q_events_attribution_unconverted" -> attributionUnconverted,
+    "q_events_attribution_full" -> attributionFull,
     "q_agg_incremental" -> aggIncremental,
     "q_events_kanon" -> kanon,
     "q_events_pseudo" -> pseudo,
@@ -391,6 +414,26 @@ object EventsQueries extends QueryModule {
         |    AND epoch_us(p.ts) >= epoch_us(c.ts)
         |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000)
         |ORDER BY click_id""".stripMargin,
+    "q_events_attribution_full" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user,
+        |    epoch_us(ts) AS p_ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id AS c_user,
+        |    epoch_us(ts) AS c_ts_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, c.click_id,
+        |  COALESCE(p.p_user, c.c_user) AS user_id,
+        |  p.p_ts_us, c.c_ts_us,
+        |  CASE WHEN c.click_id IS NULL THEN 'purchase_only'
+        |       WHEN p.purchase_id IS NULL THEN 'click_only'
+        |       ELSE 'matched' END AS face
+        |FROM p FULL OUTER JOIN c
+        |  ON p.p_user = c.c_user
+        |  AND c.c_ts_us <= p.p_ts_us
+        |  AND c.c_ts_us >= p.p_ts_us - 1800000000
+        |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin,
     // DIRECT full aggregate — Spark goes through the three-slice merge,
     // so hash equality proves the state algebra cross-engine; ss crosses
     // as digit string (HLL convention), variance as E[x²]−E[x]² in

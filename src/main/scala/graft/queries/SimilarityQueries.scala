@@ -404,7 +404,20 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-5 most similar CROSS-LABEL candidates from its probed IVF
+    * cells (`Similarity.hardNegatives`) — the batch-mining step of
+    * triplet/InfoNCE pipelines. The mirror reuses the verified IVF cell
+    * CTEs and applies the same cross-label filter before the ranking
+    * window. */
+  def knnHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.ops.Similarity.hardNegatives(emb, queryVecs(spark, dir), K)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_hard_negatives" -> knnHardNegatives,
     "q_knn_mmr" -> mmr,
     "q_knn_ivfpq_index" -> knnIvfPqIndex,
     "q_knn_index_incremental" -> knnIndexIncremental,
@@ -1435,6 +1448,29 @@ object SimilarityQueries extends QueryModule {
          |  FROM scored)
          |SELECT query_id, rk, neighbor_id, cos FROM ranked
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin),
+    // the verified IVF cell block + the cross-label filter BEFORE the
+    // ranking window — the hardest negatives in the probed region
+    "q_knn_hard_negatives" -> (normCte + ", " + ivfCellCtes() +
+      s""", lab AS (SELECT vec_id, label FROM embeddings
+         |), cand AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         |  FROM qprobe q JOIN ecell e ON e.cell = q.cell AND e.vec_id <> q.vec_id
+         |), scored AS (
+         |  SELECT c.query_id, ql.label AS query_label, c.neighbor_id,
+         |    nl.label AS neighbor_label,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM cand c JOIN n a ON a.vec_id = c.neighbor_id
+         |    JOIN n q ON q.vec_id = c.query_id
+         |    JOIN lab ql ON ql.vec_id = c.query_id
+         |    JOIN lab nl ON nl.vec_id = c.neighbor_id
+         |  WHERE nl.label <> ql.label
+         |), ranked AS (
+         |  SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, query_label, rk, neighbor_id, neighbor_label, cos
+         |FROM ranked WHERE rk <= $K ORDER BY query_id, rk""".stripMargin),
     "q_knn_lsh" -> knnLshSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_recall" -> knnRecallSql,

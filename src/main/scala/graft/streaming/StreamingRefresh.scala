@@ -831,6 +831,33 @@ object StreamingRefresh {
         col("purchase_id"), unix_micros(col("p_ts")).as("p_ts_us"))
   }
 
+  /** FULL-OUTER face of [[attributionPairs]] — the complete join family
+    * (inner / left / right / full over ONE candidate builder): matched
+    * candidate pairs, purchases that saw no click (the left-outer rows),
+    * AND clicks that never converted (the right-outer rows) in one
+    * frame — the reconciliation feed an attribution warehouse loads
+    * nightly. In streaming BOTH null faces obey watermark eviction:
+    * each side's unmatched row emits only once the OTHER side's
+    * watermark proves the window closed (state = both buffers, bounded
+    * by watermark + lookback). `user_id` coalesces across sides, so it
+    * is non-null on every row. */
+  def attributionPairsFull(purchases: DataFrame, clicks: DataFrame,
+      lookbackMin: Int = 30): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES"),
+      "full_outer")
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        unix_micros(col("c_ts")).as("c_ts_us"))
+  }
+
   def asofStream(tagged: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = tagged.sparkSession

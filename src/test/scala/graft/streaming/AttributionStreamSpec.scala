@@ -170,6 +170,65 @@ class AttributionStreamSpec extends SparkSpecBase {
       .filter(col("count") > 1).count() === 0L)
   }
 
+  test("full-outer: both sides' null rows wait for the opposite watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000000L
+    val hour = 3600L * 1000000
+    val clicksIn = MemoryStream[(Long, Long, Long)]
+    val purchasesIn = MemoryStream[(Long, Long, Long)]
+    val stream = StreamingRefresh.attributionPairsFull(
+      asEvents(purchasesIn.toDF()).withWatermark("ts", "1 hour"),
+      asEvents(clicksIn.toDF()).withWatermark("ts", "1 hour"),
+      lookbackMin = 30)
+    val q = stream.writeStream
+      .format("memory").queryName("attr_full").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("attr-ckpt5").toString)
+      .start()
+    // batch 1: a matched pair (user 8), a click-less purchase (user 9),
+    // and an unconverted click (user 6)
+    purchasesIn.addData(Seq((510L, 9L, base), (511L, 8L, base)))
+    clicksIn.addData(Seq((610L, 8L, base - 60L * 1000000), (611L, 6L, base)))
+    q.processAllAvailable()
+    def rows() = spark.sql(
+      "SELECT purchase_id, click_id FROM attr_full")
+      .collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows() === Set((Some(511L), Some(610L))),
+      "both null faces must be withheld while the windows are open")
+    // batch 2: advance both watermarks — both null rows emit
+    purchasesIn.addData(Seq((512L, 1L, base + 10 * hour)))
+    clicksIn.addData(Seq((612L, 1L, base + 10 * hour)))
+    q.processAllAvailable()
+    assert(rows().contains((Some(510L), None)), "purchase-only row missing")
+    assert(rows().contains((None, Some(611L))), "click-only row missing")
+    q.stop()
+  }
+
+  test("full-outer batch face decomposes into inner + both outer complements") {
+    val ev = graft.Tables.events(spark, sfDir)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val full = StreamingRefresh.attributionPairsFull(
+      side("purchase"), side("click"), 30)
+    val inner = StreamingRefresh.attributionPairs(
+      side("purchase"), side("click"), 30)
+    assert(full.filter(col("purchase_id").isNotNull &&
+      col("click_id").isNotNull).count() === inner.count())
+    assert(full.select(col("user_id")).filter(col("user_id").isNull)
+      .count() === 0L, "user_id must coalesce non-null on every face")
+    assert(full.filter(col("purchase_id").isNull).count() ===
+      StreamingRefresh.attributionPairsOuterRight(
+        side("purchase"), side("click"), 30)
+        .filter(col("purchase_id").isNull).count())
+    assert(full.filter(col("click_id").isNull).count() ===
+      StreamingRefresh.attributionPairsOuter(
+        side("purchase"), side("click"), 30)
+        .filter(col("click_id").isNull).count())
+  }
+
   test("the range bound is inclusive at the purchase instant, exclusive past the lookback") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
