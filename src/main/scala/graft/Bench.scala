@@ -121,7 +121,9 @@ object Bench {
       "q_knn_index_incremental",
       // r13 second wave: the full-outer reconciliation feed and
       // contrastive hard-negative mining over the IVF probe
-      "q_events_attribution_full", "q_knn_hard_negatives")
+      "q_events_attribution_full", "q_knn_hard_negatives",
+      // r13 third wave: embedding-space eval-set decontamination
+      "q_knn_decontaminate")
 
   /** The deep tier of the extras: the ~15 heaviest queries by the r12
     * adjudicated record, pinned so their trendline keeps 3-rep medians
@@ -144,7 +146,7 @@ object Bench {
   private[graft] val freshExtras = Seq(
     "q_events_attribution_unconverted", "q_sections_deep_breadcrumbs",
     "q_knn_index_incremental", "q_events_attribution_full",
-    "q_knn_hard_negatives")
+    "q_knn_hard_negatives", "q_knn_decontaminate")
 
   /** Host-speed calibration (r12 VERDICT #1: the driver's core read
     * +35% round-over-round with ZERO adjudications — a uniform host-band
@@ -169,6 +171,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     once() // JIT/codegen warm, untimed
+    val reps = (1 to 3).map(_ => once()).sorted
+    reps(1)
+  }
+
+  /** IO-dimension companion to [[calibrationSec]] (added after the CPU
+    * calib's first live round caught exactly its blind spot: a
+    * post-close-out run read the core uniformly ~1.5× slow while CPU
+    * calib read FAST — the pressure was page-cache/readback-side, which
+    * a rangeless in-memory job cannot see). A fixed parquet scan of the
+    * run's own lineitem through a hash-sum forces the bytes through the
+    * read path; start-vs-end divergence (or a shift against the CPU
+    * calib) is the band tell a reader checks before trusting
+    * round-over-round movement. Diagnostic only — host_factor stays
+    * anchored to the CPU job, whose reference is load-independent. */
+  private def scanCalibrationSec(spark: SparkSession, sfDir: String): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(sum(xxhash64(col("l_comment")) % lit(1048576L))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once()
     val reps = (1 to 3).map(_ => once()).sorted
     reps(1)
   }
@@ -358,6 +382,7 @@ object Bench {
     // first calibration: right after warm-up, so it reads the band the
     // steady medians are about to be measured under
     val calibStart = calibrationSec(spark)
+    val scanStart = scanCalibrationSec(spark, sfDir)
 
     val SteadyReps = 3
     val (results, resultsMin) = timeSetMedian(spark, sfDir, headline, SteadyReps)
@@ -446,6 +471,7 @@ object Bench {
     // the host's demonstrated capability this run — contention only ever
     // slows the fixed job — and divides the band out of the totals.
     val calibEnd = calibrationSec(spark)
+    val scanEnd = scanCalibrationSec(spark, sfDir)
     val calibSec = math.min(calibStart, calibEnd)
     val hostFactor = calibSec / CalibRefSec
 
@@ -462,13 +488,16 @@ object Bench {
       s"r13-cold+steady-median$SteadyReps+adjudicate-minbase2.5x+sustained${SustainedThreshold}s+hostcalib+extras-$extrasMode"
     val normNote = "host_factor = min(two fixed 4e9-row xxhash64-chain " +
       s"calibration medians) / $CalibRefSec (the r13 close-out host); " +
-      "total_normalized divides the host band out of the adjudicated core"
+      "total_normalized divides the host band out of the adjudicated core. " +
+      "calib_scan_sec_* is the IO-dimension tell: a run whose scan calib " +
+      "(or calib start-vs-end) diverges began under cache/readback " +
+      "pressure the CPU factor cannot see"
     val tierNote =
       if (extrasMode == "full") "extras mode full: 3-rep medians everywhere"
       else s"extras tiered: ${deepTier.size} pinned heaviest + " +
         s"${freshExtras.count(extras.contains)} debuts at 3-rep medians; " +
         "the long tail at ONE steady rep (sustained screen still covers it)"
-    val line = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","queries":${jsonNum(results)},"queries_min":${jsonNum(resultsMin)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"host_factor":${f3(hostFactor)},"total_normalized":${f3(totalAdj / hostFactor)},"calib_sec":${f3(calibSec)},"calib_sec_start":${f3(calibStart)},"calib_sec_end":${f3(calibEnd)},"adjudicated":${jsonNum(adjudicated)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"$methodology","norm_note":"$normNote","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-median"},"rows":$rows,"queries_extra":${jsonNum(extraResults)},"queries_extra_min":${jsonNum(extraMin)},"total_extra":${f3(totalExtra)},"total_extra_adj":${f3(totalExtraAdj)},"total_extra_adj_normalized":${f3(totalExtraAdj / hostFactor)},"extras_mode":"$extrasMode","deep_tier":[${(deepTier ++ freshExtras.filter(extras.contains)).map("\"" + _ + "\"").mkString(",")}],"tier_note":"$tierNote","bucketed_ingest_sec":${f3(ingestSec)},"extras_note":"r5+ additions, steady medians, excluded from the frozen total; adjudication (min-base spikes AND the 2s/0.6 sustained-contention screen) covers extras too — total_extra_adj is the trustworthy extras number; bucketed ingest timed separately","sf":"$sfDir"$small}"""
+    val line = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","queries":${jsonNum(results)},"queries_min":${jsonNum(resultsMin)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"host_factor":${f3(hostFactor)},"total_normalized":${f3(totalAdj / hostFactor)},"calib_sec":${f3(calibSec)},"calib_sec_start":${f3(calibStart)},"calib_sec_end":${f3(calibEnd)},"calib_scan_sec_start":${f3(scanStart)},"calib_scan_sec_end":${f3(scanEnd)},"adjudicated":${jsonNum(adjudicated)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"$methodology","norm_note":"$normNote","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-median"},"rows":$rows,"queries_extra":${jsonNum(extraResults)},"queries_extra_min":${jsonNum(extraMin)},"total_extra":${f3(totalExtra)},"total_extra_adj":${f3(totalExtraAdj)},"total_extra_adj_normalized":${f3(totalExtraAdj / hostFactor)},"extras_mode":"$extrasMode","deep_tier":[${(deepTier ++ freshExtras.filter(extras.contains)).map("\"" + _ + "\"").mkString(",")}],"tier_note":"$tierNote","bucketed_ingest_sec":${f3(ingestSec)},"extras_note":"r5+ additions, steady medians, excluded from the frozen total; adjudication (min-base spikes AND the 2s/0.6 sustained-contention screen) covers extras too — total_extra_adj is the trustworthy extras number; bucketed ingest timed separately","sf":"$sfDir"$small}"""
     // The full-detail line goes ONLY to BENCH_LAST.json — r7 proved it
     // outgrows the driver's ~2000-char stdout tail window, and r8 proved
     // that printing BOTH a full and a compact line leaves a first-match

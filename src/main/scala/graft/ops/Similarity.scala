@@ -581,6 +581,47 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("neighbor_label"), col("cos"))
   }
 
+  /** Embedding-space eval-set decontamination: every (probe, corpus)
+    * pair with cosine ≥ `minCos` among the probe's IVF cells — the
+    * semantic companion to n-gram decontamination
+    * (`CorpusFilters.decontaminate`): a paraphrased eval item shares no
+    * 8-gram with its source but sits next to it in embedding space.
+    * Same probe machinery as [[ivfTopK]] with a THRESHOLD instead of a
+    * top-k window — decontamination needs every hit above the bar, not
+    * the k nearest (one leaked eval item with 30 near-copies must
+    * surface all 30).
+    *
+    * Scale shape: candidates/probe ≈ N·nProbe/C via one equi-join on
+    * the cell id (the corpus side never shuffles, no window at all —
+    * the threshold filter is a scan predicate over the candidate join);
+    * output is O(contamination), not O(corpus). Probes are an eval-set
+    * (bounded, broadcast). */
+  def embeddingDecontaminate(emb: DataFrame, probes: DataFrame,
+      minCos: Double, numCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(emb, numCells)
+    val probeCells = udf((v: Seq[Float]) => {
+      val ds = centroids.zipWithIndex.map { case (cv, c) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        (c, d)
+      }
+      ds.sortBy(_._2).take(nProbe).map(_._1)
+    })
+    val assign = udf((v: Seq[Float]) => nearestCell(centroids)(v))
+    val e = withNorm(emb, "vec_id", "embedding")
+      .withColumn("cell", assign(col("v").cast("array<float>")))
+    val q = withNorm(probes, "vec_id", "embedding")
+      .select(col("vec_id").as("probe_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .withColumn("cell", explode(probeCells(col("qv").cast("array<float>"))))
+    e.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("probe_id"), col("vec_id").as("corpus_id"), col("cos"))
+  }
+
   /** IVF recall/cost tuning curve: recall@k and mean candidate count of
     * the IVF probe against the exact top-k, for every probe depth in
     * `probes` — the report an ANN deployment reads to pick nProbe (the

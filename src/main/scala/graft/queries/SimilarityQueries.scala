@@ -416,7 +416,36 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Embedding-space eval-set decontamination
+    * (`Similarity.embeddingDecontaminate`): every corpus vector with
+    * cosine ≥ 0.8 to an eval probe inside the probe's IVF cells — the
+    * semantic companion to q_corpus_decontaminate's n-gram screen (a
+    * paraphrase shares no 8-gram but sits next to its source in
+    * embedding space). Threshold semantics, not top-k: one leaked item
+    * with 30 near-copies must surface all 30.
+    *
+    * The probe set is a synthetically CONTAMINATED eval set derived
+    * from the corpus itself (every 100th vector, odd dimensions damped
+    * ×0.99 — cos ≈ 0.99996 to its source, well below the bar to everything
+    * else; probe_id = source + 10⁶): deterministic double arithmetic +
+    * one float32 cast both engines replay bit-exactly, so each probe's
+    * planted source is a REAL above-threshold hit the gate must find.
+    * The mirror re-derives the perturbation, the probe's IVF cells, and
+    * the threshold scan independently. */
+  def knnDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = queryVecs(spark, dir)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") *
+            when(i % 2 === 0, lit(1.0)).otherwise(lit(0.99)))
+            .cast("float")).as("embedding"))
+    graft.ops.Similarity.embeddingDecontaminate(emb, probes, minCos = 0.8)
+      .orderBy(col("probe_id"), col("corpus_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_decontaminate" -> knnDecontaminate,
     "q_knn_hard_negatives" -> knnHardNegatives,
     "q_knn_mmr" -> mmr,
     "q_knn_ivfpq_index" -> knnIvfPqIndex,
@@ -1448,6 +1477,43 @@ object SimilarityQueries extends QueryModule {
          |  FROM scored)
          |SELECT query_id, rk, neighbor_id, cos FROM ranked
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin),
+    // independent rebuild: the perturbed probe set (DuckDB's index
+    // lambda is 1-based — i%2=1 keeps where Spark's 0-based i%2==0
+    // keeps), the probes' own IVF cell ranking against the verified
+    // icents, then the 0.8 threshold as a scan predicate — no window
+    // at all (threshold, not top-k)
+    "q_knn_decontaminate" -> (normCte + ", " + ivfCellCtes() +
+      s""", pr AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(embedding, (x, i) ->
+         |      CAST(CAST(x AS DOUBLE) *
+         |        (CASE WHEN i % 2 = 1 THEN 1.0 ELSE 0.99 END) AS FLOAT))
+         |      AS embedding
+         |  FROM embeddings WHERE vec_id % 100 = 0
+         |), pe AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |    AS v FROM pr
+         |), pn AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM pe
+         |), pp AS (
+         |  SELECT p.vec_id, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${distSql("p.v", "c.cv")}, c.cell) AS rk
+         |  FROM pn p CROSS JOIN icents c
+         |), pcells AS (SELECT vec_id, cell FROM pp WHERE rk <= 4
+         |), cand AS (
+         |  SELECT pc.vec_id AS probe_id, e.vec_id AS corpus_id
+         |  FROM pcells pc JOIN ecell e
+         |    ON e.cell = pc.cell AND e.vec_id <> pc.vec_id
+         |), scored AS (
+         |  SELECT c.probe_id, c.corpus_id,
+         |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
+         |  FROM cand c JOIN n a ON a.vec_id = c.corpus_id
+         |    JOIN pn q ON q.vec_id = c.probe_id)
+         |SELECT probe_id, corpus_id, cos FROM scored
+         |WHERE cos >= 0.8 ORDER BY probe_id, corpus_id""".stripMargin),
     // the verified IVF cell block + the cross-label filter BEFORE the
     // ranking window — the hardest negatives in the probed region
     "q_knn_hard_negatives" -> (normCte + ", " + ivfCellCtes() +

@@ -20,6 +20,26 @@ class HardNegativesSpec extends SparkSpecBase {
     assert(out.count() > 0)
   }
 
+  test("embedding decontamination surfaces every planted near-copy") {
+    // the registered probe construction: damp odd dims ×0.99 → cos ≈
+    // 0.99996 to the source, far below the bar to everything else
+    val probes = queries.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * when(i % 2 === 0, lit(1.0)).otherwise(lit(0.99)))
+          .cast("float")).as("embedding"))
+    val out = Similarity.embeddingDecontaminate(emb, probes, minCos = 0.8,
+      numCells = 4, nProbe = 4) // exhaustive probe: no cell can hide a hit
+    val hits = out.select(col("probe_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = queries.select(col("vec_id"))
+      .collect().map(_.getLong(0)).map(v => (v + 1000000L, v)).toSet
+    assert(wanted.subsetOf(hits),
+      s"planted sources missed: ${(wanted -- hits).take(3)}")
+    // and nothing else clears the bar on this corpus (max stranger
+    // cosine ≈ 0.48 at sf0.001)
+    assert(hits === wanted)
+  }
+
   test("exhaustive probe equals brute-force cross-label top-k") {
     // with nProbe = numCells the probed region is the whole corpus, so
     // the miner must agree with an independent derivation: brute top-k
