@@ -188,8 +188,12 @@ object Bench {
   private def scanCalibrationSec(spark: SparkSession, sfDir: String): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .agg(sum(xxhash64(col("l_comment")) % lit(1048576L))).collect()
+      // hash EVERY column so the scan cannot prune: the probe must pay
+      // the table's full read-path bytes (the fixture lineitem carries
+      // no comment column — 11 numeric/date/flag columns is the width)
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      df.agg(sum(xxhash64(df.columns.map(col): _*) % lit(1048576L)))
+        .collect()
       (System.nanoTime() - t0) / 1e9
     }
     once()
