@@ -109,9 +109,21 @@ object AnnIndex {
     * and delta survives only with its delta codes, resolved at WRITE
     * time by a bounded anti-join — readers never pay a per-row dedup.
     *
-    * Scale shape: IO is O(touched cells + delta), never O(corpus) — at
-    * deployment cell counts (thousands) a 0.1% daily delta touches a
-    * fraction of partitions; the chain means the rest are never copied.
+    * Touched = the delta's cells UNION every base-chain cell holding a
+    * REPLACED vec_id: a replaced id's new embedding can assign to a
+    * DIFFERENT cell under the same pinned quantizers (the vector
+    * changed, not the quantizer), and without the union its stale row
+    * would survive in the old, untouched cell — a duplicate vec_id with
+    * stale codes in every probe (r13 ADVICE). Locating replaced ids
+    * joins the base chain's (vec_id, cell) pairs against the broadcast
+    * delta ids — a column-pruned scan that never reads the wide codes
+    * column.
+    *
+    * Scale shape: WRITE IO is O(touched cells + delta), never O(corpus)
+    * — at deployment cell counts (thousands) a 0.1% daily delta touches
+    * a fraction of partitions; the chain means the rest are never
+    * copied. The replaced-id locate reads the id/cell columns of the
+    * base chain once (bytes ≈ ids, not codes).
     * Readers resolve the chain in [[loadCodes]] (untouched-cell scans
     * partition-prune on the parent); versioned-publish atomicity is
     * unchanged — a reader sees the old committed build or the complete
@@ -129,18 +141,38 @@ object AnnIndex {
     IndexVersioning.publish(spark, dir) { vdir =>
       // quantizers (and the drift baseline they define) are PINNED:
       // copy the metadata-scale frames so every version dir resolves
-      // its own quantizers without chain-walking
-      Seq("meta", "centroids", "codebooks", "stats").foreach { part =>
+      // its own quantizers without chain-walking. stats/ is tolerated
+      // missing: builds published before the drift baseline existed
+      // have none — the layered build then has none either, and
+      // driftReport fails with the rebuild message instead of upsert
+      // throwing here (r13 ADVICE).
+      val fs = new org.apache.hadoop.fs.Path(baseDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = Seq("meta", "centroids", "codebooks") ++
+        (if (fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/stats")))
+          Seq("stats") else Seq.empty)
+      parts.foreach { part =>
         spark.read.parquet(s"$baseDir/$part").repartition(1)
           .write.mode("overwrite").parquet(s"$vdir/$part")
       }
       val delta = Similarity.encodeIvfPq(newEmb, centroids, cbs, subDims)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val touched = delta.select(col("cell")).distinct()
+        val deltaCells = delta.select(col("cell")).distinct()
           .collect().map(_.getInt(0)).toSeq // <= numCells rows: metadata
-        require(touched.nonEmpty,
+        require(deltaCells.nonEmpty,
           s"upsert($dir): empty delta — nothing to layer")
+        // cells holding a REPLACED id anywhere in the base chain: the
+        // new embedding may assign elsewhere, and the old cell must be
+        // rewritten too or its stale row survives via _BASE (r13
+        // ADVICE high). Broadcast the bounded delta-id side; the base
+        // scan is column-pruned to (vec_id, cell).
+        val replacedCells = loadCodes(spark, baseDir)
+          .select(col("vec_id"), col("cell"))
+          .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"))
+          .select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val touched = (deltaCells ++ replacedCells).distinct
         // touched cells rewritten fully: base survivors (anti-join on
         // the replaced ids — the delta is the small side at deployment)
         // + the delta rows
@@ -170,6 +202,12 @@ object AnnIndex {
     val spark = newEmb.sparkSession
     val vdir = resolveDir(spark, dir)
     val (centroids, _, _) = loadQuantizers(spark, vdir)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$vdir/stats")
+    require(statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(statsPath),
+      s"driftReport($dir): this build carries no drift baseline (published " +
+        "before stats/ existed, or layered on such a build) — run one full " +
+        "save() to retrain and record the baseline")
     val threshold = spark.read.parquet(s"$vdir/stats")
       .head().getAs[Double]("p95_dist")
     newEmb.select(nearestDistU(centroids)(col("embedding")).as("d"))

@@ -71,6 +71,61 @@ class IncrementalIndexSpec extends SparkSpecBase {
     assert(AnnIndex.loadCodes(spark, vdir).count() === 30L)
   }
 
+  test("a replacement that MIGRATES cells rewrites the old cell too — no stale survivor") {
+    val dir = freshDir()
+    val base = emb(1L to 30L)
+    save(base, dir)
+    val vdir0 = AnnIndex.resolveDir(spark, dir)
+    val (cents, cbs, subDims) = AnnIndex.loadQuantizers(spark, vdir0)
+    val cells = Similarity.encodeIvfPq(base, cents, cbs, subDims)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // replace id 7 with a donor vector that the PINNED quantizers assign
+    // to a DIFFERENT cell — the r13 ADVICE failure shape: the delta
+    // touches only the new cell, and the stale row in 7's old cell must
+    // still be anti-joined away (cell 7 is in `touched` via the
+    // replaced-id locate, not via the delta's own cells)
+    val donor = (1L to 30L).find(j => cells(j) != cells(7L))
+      .getOrElse(fail("fixture degenerate: all 30 vectors share one cell"))
+    val replacement = Seq((7L, vec(donor).toSeq)).toDF("vec_id", "embedding")
+    AnnIndex.upsert(replacement, dir)
+    val vdir = AnnIndex.resolveDir(spark, dir)
+    val rows = AnnIndex.loadCodes(spark, vdir)
+      .filter(col("vec_id") === 7L).collect()
+    assert(rows.length === 1,
+      s"migrated replacement must leave no stale row (got ${rows.length})")
+    assert(rows.head.getAs[Int]("cell") === cells(donor))
+    assert(AnnIndex.loadCodes(spark, vdir).count() === 30L)
+    // and the layered probe still equals the in-memory rebuild over the
+    // post-replacement corpus under the same pinned quantizers
+    val all = emb(1L to 30L).filter(col("vec_id") =!= 7L)
+      .unionByName(replacement)
+    val queries = emb(Seq(3L, 7L, 19L))
+    val probed = AnnIndex.topK(spark, dir, all, queries, k = 3, nProbe = 2)
+      .collect().map(_.toString).toSet
+    val rebuilt = Similarity.ivfPqScore(
+      Similarity.encodeIvfPq(all, cents, cbs, subDims), all, queries,
+      cents, cbs, k = 3, nProbe = 2, refine = 5, subDims = subDims)
+      .collect().map(_.toString).toSet
+    assert(probed === rebuilt)
+  }
+
+  test("upsert tolerates a legacy build without stats/; driftReport asks for a rebuild") {
+    val dir = freshDir()
+    save(emb(1L to 20L), dir)
+    // simulate a pre-r13 build: its stats dir never existed
+    val vdir0 = AnnIndex.resolveDir(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$vdir0/stats")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    AnnIndex.upsert(emb(21L to 25L), dir) // must not throw on the copy
+    assert(AnnIndex.loadCodes(spark,
+      AnnIndex.resolveDir(spark, dir)).count() === 25L)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.driftReport(emb(26L to 30L), dir)
+    }
+    assert(e.getMessage.contains("full"), s"unexpected message: ${e.getMessage}")
+  }
+
   test("GC protects _BASE-chained ancestors; a new full build sweeps the chain") {
     val dir = freshDir()
     save(emb(1L to 30L), dir)                 // v_1
