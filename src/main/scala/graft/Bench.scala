@@ -314,6 +314,28 @@ object Bench {
       }
     }
 
+  /** Band-suspect verdict baked into the artifact (r13 VERDICT #2: the
+    * driver's own r13 record fired the IO tell — scan calib 0.282 →
+    * 0.667 with 21 extras adjudications — but nothing in the JSON SAID
+    * "treat raw numbers with suspicion"; a reader had to know to compare
+    * two fields). A run is suspect when either calibration pair diverges
+    * start-vs-end by more than `ratio` (contention arrived or left
+    * mid-run — CPU or IO dimension), or the adjudication screens fired
+    * more than `maxAdjudications` times (broad re-measure pressure).
+    * Suspect means: trust `adjudicated` and quiet-host re-runs, not the
+    * raw in-suite medians. False on the r13 committed quiet record
+    * (calib 3.15→3.16, scan 0.289→0.334, 0 adjudications — the spec pins
+    * both faces). A failed calibration (-1) never counts as divergence:
+    * the failure is its own loud signal. */
+  private[graft] def bandSuspect(calibStart: Double, calibEnd: Double,
+      scanStart: Double, scanEnd: Double, adjudications: Int,
+      ratio: Double = 1.5, maxAdjudications: Int = 5): Boolean = {
+    def diverges(a: Double, b: Double) =
+      a > 0 && b > 0 && math.max(a, b) / math.min(a, b) > ratio
+    diverges(calibStart, calibEnd) || diverges(scanStart, scanEnd) ||
+      adjudications > maxAdjudications
+  }
+
   /** Median of `n` fresh timed reps of one query (-1 on any failure) —
     * the re-measure primitive behind both adjudication rules. */
   private def timedMedian(spark: SparkSession, sfDir: String,
@@ -479,6 +501,16 @@ object Bench {
     val calibSec = math.min(calibStart, calibEnd)
     val hostFactor = calibSec / CalibRefSec
 
+    val suspect = bandSuspect(calibStart, calibEnd, scanStart, scanEnd,
+      adjudicated.size)
+    // single-rep tail visibility (r13 ADVICE: min==median for a 1-rep
+    // query, so the 2.5× min-base screen structurally cannot fire there
+    // — only the sustained screen covers tail numbers; the artifact now
+    // SAYS which queries those are instead of leaving it to the reader)
+    val tailNames =
+      if (extrasMode == "full") Seq.empty[String]
+      else extras.filterNot(deepSet)
+
     val adjMap = adjudicated.toMap.filter(_._2 >= 0)
     val totalAdj = results
       .collect { case (n, v) if v >= 0 => adjMap.getOrElse(n, v) }.sum
@@ -495,13 +527,18 @@ object Bench {
       "total_normalized divides the host band out of the adjudicated core. " +
       "calib_scan_sec_* is the IO-dimension tell: a run whose scan calib " +
       "(or calib start-vs-end) diverges began under cache/readback " +
-      "pressure the CPU factor cannot see"
+      "pressure the CPU factor cannot see. band_suspect bakes the " +
+      "heuristic in: true when either calib pair diverges >1.5x " +
+      "start-vs-end or >5 adjudications fired — treat raw in-suite " +
+      "medians with suspicion then; tail_single_rep lists the tiered " +
+      "tail queries whose min==median (only the sustained screen covers " +
+      "them)"
     val tierNote =
       if (extrasMode == "full") "extras mode full: 3-rep medians everywhere"
       else s"extras tiered: ${deepTier.size} pinned heaviest + " +
         s"${freshExtras.count(extras.contains)} debuts at 3-rep medians; " +
         "the long tail at ONE steady rep (sustained screen still covers it)"
-    val line = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","queries":${jsonNum(results)},"queries_min":${jsonNum(resultsMin)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"host_factor":${f3(hostFactor)},"total_normalized":${f3(totalAdj / hostFactor)},"calib_sec":${f3(calibSec)},"calib_sec_start":${f3(calibStart)},"calib_sec_end":${f3(calibEnd)},"calib_scan_sec_start":${f3(scanStart)},"calib_scan_sec_end":${f3(scanEnd)},"adjudicated":${jsonNum(adjudicated)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"$methodology","norm_note":"$normNote","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-median"},"rows":$rows,"queries_extra":${jsonNum(extraResults)},"queries_extra_min":${jsonNum(extraMin)},"total_extra":${f3(totalExtra)},"total_extra_adj":${f3(totalExtraAdj)},"total_extra_adj_normalized":${f3(totalExtraAdj / hostFactor)},"extras_mode":"$extrasMode","deep_tier":[${(deepTier ++ freshExtras.filter(extras.contains)).map("\"" + _ + "\"").mkString(",")}],"tier_note":"$tierNote","bucketed_ingest_sec":${f3(ingestSec)},"extras_note":"r5+ additions, steady medians, excluded from the frozen total; adjudication (min-base spikes AND the 2s/0.6 sustained-contention screen) covers extras too — total_extra_adj is the trustworthy extras number; bucketed ingest timed separately","sf":"$sfDir"$small}"""
+    val line = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","queries":${jsonNum(results)},"queries_min":${jsonNum(resultsMin)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"host_factor":${f3(hostFactor)},"total_normalized":${f3(totalAdj / hostFactor)},"calib_sec":${f3(calibSec)},"calib_sec_start":${f3(calibStart)},"calib_sec_end":${f3(calibEnd)},"calib_scan_sec_start":${f3(scanStart)},"calib_scan_sec_end":${f3(scanEnd)},"band_suspect":$suspect,"tail_single_rep":[${tailNames.map("\"" + _ + "\"").mkString(",")}],"adjudicated":${jsonNum(adjudicated)},"total_cold":${f3(totalCold)},"queries_cold":${jsonNum(cold)},"methodology":"$methodology","norm_note":"$normNote","warmup":{"passes":1,"dir":"$wd","timed_pass":"steady-median"},"rows":$rows,"queries_extra":${jsonNum(extraResults)},"queries_extra_min":${jsonNum(extraMin)},"total_extra":${f3(totalExtra)},"total_extra_adj":${f3(totalExtraAdj)},"total_extra_adj_normalized":${f3(totalExtraAdj / hostFactor)},"extras_mode":"$extrasMode","deep_tier":[${(deepTier ++ freshExtras.filter(extras.contains)).map("\"" + _ + "\"").mkString(",")}],"tier_note":"$tierNote","bucketed_ingest_sec":${f3(ingestSec)},"extras_note":"r5+ additions, steady medians, excluded from the frozen total; adjudication (min-base spikes AND the 2s/0.6 sustained-contention screen) covers extras too — total_extra_adj is the trustworthy extras number; bucketed ingest timed separately","sf":"$sfDir"$small}"""
     // The full-detail line goes ONLY to BENCH_LAST.json — r7 proved it
     // outgrows the driver's ~2000-char stdout tail window, and r8 proved
     // that printing BOTH a full and a compact line leaves a first-match
@@ -511,7 +548,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     catch { case _: Throwable => () }
-    val compact = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","compact":true,"queries":${jsonNum(results)},"adjudicated":${jsonNum(adjudicated)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"host_factor":${f3(hostFactor)},"total_normalized":${f3(totalAdj / hostFactor)},"calib_sec":${f3(calibSec)},"total_cold":${f3(totalCold)},"total_extra":${f3(totalExtra)},"total_extra_adj":${f3(totalExtraAdj)},"total_extra_adj_normalized":${f3(totalExtraAdj / hostFactor)},"extras_mode":"$extrasMode","bucketed_ingest_sec":${f3(ingestSec)},"methodology":"$methodology","sf":"$sfDir","full":"BENCH_LAST.json"}"""
+    val compact = s"""{"metric":"total","value":${f3(totalAdj)},"unit":"sec","compact":true,"queries":${jsonNum(results)},"adjudicated":${jsonNum(adjudicated)},"steady_reps":$SteadyReps,"total_raw":${f3(total)},"host_factor":${f3(hostFactor)},"total_normalized":${f3(totalAdj / hostFactor)},"calib_sec":${f3(calibSec)},"band_suspect":$suspect,"tail_single_rep_count":${tailNames.size},"total_cold":${f3(totalCold)},"total_extra":${f3(totalExtra)},"total_extra_adj":${f3(totalExtraAdj)},"total_extra_adj_normalized":${f3(totalExtraAdj / hostFactor)},"extras_mode":"$extrasMode","bucketed_ingest_sec":${f3(ingestSec)},"methodology":"$methodology","sf":"$sfDir","full":"BENCH_LAST.json"}"""
     println(compact)
     spark.stop()
   }

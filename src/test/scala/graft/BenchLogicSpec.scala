@@ -111,4 +111,22 @@ class BenchLogicSpec extends AnyFunSuite {
   test("host calibration reference is pinned and positive") {
     assert(Bench.CalibRefSec > 0.0)
   }
+
+  test("band_suspect: quiet run false, each tell fires alone, boundaries hold") {
+    // the r13 committed quiet-host record — must read false
+    assert(!Bench.bandSuspect(3.15, 3.16, 0.289, 0.334, 0))
+    // the r13 DRIVER record — scan 0.282→0.667 (2.4×) + 21 adjudications
+    assert(Bench.bandSuspect(2.5, 3.15, 0.282, 0.667, 21))
+    // each dimension fires alone
+    assert(Bench.bandSuspect(3.0, 5.0, 0.3, 0.3, 0))   // CPU divergence
+    assert(Bench.bandSuspect(3.0, 3.0, 0.282, 0.667, 0)) // IO divergence
+    assert(Bench.bandSuspect(3.0, 3.0, 0.3, 0.3, 6))   // adjudication count
+    // boundaries: not STRICTLY over never fires
+    assert(!Bench.bandSuspect(3.0, 4.5, 0.3, 0.3, 0))  // exactly 1.5×
+    assert(!Bench.bandSuspect(3.0, 3.0, 0.3, 0.3, 5))  // exactly 5
+    assert(!Bench.bandSuspect(3.0, 4.4, 0.3, 0.3, 0))  // 1.47× under ratio
+    // a failed calibration is its own loud signal, never a divergence
+    assert(!Bench.bandSuspect(-1.0, 3.0, 0.3, 0.3, 0))
+    assert(!Bench.bandSuspect(3.0, 3.0, -1.0, 0.9, 0))
+  }
 }
