@@ -736,10 +736,44 @@ object Similarity {
     recallCurve(scoredAll, emb, queries, k, "refine", refines, r => k * r)
   }
 
+  /** Rank-r binary-relevance DCG gain 1/log2(r+1), built as
+    * round9(ln 2)/round9(ln(r+1)) — the ln9 contract, so both engines
+    * assemble the identical double — then 9-rounded again before the
+    * order-independent DECIMAL(28,12) partial sum. */
+  private[graft] def dcgGain(rk: Column): Column = {
+    // `ln` by full path: the object's private log4j `log` member shadows
+    // functions.log inside this scope
+    val ln = org.apache.spark.sql.functions.log(_: Column)
+    round(round(ln(lit(2.0)), 9) / round(ln(rk.cast("double") + 1), 9), 9)
+  }
+
+  /** The ideal DCG@k for binary relevance with ≥k relevant items —
+    * Σ_{r=1..k} 1/log2(r+1) over the SAME round9 gain terms, summed at
+    * DECIMAL(28,12) like the engines sum per-hit gains. A constant for
+    * fixed k, so it crosses both engines as ONE inlined double literal
+    * (the MmrLambda convention) rather than a re-derivation. */
+  private[graft] def idcgAt(k: Int): Double = {
+    def r9(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    (1 to k).map { r =>
+      java.math.BigDecimal.valueOf(r9(r9(math.log(2.0)) / r9(math.log(r + 1.0))))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    }.reduce(_.add(_)).doubleValue()
+  }
+
   /** Shared recall-curve aggregation behind both ANN tuning sweeps:
     * `scoredAll` carries every exact-rescored candidate ONCE as
     * (query_id, _depth, neighbor_id, cos); depth d admits the rows with
-    * `_depth <= limitFor(d)`. Integer totals, one final division. */
+    * `_depth <= limitFor(d)`. Integer totals, one final division.
+    *
+    * r13 VERDICT #3: recall answers "how many true neighbors did I
+    * get", not "did they rank usefully" — the question a RAG consumer
+    * of the retrieval path actually asks. So each depth also reports
+    * mean NDCG@k (binary relevance = membership in the exact brute
+    * top-k, gains via [[dcgGain]], ideal = [[idcgAt]]) and mean MRR
+    * (1/rank of the first true neighbor, 0 when none) — per-query
+    * values enter DECIMAL partial sums so cross-engine aggregation
+    * order can never flip a digit. */
   private def recallCurve(scoredAll: DataFrame, emb: DataFrame,
       queries: DataFrame, k: Int, depthName: String, depths: Seq[Int],
       limitFor: Int => Int): DataFrame = {
@@ -749,6 +783,8 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id")),
       eager = false)
     val qs = queries.select(col("vec_id").as("query_id"))
+    val idcg = idcgAt(k)
+    val decZero = lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)")
     depths.map { d =>
       val cand = scoredAll.filter(col("_depth") <= limitFor(d))
       val counts = cand.groupBy(col("query_id"))
@@ -757,21 +793,31 @@ object Similarity {
         .orderBy(col("cos").desc, col("neighbor_id"))
       val topk = cand.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
-        .select(col("query_id"), col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
       val hits = topk.join(brute, Seq("query_id", "neighbor_id"))
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          sum(dcgGain(col("rk")).cast("decimal(28,12)")).as("dcg"),
+          min(col("rk")).as("first_hit"))
       qs.join(counts, Seq("query_id"), "left")
         .join(hits, Seq("query_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
           sum(coalesce(col("n_cand"), lit(0L))).as("tc"),
           sum(coalesce(col("n_hits"), lit(0L))).as("th"),
-          min(coalesce(col("n_hits"), lit(0L))).as("mh"))
+          min(coalesce(col("n_hits"), lit(0L))).as("mh"),
+          sum(coalesce(col("dcg"), decZero)).as("td"),
+          sum(coalesce(round(lit(1.0) / col("first_hit"), 9), lit(0.0))
+            .cast("decimal(28,12)")).as("tr"))
         .select(lit(d).as(depthName), col("n_queries"),
           round(col("tc").cast("double") / col("n_queries"), 4)
             .as("mean_candidates"),
           round(col("th").cast("double") / (col("n_queries") * k), 6)
             .as("mean_recall"),
-          round(col("mh").cast("double") / k, 6).as("min_recall"))
+          round(col("mh").cast("double") / k, 6).as("min_recall"),
+          round(col("td").cast("double") / (col("n_queries") * lit(idcg)), 6)
+            .as("mean_ndcg"),
+          round(col("tr").cast("double") / col("n_queries"), 6)
+            .as("mean_mrr"))
     }.reduce(_.unionByName(_)).orderBy(col(depthName))
   }
 

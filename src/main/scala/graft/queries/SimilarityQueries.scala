@@ -304,17 +304,31 @@ object SimilarityQueries extends QueryModule {
     val brute = Similarity.bruteForceTopK(emb, q, K)
       .select(col("query_id"), col("neighbor_id"))
     val ivf = Similarity.ivfTopK(emb, q, K)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+    // r13 VERDICT #3: rank-quality legs next to the hit count — NDCG@5
+    // (binary relevance = brute-top-k membership, ln9 gains, the ideal
+    // crossing as one inlined literal) and the reciprocal rank of the
+    // first true neighbor. DECIMAL partial sums; per-query output rows.
     val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(Similarity.dcgGain(col("rk")).cast("decimal(28,12)")).as("dcg"),
+        min(col("rk")).as("first_hit"))
     q.select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         round(coalesce(col("n_hits"), lit(0L)) / lit(K.toDouble), 4)
-          .as("recall_at_k"))
+          .as("recall_at_k"),
+        round(coalesce(col("dcg").cast("double"), lit(0.0)) / lit(IdcgK), 6)
+          .as("ndcg_at_k"),
+        coalesce(round(lit(1.0) / col("first_hit"), 9), lit(0.0)).as("rr"))
       .orderBy(col("query_id"))
   }
+
+  /** Ideal DCG@5 — one double literal shared verbatim by the Spark plan
+    * and the generated mirrors (the MmrLambda convention). */
+  private val IdcgK = Similarity.idcgAt(K)
 
   private val TuningProbes = Seq(1, 2, 4, 8, 16)
 
@@ -598,11 +612,24 @@ object SimilarityQueries extends QueryModule {
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
   }
 
+  /** DCG gain at rank `rk` — the same round9(ln2)/round9(ln(rk+1))
+    * assembly as Similarity.dcgGain, re-rounded before the DECIMAL
+    * partial sum. */
+  private def dcgGainSql(rk: String): String =
+    s"ROUND(ROUND(LN(2), 9) / ROUND(LN($rk + 1), 9), 9)"
+
+  /** The ideal-DCG literal, suffixed e0 so DuckDB parses a DOUBLE (a
+    * bare decimal literal would land as DECIMAL — the 1.4826e0 lesson
+    * from q_text_quality_robust). */
+  private def idcgLit: String = s"${IdcgK}e0"
+
   /** Recall mirror: the IVF cell block's top-K chain and the brute
     * top-K chain, joined on (query, neighbor) and recounted per query —
     * both legs are verbatim re-uses of the q_knn_ivf / q_knn_brute
     * mirror arithmetic, so a drift in either leg fails three gates at
-    * once. */
+    * once. r13 adds the rank-quality legs: per-query NDCG@5 over the
+    * ln9 gains (DECIMAL sum, ideal inlined as one shared literal) and
+    * the reciprocal first-hit rank. */
   private def knnRecallSql: String =
     normCte + ", " + ivfCellCtes() +
       s""", icand AS (
@@ -629,14 +656,19 @@ object SimilarityQueries extends QueryModule {
          |      ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM bscored
          |), hits AS (
-         |  SELECT i.query_id, COUNT(*) AS n_hits
-         |  FROM (SELECT query_id, neighbor_id FROM iranked WHERE rk <= $K) i
+         |  SELECT i.query_id, COUNT(*) AS n_hits,
+         |    SUM(CAST(${dcgGainSql("i.rk")} AS DECIMAL(28,12))) AS dcg,
+         |    MIN(i.rk) AS first_hit
+         |  FROM (SELECT query_id, neighbor_id, rk FROM iranked WHERE rk <= $K) i
          |  JOIN (SELECT query_id, neighbor_id FROM branked WHERE rk <= $K) b
          |    USING (query_id, neighbor_id)
          |  GROUP BY i.query_id)
          |SELECT q.vec_id AS query_id,
          |  COALESCE(h.n_hits, 0) AS n_hits,
-         |  ROUND(COALESCE(h.n_hits, 0) / ${K.toDouble}, 4) AS recall_at_k
+         |  ROUND(COALESCE(h.n_hits, 0) / ${K.toDouble}, 4) AS recall_at_k,
+         |  ROUND(COALESCE(CAST(h.dcg AS DOUBLE), 0.0) / $idcgLit, 6)
+         |    AS ndcg_at_k,
+         |  COALESCE(ROUND(1.0 / h.first_hit, 9), 0.0) AS rr
          |FROM (SELECT vec_id FROM n WHERE vec_id % 100 = 0) q
          |LEFT JOIN hits h ON h.query_id = q.vec_id
          |ORDER BY query_id""".stripMargin
@@ -777,7 +809,7 @@ object SimilarityQueries extends QueryModule {
          |    ROW_NUMBER() OVER (PARTITION BY np, query_id
          |      ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM cand
-         |), tk AS (SELECT np, query_id, neighbor_id FROM ranked WHERE rk <= $K
+         |), tk AS (SELECT np, query_id, neighbor_id, rk FROM ranked WHERE rk <= $K
          |), bscored AS (
          |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
          |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
@@ -790,7 +822,9 @@ object SimilarityQueries extends QueryModule {
          |  FROM bscored
          |), btk AS (SELECT query_id, neighbor_id FROM branked WHERE rk <= $K
          |), hits AS (
-         |  SELECT t.np, t.query_id, COUNT(*) AS n_hits
+         |  SELECT t.np, t.query_id, COUNT(*) AS n_hits,
+         |    SUM(CAST(${dcgGainSql("t.rk")} AS DECIMAL(28,12))) AS dcg,
+         |    MIN(t.rk) AS first_hit
          |  FROM tk t JOIN btk b USING (query_id, neighbor_id)
          |  GROUP BY 1, 2
          |), qs AS (SELECT vec_id AS query_id FROM n WHERE vec_id % 100 = 0
@@ -798,14 +832,20 @@ object SimilarityQueries extends QueryModule {
          |), perq AS (
          |  SELECT pq.np, pq.query_id,
          |    COALESCE(c.n_cand, 0) AS n_cand,
-         |    COALESCE(h.n_hits, 0) AS n_hits
+         |    COALESCE(h.n_hits, 0) AS n_hits,
+         |    COALESCE(h.dcg, CAST(0 AS DECIMAL(28,12))) AS dcg,
+         |    CASE WHEN h.first_hit IS NULL THEN CAST(0 AS DECIMAL(28,12))
+         |         ELSE CAST(ROUND(1.0 / h.first_hit, 9) AS DECIMAL(28,12))
+         |    END AS rr
          |  FROM pq
          |  LEFT JOIN counts c ON c.np = pq.np AND c.query_id = pq.query_id
          |  LEFT JOIN hits h ON h.np = pq.np AND h.query_id = pq.query_id)
          |SELECT np AS nprobe, COUNT(*) AS n_queries,
          |  ROUND(CAST(SUM(n_cand) AS DOUBLE) / COUNT(*), 4) AS mean_candidates,
          |  ROUND(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * $K), 6) AS mean_recall,
-         |  ROUND(CAST(MIN(n_hits) AS DOUBLE) / $K, 6) AS min_recall
+         |  ROUND(CAST(MIN(n_hits) AS DOUBLE) / $K, 6) AS min_recall,
+         |  ROUND(CAST(SUM(dcg) AS DOUBLE) / (COUNT(*) * $idcgLit), 6) AS mean_ndcg,
+         |  ROUND(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS mean_mrr
          |FROM perq GROUP BY np ORDER BY nprobe""".stripMargin
 
   private val dist8Sql = (a: String, b: String) =>
@@ -934,7 +974,7 @@ object SimilarityQueries extends QueryModule {
          |    ROW_NUMBER() OVER (PARTITION BY rf, query_id
          |      ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM cand
-         |), tk AS (SELECT rf, query_id, neighbor_id FROM ranked WHERE rk <= $K
+         |), tk AS (SELECT rf, query_id, neighbor_id, rk FROM ranked WHERE rk <= $K
          |), bscored AS (
          |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
          |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
@@ -947,7 +987,9 @@ object SimilarityQueries extends QueryModule {
          |  FROM bscored
          |), btk AS (SELECT query_id, neighbor_id FROM branked WHERE rk <= $K
          |), hits AS (
-         |  SELECT t.rf, t.query_id, COUNT(*) AS n_hits
+         |  SELECT t.rf, t.query_id, COUNT(*) AS n_hits,
+         |    SUM(CAST(${dcgGainSql("t.rk")} AS DECIMAL(28,12))) AS dcg,
+         |    MIN(t.rk) AS first_hit
          |  FROM tk t JOIN btk b USING (query_id, neighbor_id)
          |  GROUP BY 1, 2
          |), qs AS (SELECT vec_id AS query_id FROM n WHERE vec_id % 100 = 0
@@ -955,14 +997,20 @@ object SimilarityQueries extends QueryModule {
          |), perq AS (
          |  SELECT pq.rf, pq.query_id,
          |    COALESCE(c.n_cand, 0) AS n_cand,
-         |    COALESCE(h.n_hits, 0) AS n_hits
+         |    COALESCE(h.n_hits, 0) AS n_hits,
+         |    COALESCE(h.dcg, CAST(0 AS DECIMAL(28,12))) AS dcg,
+         |    CASE WHEN h.first_hit IS NULL THEN CAST(0 AS DECIMAL(28,12))
+         |         ELSE CAST(ROUND(1.0 / h.first_hit, 9) AS DECIMAL(28,12))
+         |    END AS rr
          |  FROM pq
          |  LEFT JOIN counts c ON c.rf = pq.rf AND c.query_id = pq.query_id
          |  LEFT JOIN hits h ON h.rf = pq.rf AND h.query_id = pq.query_id)
          |SELECT rf AS refine, COUNT(*) AS n_queries,
          |  ROUND(CAST(SUM(n_cand) AS DOUBLE) / COUNT(*), 4) AS mean_candidates,
          |  ROUND(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * $K), 6) AS mean_recall,
-         |  ROUND(CAST(MIN(n_hits) AS DOUBLE) / $K, 6) AS min_recall
+         |  ROUND(CAST(MIN(n_hits) AS DOUBLE) / $K, 6) AS min_recall,
+         |  ROUND(CAST(SUM(dcg) AS DOUBLE) / (COUNT(*) * $idcgLit), 6) AS mean_ndcg,
+         |  ROUND(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS mean_mrr
          |FROM perq GROUP BY rf ORDER BY refine""".stripMargin
   }
 

@@ -32,6 +32,15 @@ class KnnTuningSpec extends SparkSpecBase {
     assert(recalls.last === 1.0,
       "probing every cell IS brute force — recall must anchor at 1.0")
     assert(rows.map(_.getAs[Double]("min_recall")).last === 1.0)
+    // the r13 rank-quality legs anchor too: the exhaustive depth IS the
+    // brute ranking, so its NDCG and MRR must read exactly 1.0, and
+    // every depth stays within [0, 1]
+    val ndcgs = rows.map(_.getAs[Double]("mean_ndcg")).toSeq
+    val mrrs = rows.map(_.getAs[Double]("mean_mrr")).toSeq
+    assert(ndcgs.forall(v => v >= 0.0 && v <= 1.0), s"ndcg range: $ndcgs")
+    assert(mrrs.forall(v => v >= 0.0 && v <= 1.0), s"mrr range: $mrrs")
+    assert(ndcgs.last === 1.0, s"exhaustive depth must score ideal DCG: $ndcgs")
+    assert(mrrs.last === 1.0, s"exhaustive depth must rank a hit first: $mrrs")
     val cands = rows.map(_.getAs[Double]("mean_candidates")).toSeq
     assert(cands.zip(cands.tail).forall { case (a, b) => a < b },
       s"candidate cost must grow with nprobe: $cands")

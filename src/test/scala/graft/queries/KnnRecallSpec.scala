@@ -22,6 +22,17 @@ class KnnRecallSpec extends SparkSpecBase {
       val hits = r.getAs[Long]("n_hits")
       assert(hits >= 0 && hits <= K)
       assert(r.getAs[Double]("recall_at_k") === hits.toDouble / K)
+      // r13 rank-quality legs: bounded, and pinned at the identities a
+      // full hit set / an empty hit set force
+      val ndcg = r.getAs[Double]("ndcg_at_k")
+      val rr = r.getAs[Double]("rr")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"ndcg out of range: $ndcg")
+      assert(rr == 0.0 || (rr >= 1.0 / K && rr <= 1.0), s"rr out of range: $rr")
+      if (hits == K) {
+        assert(ndcg === 1.0, "all k ranks relevant must score ideal DCG")
+        assert(rr === 1.0)
+      }
+      if (hits == 0L) { assert(ndcg === 0.0); assert(rr === 0.0) }
     }
     // recompute the intersection directly from the two verified legs
     val brute = graft.ops.Similarity.bruteForceTopK(emb, queries, K)
