@@ -187,6 +187,74 @@ object AnnIndex {
     }
   }
 
+  /** Incremental SemDeDup against the committed index (r13 VERDICT #4 —
+    * the composition of the r9 SemDeDup semantics with the persisted
+    * index): admit a delta batch by probing the index for ≥minCos cosine
+    * neighbors instead of re-running k-means + within-cluster pairs over
+    * the full corpus — the same full-vs-incremental story incremental CC
+    * already tells. Two legs over ONE pinned quantizer:
+    *
+    *  - delta-vs-BASE: candidates from [[Similarity.semDedupAdmitCandidates]]
+    *    over the index's cell layout ([[loadCodes]] supplies (vec_id,
+    *    cell) — the probe partition-prunes the codes scan; `baseRaw` is
+    *    the raw-vector store outside the index, joined by id for the
+    *    exact cosine, exactly the [[topK]] re-rank contract);
+    *  - delta-vs-DELTA: the smaller-id survivor rule of
+    *    [[Similarity.semDedup]] — a delta item is also a dup if a
+    *    SMALLER-ID delta item sits in its probed cells at ≥minCos (the
+    *    probe-vs-assigned join shape of the base leg, so both legs share
+    *    candidate semantics).
+    *
+    * keep = no base hit AND no smaller-id delta hit. Output per delta
+    * row: (vec_id, cell = assigned cell, keep, n_dups_base,
+    * n_dups_delta). Scale: refresh IO is O(probed cells + delta²-within-
+    * cells), never O(corpus) — the full-corpus pass happens once at
+    * [[save]] time; q_sim_semdedup_incremental's mirror retrains the
+    * base-subset quantizer and replays both legs as threshold scans. */
+  def semDedupIncremental(baseRaw: DataFrame, delta: DataFrame, dir: String,
+      minCos: Double, nProbe: Int = 4): DataFrame = {
+    val spark = delta.sparkSession
+    val vdir = resolveDir(spark, dir)
+    val (centroids, _, _) = loadQuantizers(spark, vdir)
+    val baseVecs = loadCodes(spark, vdir).select(col("vec_id"), col("cell"))
+      .join(baseRaw.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val baseHits = Similarity
+      .semDedupAdmitCandidates(delta, baseVecs, centroids, minCos, nProbe)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_dups_base"))
+    val assignU = udf((v: Seq[Float]) => Similarity.nearestCell(centroids)(v))
+    val probesU = udf((v: Seq[Float]) => {
+      val ds = centroids.zipWithIndex.map { case (cv, c) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        (c, d)
+      }
+      ds.sortBy(_._2).take(nProbe).map(_._1)
+    })
+    // the delta's normed+assigned frame feeds both self-join sides and
+    // the final projection — compute-once, single-plan consumer shape
+    val dd = Checkpoints.stageTransient(
+      Similarity.withNorm(delta, "vec_id", "embedding")
+        .withColumn("cell", assignU(col("v").cast("array<float>"))))
+    val aSide = dd
+      .select(col("vec_id"), col("v").as("av"), col("nrm").as("an"),
+        explode(probesU(col("v").cast("array<float>"))).as("cell"))
+    val bSide = dd.select(col("vec_id").as("b_id"), col("cell"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val deltaHits = aSide.join(bSide, Seq("cell"))
+      .filter(col("b_id") < col("vec_id"))
+      .withColumn("cos", round(
+        Similarity.dot(col("av"), col("bv")) / (col("an") * col("bn")), 4))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_dups_delta"))
+    dd.select(col("vec_id"), col("cell"))
+      .join(baseHits, Seq("vec_id"), "left")
+      .join(deltaHits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (col("n_dups_base").isNull && col("n_dups_delta").isNull).as("keep"),
+        coalesce(col("n_dups_base"), lit(0L)).as("n_dups_base"),
+        coalesce(col("n_dups_delta"), lit(0L)).as("n_dups_delta"))
+  }
+
   /** Drift trigger for the pinned-quantizer upsert path: the fraction of
     * `newEmb` whose nearest-centroid distance exceeds the build corpus's
     * own 95th-percentile assignment distance (the `stats/` baseline

@@ -338,7 +338,7 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
-  private def nearestCell(cs: Array[Array[Double]])(v: Seq[Float]): Int = {
+  private[ops] def nearestCell(cs: Array[Array[Double]])(v: Seq[Float]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cs.length) {
       var d = 0.0; var i = 0
@@ -620,6 +620,51 @@ object Similarity {
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
       .filter(col("cos") >= minCos)
       .select(col("probe_id"), col("vec_id").as("corpus_id"), col("cos"))
+  }
+
+  /** Stateless near-dup ADMISSION candidates against a pinned-quantizer
+    * corpus frame — the shared candidate generator behind
+    * [[AnnIndex.semDedupIncremental]] and its streaming face: each
+    * arriving delta row computes its own probe cells from the broadcast
+    * centroid constants (no driver-side collect of the delta), equi-joins
+    * `baseWithCells` on the cell key, and emits every pair at cosine ≥
+    * `minCos` as (vec_id, base_id, cos). THRESHOLD semantics like
+    * [[embeddingDecontaminate]] — admission needs every above-bar hit,
+    * not a top-k.
+    *
+    * `baseWithCells` is (vec_id, embedding, cell) with cells assigned
+    * under the SAME centroids — in the index composition they come from
+    * the persisted codes layout (partition-pruned), never from
+    * re-assigning the corpus. Works on a batch OR STREAMING delta (the
+    * probe udf and the stream-static cell equi-join are both
+    * stateless); no broadcast hint on either side — the delta is a
+    * daily batch that grows with the corpus, so the honest plan is the
+    * cell-keyed shuffle join. */
+  def semDedupAdmitCandidates(delta: DataFrame, baseWithCells: DataFrame,
+      centroids: Array[Array[Double]], minCos: Double,
+      nProbe: Int = 4): DataFrame = {
+    val probeCells = udf((v: Seq[Float]) => {
+      val ds = centroids.zipWithIndex.map { case (cv, c) =>
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        (c, d)
+      }
+      ds.sortBy(_._2).take(nProbe).map(_._1)
+    })
+    val b = baseWithCells
+      .select(col("vec_id").as("base_id"), col("cell"),
+        asDouble(col("embedding")).as("bv"))
+      .withColumn("bn", norm(col("bv")))
+    val q = delta
+      .select(col("vec_id"), asDouble(col("embedding")).as("dv"))
+      .withColumn("dn", norm(col("dv")))
+      .withColumn("cell", explode(probeCells(col("dv").cast("array<float>"))))
+    q.join(b, Seq("cell"))
+      .filter(col("base_id") =!= col("vec_id"))
+      .withColumn("cos",
+        round(dot(col("dv"), col("bv")) / (col("dn") * col("bn")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_id"), col("base_id"), col("cos"))
   }
 
   /** IVF recall/cost tuning curve: recall@k and mean candidate count of

@@ -217,6 +217,31 @@ object SimilarityQueries extends QueryModule {
   private val SemK = 16
   private val SemIters = 2
 
+  /** Incremental SemDeDup — the daily-refresh composition of the
+    * persisted ANN index with the SemDeDup survivor rule (r13 VERDICT
+    * #4): vectors with vec_id % 10 = 7 play today's incoming batch (the
+    * incrementalClusters convention), the rest yesterday's corpus. The
+    * committed index is built on the corpus (pinned quantizers: 16-cell
+    * one-step Lloyd — the same recipe the ivf mirrors replay); the batch
+    * is admitted by probing it — never by re-clustering the corpus.
+    * A delta item is a dup if any CORPUS vector in its probed cells
+    * reads cosine ≥ 0.35, or any SMALLER-ID delta item does (the
+    * in-batch survivor rule). The mirror retrains the base-subset
+    * quantizer CTEs and replays both legs as threshold scans — no
+    * window anywhere. */
+  def semdedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ixDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ann_sdd_" + java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes("UTF-8")).toString.take(8) +
+        "_p" + ProcessHandle.current().pid()).getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 10 =!= 7)
+    val delta = emb.filter(col("vec_id") % 10 === 7)
+    graft.ops.AnnIndex.save(base, ixDir)
+    graft.ops.AnnIndex.semDedupIncremental(base, delta, ixDir, Threshold)
+      .orderBy(col("vec_id"))
+  }
+
   /** PageRank over the cosine-pair graph (3 power iterations, d = 0.85):
     * centrality = representativeness for cluster-survivor selection.
     * Edges come from the SCALE path — `cosinePairsAdaptive` (equi-join
@@ -473,6 +498,7 @@ object SimilarityQueries extends QueryModule {
     "q_sim_balanced_sample" -> balancedSample,
     "q_sim_rproj" -> rproj,
     "q_sim_semdedup" -> semdedup,
+    "q_sim_semdedup_incremental" -> semdedupIncremental,
     "q_knn_brute" -> knnBrute,
     "q_knn_mips" -> knnMips,
     "q_knn_recall" -> knnRecall,
@@ -1510,6 +1536,39 @@ object SimilarityQueries extends QueryModule {
     "q_sim_balanced_sample" -> balancedSampleSql,
     "q_sim_rproj" -> rprojSql,
     "q_sim_semdedup" -> semdedupSql,
+    // the base-subset-trained IVF cell block (the q_knn_index_incremental
+    // pinned-quantizer convention), then both admission legs as THRESHOLD
+    // scans over probe-vs-assigned cell joins — delta against the corpus,
+    // delta against smaller-id delta — no window anywhere
+    "q_sim_semdedup_incremental" -> (normCte + ", " +
+      ivfCellCtes("vec_id % 10 <> 7") +
+      s""", bcell AS (SELECT vec_id, cell FROM ia1 WHERE rk = 1 AND vec_id % 10 <> 7
+         |), dcell AS (SELECT vec_id, cell FROM ia1 WHERE rk = 1 AND vec_id % 10 = 7
+         |), dprobe AS (SELECT vec_id, cell FROM ia1 WHERE rk <= 4 AND vec_id % 10 = 7
+         |), bhits AS (
+         |  SELECT d.vec_id, COUNT(*) AS n
+         |  FROM dprobe d JOIN bcell b ON b.cell = d.cell
+         |  JOIN n na ON na.vec_id = d.vec_id
+         |  JOIN n nb ON nb.vec_id = b.vec_id
+         |  WHERE ROUND(list_sum(list_transform(range(1, 65),
+         |      i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm), 4) >= $Threshold
+         |  GROUP BY d.vec_id
+         |), dhits AS (
+         |  SELECT a.vec_id, COUNT(*) AS n
+         |  FROM dprobe a JOIN dcell b ON b.cell = a.cell AND b.vec_id < a.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id
+         |  JOIN n nb ON nb.vec_id = b.vec_id
+         |  WHERE ROUND(list_sum(list_transform(range(1, 65),
+         |      i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm), 4) >= $Threshold
+         |  GROUP BY a.vec_id)
+         |SELECT d.vec_id, d.cell,
+         |  bh.n IS NULL AND dh.n IS NULL AS keep,
+         |  COALESCE(bh.n, 0) AS n_dups_base,
+         |  COALESCE(dh.n, 0) AS n_dups_delta
+         |FROM dcell d
+         |LEFT JOIN bhits bh ON bh.vec_id = d.vec_id
+         |LEFT JOIN dhits dh ON dh.vec_id = d.vec_id
+         |ORDER BY d.vec_id""".stripMargin),
     "q_sim_clusters" -> simClustersSql,
     "q_sim_clusters_incremental" -> incrementalClustersSql,
     "q_knn_brute" -> (normCte +
