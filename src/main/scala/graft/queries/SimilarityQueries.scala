@@ -443,6 +443,34 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** The REPLACEMENT face of the incremental index (r13 ADVICE high —
+    * the cross-engine gate could not previously see it because
+    * q_knn_index_incremental is append-only): build the index on the
+    * FULL corpus, then upsert a delta that REPLACES every 100th vector
+    * with its reversed embedding (same vec_id, deterministic in both
+    * engines) — under the pinned quantizers a reversed vector generally
+    * assigns to a DIFFERENT cell, so the upsert must rewrite the old
+    * cells too or stale rows survive the chain. The replaced vectors
+    * themselves are the probe queries. The mirror trains its quantizer
+    * CTEs on the ORIGINAL corpus but encodes/probes/re-ranks the
+    * post-replacement one — exactly the layered index's contract — so
+    * a stale survivor (a duplicate vec_id with old codes) hash-fails
+    * the gate. */
+  def knnIndexUpsertReplace(spark: SparkSession, dir: String): DataFrame = {
+    val ixDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ann_repl_" + java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes("UTF-8")).toString.take(8) +
+        "_p" + ProcessHandle.current().pid()).getAbsolutePath
+    val emb = Tables.embeddings(spark, dir)
+    val repl = emb.filter(col("vec_id") % 100 === 0)
+      .withColumn("embedding", reverse(col("embedding")))
+    val emb2 = emb.filter(col("vec_id") % 100 =!= 0).unionByName(repl)
+    graft.ops.AnnIndex.save(emb, ixDir)
+    graft.ops.AnnIndex.upsert(repl, ixDir)
+    graft.ops.AnnIndex.topK(spark, ixDir, emb2, repl, K)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Hard-negative mining for contrastive training: per query vector,
     * the top-5 most similar CROSS-LABEL candidates from its probed IVF
     * cells (`Similarity.hardNegatives`) — the batch-mining step of
@@ -489,6 +517,7 @@ object SimilarityQueries extends QueryModule {
     "q_knn_mmr" -> mmr,
     "q_knn_ivfpq_index" -> knnIvfPqIndex,
     "q_knn_index_incremental" -> knnIndexIncremental,
+    "q_knn_index_upsert_replace" -> knnIndexUpsertReplace,
     "q_sim_pagerank" -> pagerank,
     "q_sim_triangles" -> triangles,
     "q_sim_kcore" -> kcore,
@@ -582,8 +611,13 @@ object SimilarityQueries extends QueryModule {
     * exact-decimal Lloyd step, argmin assignment (ties to the lower
     * cell, as the Scala loop keeps the first minimum). Exposes `ecell`
     * (vector → its cell) and `qprobe` (query → its 4 probed cells).
-    * Shared verbatim by the IVF and IVF-PQ mirrors. */
-  private def ivfCellCtes(trainPred: String = "TRUE"): String =
+    * Shared verbatim by the IVF and IVF-PQ mirrors. `encodeRel` (the
+    * pinned-quantizer replacement face): the relation the FINAL
+    * assignment + query probes run over — training stays on `n`, the
+    * original corpus, while encode/probe can target a post-replacement
+    * variant (q_knn_index_upsert_replace's n2). */
+  private def ivfCellCtes(trainPred: String = "TRUE",
+      encodeRel: String = "n"): String =
     s"""iseeds AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v
        |  FROM (SELECT vec_id, v FROM n WHERE $trainPred ORDER BY vec_id LIMIT 16)
@@ -612,7 +646,7 @@ object SimilarityQueries extends QueryModule {
        |  SELECT e.vec_id, c.cell,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${distSql("e.v", "c.cv")}, c.cell) AS rk
-       |  FROM n e CROSS JOIN icents c
+       |  FROM $encodeRel e CROSS JOIN icents c
        |), ecell AS (SELECT vec_id, cell FROM ia1 WHERE rk = 1
        |), qprobe AS (SELECT vec_id, cell FROM ia1 WHERE vec_id % 100 = 0 AND rk <= 4
        |)""".stripMargin
@@ -882,8 +916,11 @@ object SimilarityQueries extends QueryModule {
     * step, argmin encoding (ties to the lower code), and per-query ADC
     * lookup tables. Exposes `codes` (vector × subspace → code) and `dt`
     * (query × subspace × code → distance). Shared verbatim by the PQ
-    * and IVF-PQ mirrors. */
-  private def pqCodeCtes(trainPred: String = "TRUE"): String =
+    * and IVF-PQ mirrors. `encodeSub` mirrors ivfCellCtes' encodeRel:
+    * the subvector relation the final encode + query tables run over
+    * (training stays on `sub`). */
+  private def pqCodeCtes(trainPred: String = "TRUE",
+      encodeSub: String = "sub"): String =
     s"""ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m
        |), sub AS (
        |  SELECT vec_id, ms.m,
@@ -917,15 +954,15 @@ object SimilarityQueries extends QueryModule {
        |  SELECT s.m, s.code, COALESCE(c.cv, s.sv) AS cv
        |  FROM pseeds s LEFT JOIN pcb0 c ON c.m = s.m AND c.code = s.code
        |), pa1 AS (
-       |  SELECT sub.vec_id, sub.m, b.code,
-       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
-       |      ORDER BY ${dist8Sql("sub.sv", "b.cv")}, b.code) AS rk
-       |  FROM sub JOIN pcb b ON b.m = sub.m
+       |  SELECT es.vec_id, es.m, b.code,
+       |    ROW_NUMBER() OVER (PARTITION BY es.vec_id, es.m
+       |      ORDER BY ${dist8Sql("es.sv", "b.cv")}, b.code) AS rk
+       |  FROM $encodeSub es JOIN pcb b ON b.m = es.m
        |), codes AS (SELECT vec_id, m, code FROM pa1 WHERE rk = 1
        |), dt AS (
        |  SELECT q.vec_id AS query_id, b.m, b.code,
        |    ${dist8Sql("q.sv", "b.cv")} AS dist
-       |  FROM sub q JOIN pcb b ON b.m = q.m
+       |  FROM $encodeSub q JOIN pcb b ON b.m = q.m
        |  WHERE q.vec_id % 100 = 0
        |)""".stripMargin
 
@@ -1043,9 +1080,15 @@ object SimilarityQueries extends QueryModule {
   /** Mirror of ivfPqTopK: the IVF cell block and the PQ code block —
     * the SAME fragment texts that verify q_knn_ivf and q_knn_pq —
     * composed: ADC runs only over (query, vector) pairs whose cells
-    * meet in the probe set, then the refine re-rank. */
-  private def knnIvfPqSql(trainPred: String = "TRUE"): String = {
-    normCte + ", " + ivfCellCtes(trainPred) + ", " + pqCodeCtes(trainPred) +
+    * meet in the probe set, then the refine re-rank. `encodeRel`/
+    * `encodeSub`/`extraCtes` support the replacement face: training
+    * stays on the original `n`/`sub`, while encode + probe + re-rank
+    * run over a post-replacement corpus injected by `extraCtes`. */
+  private def knnIvfPqSql(trainPred: String = "TRUE",
+      encodeRel: String = "n", encodeSub: String = "sub",
+      extraCtes: String = ""): String = {
+    normCte + extraCtes + ", " + ivfCellCtes(trainPred, encodeRel) +
+      ", " + pqCodeCtes(trainPred, encodeSub) +
       s""", adc AS (
          |  SELECT dt.query_id, c.vec_id,
          |    ROUND(list_sum(list(dt.dist ORDER BY dt.m)), 6) AS adist
@@ -1063,8 +1106,8 @@ object SimilarityQueries extends QueryModule {
          |), rescored AS (
          |  SELECT c.query_id, c.neighbor_id, c.adist,
          |    ROUND($dotSql / (a.nrm * q.nrm), 4) AS cos
-         |  FROM cand c JOIN n a ON a.vec_id = c.neighbor_id
-         |    JOIN n q ON q.vec_id = c.query_id
+         |  FROM cand c JOIN $encodeRel a ON a.vec_id = c.neighbor_id
+         |    JOIN $encodeRel q ON q.vec_id = c.query_id
          |  WHERE c.ark <= $K * $PqRefine
          |), ranked AS (
          |  SELECT query_id, neighbor_id, adist, cos,
@@ -1074,6 +1117,33 @@ object SimilarityQueries extends QueryModule {
          |SELECT query_id, rk, neighbor_id, adist, cos FROM ranked
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
   }
+
+  /** Post-replacement corpus CTEs for the upsert-replace mirror: every
+    * 100th vector's embedding REVERSED (the float payload unchanged,
+    * order flipped — deterministic in both engines, and under the
+    * PINNED quantizers the reversed vector generally assigns to a
+    * DIFFERENT cell, exercising the migration face the r13 ADVICE
+    * found). Doubles, norms, and 8-dim subspace slices recomputed over
+    * the stored (reversed) order. */
+  private val replacedCtes: String =
+    """, r2 AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 100 = 0 THEN list_reverse(embedding)
+      |         ELSE embedding END AS embedding
+      |  FROM embeddings
+      |), e2 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM r2
+      |), n2 AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e2
+      |), ms2 AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m
+      |), sub2 AS (
+      |  SELECT vec_id, ms2.m,
+      |    list_slice(v, ms2.m*8 + 1, ms2.m*8 + 8) AS sv
+      |  FROM n2, ms2
+      |)""".stripMargin
 
   /** Adaptive-parameter CTEs + masked per-table bucket legs, mirroring
     * `cosinePairsAdaptive` exactly:
@@ -1659,6 +1729,11 @@ object SimilarityQueries extends QueryModule {
     // 90% — encode/probe still cover all vectors: the pinned-quantizer
     // upsert contract
     "q_knn_index_incremental" -> knnIvfPqSql("vec_id % 10 <> 0"),
+    // the replacement face: train on the ORIGINAL corpus (the save()),
+    // encode/probe/re-rank the post-replacement one (the upsert) — a
+    // stale pre-replacement row surviving in its old cell hash-fails
+    "q_knn_index_upsert_replace" -> knnIvfPqSql(
+      encodeRel = "n2", encodeSub = "sub2", extraCtes = replacedCtes),
     "q_sim_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
