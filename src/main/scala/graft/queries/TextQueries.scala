@@ -116,6 +116,32 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  private val UgVocab = 20
+  private val UgIters = 2
+
+  /** Trained unigram-LM (SentencePiece-style) vocabulary after 2 EM
+    * rounds: (piece, n_count, logp_nano) — the probabilistic tokenizer
+    * next to q_text_bpe_merges' merge table. Everything crosses the
+    * engines as exact integers (nano-grid log-probs); the mirror
+    * unrolls seed + both EM rounds, each with a full per-position
+    * Viterbi DP, as CTEs. */
+  def unigramVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.UnigramLm.vocabTable(
+      Tables.documents(spark, dir), "text", vocabSize = UgVocab,
+      emIters = UgIters)
+      .orderBy(col("piece"))
+
+  /** Per-document Viterbi tokenization under the trained unigram table:
+    * (doc_id, n_words, n_pieces, nll_nano) — piece counts and the
+    * exact-integer negative log-likelihood, the numbers a tokenizer
+    * bake-off (BPE vs unigram) actually compares. */
+  def unigramTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.UnigramLm.tokenCounts(docs, docs, "doc_id", "text",
+      vocabSize = UgVocab, emIters = UgIters)
+      .orderBy(col("doc_id"))
+  }
+
   /** Robust per-source score normalization (median/MAD z-scores,
     * winsorized at ±3): the feature-scaling step between raw quality
     * scores and any cross-source comparison (curriculum phases, mixture
@@ -258,6 +284,8 @@ object TextQueries extends QueryModule {
     "q_text_nb_classify" -> nbClassify,
     "q_text_bpe_merges" -> bpeMerges,
     "q_text_bpe_tokens" -> bpeTokens,
+    "q_text_unigram_vocab" -> unigramVocab,
+    "q_text_unigram_tokens" -> unigramTokens,
     "q_text_source_report" -> sourceReport)
 
   // DuckDB mirrors. Shared fragments keep Spark and SQL in lockstep; every
@@ -319,6 +347,147 @@ object TextQueries extends QueryModule {
     }.mkString
     base + rounds
   }
+
+  // --- unigram-LM mirrors: seed + unrolled EM rounds, each with a full
+  // per-position Viterbi DP. All scores are BIGINT nano-grid log-probs,
+  // so the DP is exact integer arithmetic; MATERIALIZED everywhere a
+  // CTE is referenced by multiple later legs (each position's winner
+  // feeds up to 4 later candidate legs — default inlining would copy
+  // the chain 4^12 times, the kcore lesson at a higher branching
+  // factor). The DP unrolls to UgMaxWord positions; a corpus with a
+  // longer word poisons the output loudly instead of truncating. ---
+
+  private val UgMaxLen = 4
+  private val UgMaxWord = 12
+
+  private val ugBase: String =
+    """WITH tok AS (
+      |  SELECT doc_id, t FROM documents,
+      |    UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS u(t)
+      |), words AS MATERIALIZED (
+      |  SELECT t AS w, COUNT(*) AS cnt FROM tok GROUP BY t
+      |)""".stripMargin
+
+  /** Seed vocabulary: all substrings to UgMaxLen freq-weighted; every
+    * single char + the top UgVocab multi-char pieces (freq DESC, piece
+    * ASC); nano-grid log-probs over the kept total. */
+  private def ugSeedCtes: String =
+    s""", cand AS MATERIALIZED (
+       |  SELECT substr(w.w, CAST(s.i AS INT), CAST(l.l AS INT)) AS piece,
+       |    CAST(SUM(w.cnt) AS BIGINT) AS freq
+       |  FROM words w,
+       |    UNNEST(range(1, length(w.w) + 1)) AS s(i),
+       |    UNNEST(range(1, ${UgMaxLen + 1})) AS l(l)
+       |  WHERE CAST(s.i AS INT) + CAST(l.l AS INT) - 1 <= length(w.w)
+       |  GROUP BY 1
+       |), seedm AS (
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq,
+       |      ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rn
+       |    FROM cand WHERE length(piece) > 1) WHERE rn <= $UgVocab
+       |), seed AS MATERIALIZED (
+       |  SELECT piece, freq FROM cand WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, freq FROM seedm
+       |), v0 AS MATERIALIZED (
+       |  SELECT piece, freq AS n_count,
+       |    CAST(ROUND(LN(CAST(freq AS DOUBLE) / tt.t) * 1e9, 0) AS BIGINT)
+       |      AS logp_nano
+       |  FROM seed, (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM seed) tt
+       |)""".stripMargin
+
+  /** One Viterbi pass of every distinct word under vocab CTE `vname`:
+    * position i's winner = best (score DESC, piece-length DESC) over
+    * the ≤UgMaxLen pieces ending at i — exactly UnigramLm.viterbi's
+    * tie law. Exposes `${p}fin` (w, cnt, score, seg) with seg the
+    * chr(1)-joined piece sequence. */
+  private def ugVitCtes(vname: String, p: String): String = {
+    val d0 =
+      s""", ${p}d0 AS (
+         |  SELECT w, cnt, CAST(0 AS BIGINT) AS score, '' AS seg FROM words)""".stripMargin
+    val steps = (1 to UgMaxWord).map { i =>
+      val legs = (1 to math.min(UgMaxLen, i)).map { l =>
+        s"""    SELECT d.w, d.cnt, d.score + v.logp_nano AS score, $l AS l,
+           |      d.seg || chr(1) || v.piece AS seg
+           |    FROM ${p}d${i - l} d JOIN $vname v
+           |      ON v.piece = substr(d.w, ${i - l + 1}, $l)
+           |    WHERE length(d.w) >= $i""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s""", ${p}c$i AS (
+         |$legs
+         |), ${p}d$i AS MATERIALIZED (
+         |  SELECT w, cnt, score, seg FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+         |      ORDER BY score DESC, l DESC) AS rn
+         |    FROM ${p}c$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    val fin = (1 to UgMaxWord).map(i =>
+      s"SELECT w, cnt, score, seg FROM ${p}d$i WHERE length(w) = $i")
+      .mkString("\n  UNION ALL ")
+    d0 + steps +
+      s""", ${p}fin AS MATERIALIZED (
+         |  $fin
+         |)""".stripMargin
+  }
+
+  /** M-step: freq-weighted piece counts of `${p}fin`'s segmentations,
+    * +1 Laplace on single chars, zero-count pieces pruned, nano-grid
+    * log-probs re-derived → `$outV`. */
+  private def ugMStep(p: String, prevV: String, outV: String): String =
+    s""", ${p}mc AS MATERIALIZED (
+       |  SELECT u.piece, CAST(SUM(f.cnt) AS BIGINT) AS c
+       |  FROM ${p}fin f,
+       |    UNNEST(string_split(substr(f.seg, 2), chr(1))) AS u(piece)
+       |  GROUP BY u.piece
+       |), ${p}kk AS MATERIALIZED (
+       |  SELECT piece, c2 FROM (
+       |    SELECT pv.piece,
+       |      COALESCE(mc.c, 0)
+       |        + (CASE WHEN length(pv.piece) = 1 THEN 1 ELSE 0 END) AS c2
+       |    FROM $prevV pv LEFT JOIN ${p}mc mc ON mc.piece = pv.piece)
+       |  WHERE c2 > 0
+       |), $outV AS MATERIALIZED (
+       |  SELECT piece, c2 AS n_count,
+       |    CAST(ROUND(LN(CAST(c2 AS DOUBLE) / tt.t) * 1e9, 0) AS BIGINT)
+       |      AS logp_nano
+       |  FROM ${p}kk, (SELECT CAST(SUM(c2) AS DOUBLE) AS t FROM ${p}kk) tt
+       |)""".stripMargin
+
+  private def ugTrainedCtes: String =
+    ugBase + ugSeedCtes +
+      ugVitCtes("v0", "a") + ugMStep("a", "v0", "v1") +
+      ugVitCtes("v1", "b") + ugMStep("b", "v1", "v2")
+
+  private val ugLongWordPoison =
+    s"EXISTS (SELECT 1 FROM words WHERE length(w) > $UgMaxWord)"
+
+  private def ugVocabSql: String =
+    ugTrainedCtes +
+      s"""
+         |SELECT piece, n_count, logp_nano FROM v2
+         |UNION ALL
+         |SELECT 'POISON_WORD_OVER_${UgMaxWord}', CAST(-1 AS BIGINT),
+         |  CAST(-1 AS BIGINT)
+         |WHERE $ugLongWordPoison
+         |ORDER BY piece""".stripMargin
+
+  private def ugTokensSql: String =
+    ugTrainedCtes + ugVitCtes("v2", "c") +
+      s"""
+         |SELECT * FROM (
+         |  SELECT t.doc_id, COUNT(*) AS n_words,
+         |    CAST(SUM(len(string_split(substr(f.seg, 2), chr(1)))) AS BIGINT)
+         |      AS n_pieces,
+         |    CAST(SUM(-f.score) AS BIGINT) AS nll_nano
+         |  FROM tok t JOIN cfin f ON f.w = t.t
+         |  GROUP BY t.doc_id
+         |  UNION ALL
+         |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+         |    CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+         |  WHERE EXISTS (SELECT 1 FROM tok t LEFT JOIN cfin f ON f.w = t.t
+         |                WHERE f.w IS NULL)
+         |     OR $ugLongWordPoison)
+         |ORDER BY doc_id""".stripMargin
 
   /** Mirror of q_text_normalize: the tail rebuilt with chr()
     * (chr(769) = COMBINING ACUTE, chr(9) = TAB), nfc_normalize for the
@@ -537,6 +706,8 @@ object TextQueries extends QueryModule {
         |FROM scored
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) = 1
         |ORDER BY doc_id""".stripMargin,
+    "q_text_unigram_vocab" -> ugVocabSql,
+    "q_text_unigram_tokens" -> ugTokensSql,
     "q_text_source_report" ->
       s"""WITH scored AS (
          |  SELECT source, n_chars, ROUND($qualitySql, 6) AS q FROM documents)
