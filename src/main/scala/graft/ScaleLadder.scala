@@ -402,6 +402,17 @@ object ScaleLadder {
         materialize(graft.streaming.StreamingRefresh.attributionPairs(
           ev.filter(col("event_id") % 2 === 0),
           ev.filter(col("event_id") % 2 === 1), lookbackMin = 30))
+      }),
+      // r14: the capstone plan itself (enrich → sections → correction →
+      // chunks → correction → embed → 28-col projection) through the
+      // registered fullExportOver seam — the one plan a production
+      // refresh actually runs end to end. Per-doc work is bounded
+      // (pages/sections/chunks per doc are text-length-bound, the
+      // planted docs are fixed-width), every stage is a groupBy/join on
+      // document keys: healthy exponent ~1
+      ("pipe_full_export", () => docsS, () => docsL, { docs: DataFrame =>
+        materialize(graft.queries.EnrichQueries.fullExportOver(
+          docs.select(col("doc_id"), col("text"))))
       }))
 
     ops.filter(o => only.forall(_.contains(o._1)))
@@ -428,6 +439,100 @@ object ScaleLadder {
         s""""cold_small":${f3(coldS)},"steady_small":${f3(steadyS)},""" +
         s""""cold_big":${f3(coldL)},"steady_big":${f3(steadyL)},""" +
         s""""steady_exponent":${f3(exp)}$predicted}""")
+    }
+
+    // --- incremental ANN index rungs (r13 VERDICT #1): the upsert's
+    // 100 TB claim — "IO is O(touched cells + delta), never O(corpus)"
+    // — measured instead of argued. Deployment shape: cell count scales
+    // with the corpus (occupancy ~8 per cell, the "thousands of cells"
+    // posture), so a fixed delta touches a bounded cell set whose SIZE
+    // does not grow with the corpus. Wall AND bytes-written are
+    // recorded per run (the parquet layout makes bytes readable); the
+    // full save() runs alongside as the O(corpus) contrast. ---
+    def annEmb(n: Int, seed: Int, idBase: Long): DataFrame = {
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(i => (idBase + i,
+        Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+    }
+    def dirBytes(path: String): Long = {
+      val root = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } finally walk.close()
+      }
+    }
+    def annExp(big: Double, small: Double): Double =
+      math.log(big / small) / math.log(ratio.toDouble)
+    // one build per corpus size; both rungs read these
+    case class AnnBuild(n: Int, dir: String, saveSec: Double, saveBytes: Long)
+    lazy val annBuilds = Seq(nSmall, nBig).map { n =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-ladder-ann-$n").toString + "/ix"
+      val emb = staged(annEmb(n, seed = 101, idBase = 0L))
+      val t = time(graft.ops.AnnIndex.save(emb, dir,
+        numCells = math.max(16, n / 8)))
+      sweepBlocks()
+      AnnBuild(n, dir, t, dirBytes(
+        graft.ops.AnnIndex.resolveDir(spark, dir)))
+    }
+
+    if (only.forall(_.contains("ann_upsert_corpus"))) {
+      // FIXED 64-vector delta against corpora a decade apart: wall and
+      // bytes must stay ~flat (exponent ≈ 0) while save() tracks the
+      // corpus (~1). Two timed upserts per corpus: the first also
+      // yields the bytes (its published layer), the second is the
+      // steady wall (it layers on the first — the daily-refresh chain).
+      val runs = annBuilds.map { b =>
+        val delta1 = annEmb(64, seed = 202, idBase = 90000000L)
+        val delta2 = annEmb(64, seed = 203, idBase = 91000000L)
+        val t1 = time(graft.ops.AnnIndex.upsert(delta1, b.dir))
+        val bytes = dirBytes(graft.ops.AnnIndex.resolveDir(spark, b.dir))
+        val t2 = time(graft.ops.AnnIndex.upsert(delta2, b.dir))
+        sweepBlocks()
+        (b, t1, t2, bytes)
+      }
+      val (s, l) = (runs.head, runs.last)
+      println(s"""{"op":"ann_upsert_corpus","n_small":$nSmall,"n_big":$nBig,""" +
+        s""""delta_rows":64,"cells_small":${math.max(16, nSmall / 8)},""" +
+        s""""cells_big":${math.max(16, nBig / 8)},""" +
+        s""""save_small":${f3(s._1.saveSec)},"save_big":${f3(l._1.saveSec)},""" +
+        s""""save_exponent":${f3(annExp(l._1.saveSec, s._1.saveSec))},""" +
+        s""""save_bytes_small":${s._1.saveBytes},"save_bytes_big":${l._1.saveBytes},""" +
+        s""""save_bytes_exponent":${f3(annExp(l._1.saveBytes.toDouble, s._1.saveBytes.toDouble))},""" +
+        s""""upsert_cold_small":${f3(s._2)},"upsert_cold_big":${f3(l._2)},""" +
+        s""""upsert_steady_small":${f3(s._3)},"upsert_steady_big":${f3(l._3)},""" +
+        s""""upsert_exponent":${f3(annExp(l._3, s._3))},""" +
+        s""""upsert_bytes_small":${s._4},"upsert_bytes_big":${l._4},""" +
+        s""""upsert_bytes_exponent":${f3(annExp(l._4.toDouble, s._4.toDouble))}}""")
+    }
+
+    if (only.forall(_.contains("ann_upsert_delta"))) {
+      // deltas a decade apart against the FIXED big corpus: wall and
+      // bytes should track the delta (~linear, exponent ≈ 1) — the
+      // honest cost axis of the refresh knob
+      val big = annBuilds.last
+      val runs = Seq(64, 640).map { d =>
+        val delta = annEmb(d, seed = 300 + d, idBase = 95000000L + d * 100000L)
+        val t = time(graft.ops.AnnIndex.upsert(delta, big.dir))
+        val bytes = dirBytes(graft.ops.AnnIndex.resolveDir(spark, big.dir))
+        sweepBlocks()
+        (d, t, bytes)
+      }
+      val (s, l) = (runs.head, runs.last)
+      println(s"""{"op":"ann_upsert_delta","corpus_rows":$nBig,""" +
+        s""""cells":${math.max(16, nBig / 8)},"d_small":${s._1},"d_big":${l._1},""" +
+        s""""upsert_small":${f3(s._2)},"upsert_big":${f3(l._2)},""" +
+        s""""upsert_exponent":${f3(annExp(l._2, s._2))},""" +
+        s""""bytes_small":${s._3},"bytes_big":${l._3},""" +
+        s""""bytes_exponent":${f3(annExp(l._3.toDouble, s._3.toDouble))}}""")
     }
     spark.stop()
   }

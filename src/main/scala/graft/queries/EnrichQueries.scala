@@ -32,13 +32,17 @@ object EnrichQueries extends QueryModule {
   private def enricher(spark: SparkSession): graft.enrich.Enricher =
     graft.enrich.CachingEnricher.maybeCached(spark, baseEnricher)
 
-  private def pages(spark: SparkSession, dir: String) = {
+  private def pagesOf(documents: DataFrame) = {
+    val spark = documents.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    documents
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) => FixtureCorpus.pages(id, text) }
   }
+
+  private def pages(spark: SparkSession, dir: String) =
+    pagesOf(Tables.documents(spark, dir))
 
   /** Stage-01: chapter summaries folded over segments, applied per page. */
   def enrichedPages(spark: SparkSession, dir: String): DataFrame =
@@ -165,17 +169,18 @@ object EnrichQueries extends QueryModule {
   /** Shared stage chain of the capstone queries: enrich pages →
     * sections (+ chapter summaries) → W5 correction → chunks → W7
     * correction. */
-  private def pipelineChunks(spark: SparkSession, dir: String)
+  private def pipelineChunksOver(documents: DataFrame)
       : org.apache.spark.sql.Dataset[graft.model.ChunkRecord] = {
     import graft.ops.DocPipeline
-    val enrichedPgs = EnrichStages.enrichPages(pages(spark, dir), enricher(spark))
+    val spark = documents.sparkSession
+    val enrichedPgs = EnrichStages.enrichPages(pagesOf(documents), enricher(spark))
     // chapter summaries ride along via the page records
     val summaries = enrichedPgs
       .groupBy(col("document_id"), col("chapter_number"))
       .agg(first(col("chapter_summary")).as("chapter_summary_agg"))
     val sections = EnrichStages.summarizeSections(
       DocPipeline.correctSectionPages(
-        DocPipeline.pagesToSections(pages(spark, dir))), enricher(spark))
+        DocPipeline.pagesToSections(pagesOf(documents))), enricher(spark))
       .drop("chapter_summary")
       .join(summaries, Seq("document_id", "chapter_number"), "left")
       .withColumnRenamed("chapter_summary_agg", "chapter_summary")
@@ -184,10 +189,19 @@ object EnrichQueries extends QueryModule {
     DocPipeline.correctChunkPages(DocPipeline.sectionsToChunks(sections))
   }
 
-  def fullExport(spark: SparkSession, dir: String): DataFrame = {
+  private def pipelineChunks(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.model.ChunkRecord] =
+    pipelineChunksOver(Tables.documents(spark, dir))
+
+  /** [[fullExport]] over any (doc_id, text) documents frame — the scale
+    * ladder's seam, so the capstone rung times the REGISTERED pipeline
+    * itself (enrich → sections → correction → chunks → correction →
+    * embed → 28-column projection), not a stand-in. */
+  private[graft] def fullExportOver(documents: DataFrame): DataFrame = {
     import graft.ops.DbExport
-    val chunks = pipelineChunks(spark, dir)
-    val embedded = EnrichStages.embedChunks(chunks, enricher(spark))
+    val chunks = pipelineChunksOver(documents)
+    val embedded = EnrichStages.embedChunks(chunks,
+        enricher(documents.sparkSession))
       .select(col("document_id"), col("chapter_number"),
         col("section_number"), col("chunk_number"), col("embedding"))
     val full = chunks.join(embedded,
@@ -196,6 +210,9 @@ object EnrichQueries extends QueryModule {
       .orderBy(col("document_id"), col("chapter_number"),
         col("section_number"), col("chunk_number"))
   }
+
+  def fullExport(spark: SparkSession, dir: String): DataFrame =
+    fullExportOver(Tables.documents(spark, dir))
 
   private[queries] val RetrieveQuery = "customer order pipeline merge"
   private val RetrieveK = 5
