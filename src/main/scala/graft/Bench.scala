@@ -361,6 +361,7 @@ object Bench {
       .mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
+    LogProfiles.quietBench()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    LogProfiles.quietBench()
     val name = args.headOption.getOrElse(
       throw new IllegalArgumentException("usage: BenchOne <queryName> [reps] [sfDir]"))
     val reps = args.lift(1).map(_.toInt).getOrElse(5)

@@ -107,6 +107,7 @@ object ScaleLadder {
     df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
+    LogProfiles.quietBench()
     val nSmall = args.headOption.map(_.toInt).getOrElse(2000)
     val ratio = args.lift(1).map(_.toInt).getOrElse(10)
     // optional third arg: comma-separated rung filter — a heavy decade

@@ -129,12 +129,33 @@ object Checkpoints {
     staged.head.unpersist(blocking = false)
   }
 
-  /** Transient staged frames (see [[stageTransient]]) awaiting release:
-    * each entry's blocks become dead once the single consuming plan has
-    * materialized, and releasing early only costs a recompute (lineage
-    * is preserved), so the queue is swept aggressively. */
-  private val transientFrames =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  /** Transient staged frames (see [[stageTransient]]) awaiting release,
+    * queued PER OWNING THREAD (r13 ADVICE: a JVM-global queue let one
+    * pipeline's stageTransient sweep evict another thread's — or
+    * session's — still-pending frame; correctness-safe via lineage but
+    * a silent recompute of the corpus-scale scan the staging exists to
+    * avoid). Each thread's stageTransient sweeps only its OWN prior
+    * frames; queues whose owner thread has exited are reaped on any
+    * later stageTransient call, and [[releaseTransients]] stays the
+    * explicit global loop-boundary sweep. Releasing early only costs a
+    * recompute (lineage is preserved), so sweeping stays aggressive. */
+  private val transientQueues =
+    new java.util.concurrent.ConcurrentHashMap[Thread,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  private def drain(
+      q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]): Unit = {
+    var f = q.poll()
+    while (f != null) { f.unpersist(blocking = false); f = q.poll() }
+  }
+
+  private def reapDeadThreadQueues(): Unit = {
+    val it = transientQueues.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.isAlive) { drain(e.getValue); it.remove() }
+    }
+  }
 
   /** Stage a compute-once/consume-within-ONE-plan frame (TF-IDF's tf
     * partials, unigramNll's vocab) with DETERMINISTIC release instead of
@@ -148,33 +169,43 @@ object Checkpoints {
     * the consuming plan reads the cache), so releasing its blocks is
     * safe at ANY time — a later action simply recomputes from lineage
     * instead of failing on vanished checkpoint blocks. That safety is
-    * what lets each `stageTransient` call sweep ALL prior transient
-    * frames (their consumers have run by then in every registered-query
-    * flow; a plan still unmaterialized when its input is swept degrades
-    * to recompute, never to wrong results), and lets batch drivers call
-    * [[releaseTransients]] at a loop boundary for an exact zero.
+    * what lets each `stageTransient` call sweep the CALLING THREAD's
+    * prior transient frames (their consumers have run by then in every
+    * registered-query flow; a plan still unmaterialized when its input
+    * is swept degrades to recompute, never to wrong results — and since
+    * r13's ADVICE, a concurrent pipeline on another thread is never the
+    * victim), and lets batch drivers call [[releaseTransients]] at a
+    * loop boundary for an exact zero.
     * Iterative operators must keep using [[stage]]: their loop rounds
     * need lineage truncation, and their predecessors are provably dead
     * — the stronger [[release]] applies there. */
   def stageTransient(df: DataFrame): DataFrame = {
-    releaseTransients()
+    val own = transientQueues.computeIfAbsent(Thread.currentThread(),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+    drain(own)
+    reapDeadThreadQueues()
     val cached = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached.count() // materialize NOW: one computation feeds all consumers
-    transientFrames.add(cached)
+    own.add(cached)
     cached
   }
 
-  /** Release every outstanding transient frame now (idempotent; safe at
-    * any time — see [[stageTransient]]). Batch drivers running many
-    * TF-IDF/NLL calls per session call this at their loop boundary. */
+  /** Release every outstanding transient frame now, across ALL threads
+    * (idempotent; safe at any time — see [[stageTransient]]). Batch
+    * drivers running many TF-IDF/NLL calls per session call this at
+    * their loop boundary. */
   def releaseTransients(): Unit = {
-    var f = transientFrames.poll()
-    while (f != null) { f.unpersist(blocking = false); f = transientFrames.poll() }
+    val it = transientQueues.entrySet().iterator()
+    while (it.hasNext) { drain(it.next().getValue); it.remove() }
   }
 
-  /** Spec surface: outstanding transient frames. */
-  private[graft] def transientCount: Int = transientFrames.size()
+  /** Spec surface: outstanding transient frames across all threads. */
+  private[graft] def transientCount: Int = {
+    var n = 0
+    transientQueues.values().forEach(q => n += q.size())
+    n
+  }
 
   /** Conf keys the loop-compile clone re-syncs from the parent on
     * every keepPartitioning stage: the seam's own routing key (reliable

@@ -107,6 +107,34 @@ class BlockReleaseSpec extends SparkSpecBase {
     assert(Checkpoints.transientCount === 0)
   }
 
+  test("transient queues are per-thread: another thread's sweep cannot evict mine") {
+    // r13 ADVICE: the JVM-global queue let one pipeline's stageTransient
+    // evict another thread's still-pending frame — silent recompute of
+    // the very scan the staging avoids. Now each thread sweeps only its
+    // own; a dead thread's leftovers reap on the next call anywhere.
+    Checkpoints.releaseTransients()
+    val mine = Checkpoints.stageTransient(Seq((1L, "x")).toDF("id", "s"))
+    var otherFailed: Option[Throwable] = None
+    val t = new Thread(() => {
+      try {
+        Checkpoints.stageTransient(Seq((2L, "y")).toDF("id", "s"))
+        Checkpoints.stageTransient(Seq((3L, "z")).toDF("id", "s"))
+      } catch { case e: Throwable => otherFailed = Some(e) }
+    })
+    t.start(); t.join()
+    assert(otherFailed.isEmpty, s"worker thread failed: $otherFailed")
+    assert(mine.storageLevel.useMemory,
+      "my pending transient frame must survive another thread's sweeps")
+    // my own next call sweeps my frame AND reaps the dead thread's queue
+    Checkpoints.stageTransient(Seq((4L, "w")).toDF("id", "s"))
+    assert(!mine.storageLevel.useMemory,
+      "my own next stageTransient sweeps my prior frame")
+    assert(Checkpoints.transientCount === 1,
+      "only the newest frame outstanding after the dead-thread reap")
+    Checkpoints.releaseTransients()
+    assert(Checkpoints.transientCount === 0)
+  }
+
   test("a swept transient frame recomputes instead of failing") {
     // the safety property that allows aggressive sweeping: lineage is
     // preserved, so consuming a released transient frame degrades to a
