@@ -123,7 +123,12 @@ object Bench {
       // contrastive hard-negative mining over the IVF probe
       "q_events_attribution_full", "q_knn_hard_negatives",
       // r13 third wave: embedding-space eval-set decontamination
-      "q_knn_decontaminate")
+      "q_knn_decontaminate",
+      // r14: the cell-migrating replacement face of the index upsert,
+      // incremental SemDeDup against the persisted index, and the
+      // unigram-LM tokenizer pair (vocab EM + Viterbi token counts)
+      "q_knn_index_upsert_replace", "q_sim_semdedup_incremental",
+      "q_text_unigram_vocab", "q_text_unigram_tokens")
 
   /** The deep tier of the extras: the ~15 heaviest queries by the r12
     * adjudicated record, pinned so their trendline keeps 3-rep medians
@@ -142,11 +147,12 @@ object Bench {
 
   /** Extras added THIS round — debut with full 3-rep medians so their
     * first committed number is trustworthy, then graduate to the tail
-    * (or the deep tier, if they read heavy). */
+    * (or the deep tier, if they read heavy). The r13 debuts (attribution
+    * outer faces, deep breadcrumbs, index incremental, hard negatives,
+    * decontaminate) graduated to the tail with the r14 rotation. */
   private[graft] val freshExtras = Seq(
-    "q_events_attribution_unconverted", "q_sections_deep_breadcrumbs",
-    "q_knn_index_incremental", "q_events_attribution_full",
-    "q_knn_hard_negatives", "q_knn_decontaminate")
+    "q_knn_index_upsert_replace", "q_sim_semdedup_incremental",
+    "q_text_unigram_vocab", "q_text_unigram_tokens")
 
   /** Host-speed calibration (r12 VERDICT #1: the driver's core read
     * +35% round-over-round with ZERO adjudications — a uniform host-band

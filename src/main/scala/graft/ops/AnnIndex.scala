@@ -69,8 +69,23 @@ object AnnIndex {
       Seq((numCells, numSubspaces, codebookSize, dims))
         .toDF("num_cells", "num_subspaces", "codebook_size", "dims")
         .repartition(1).write.mode("overwrite").parquet(s"$vdir/meta")
-      Similarity.encodeIvfPq(emb, centroids, cbs, subDims)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/codes")
+      // persisted across the two writes below so the encode pass runs
+      // once (compressed codes are 32x smaller than the raw vectors —
+      // a spill-safe cache even at corpus scale)
+      val encoded = Similarity.encodeIvfPq(emb, centroids, cbs, subDims)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        encoded
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/codes")
+        // compact id→cell manifest (ONE file, no cell partitioning): the
+        // upsert's replaced-id locate reads THIS instead of opening every
+        // cell partition's footer — at occupancy-scaled cell counts the
+        // cell layout is thousands of small files and the locate was
+        // file-open-bound (the r14 ladder probe measured it at 11.6 of
+        // 18.5 s). Chain-resolved like codes ([[loadIds]]).
+        encoded.select(col("vec_id"), col("cell"))
+          .repartition(1).write.mode("overwrite").parquet(s"$vdir/ids")
+      } finally encoded.unpersist(blocking = false)
       // drift baseline: the build corpus's own nearest-centroid distance
       // distribution under THESE quantizers (one extra scan-speed pass at
       // build time; approx-quantile state is bounded). driftReport
@@ -139,22 +154,17 @@ object AnnIndex {
     val baseDir = s"$dir/v_$baseV"
     val (centroids, cbs, subDims) = loadQuantizers(spark, baseDir)
     IndexVersioning.publish(spark, dir) { vdir =>
-      // quantizers (and the drift baseline they define) are PINNED:
-      // copy the metadata-scale frames so every version dir resolves
-      // its own quantizers without chain-walking. stats/ is tolerated
-      // missing: builds published before the drift baseline existed
-      // have none — the layered build then has none either, and
-      // driftReport fails with the rebuild message instead of upsert
-      // throwing here (r13 ADVICE).
-      val fs = new org.apache.hadoop.fs.Path(baseDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val parts = Seq("meta", "centroids", "codebooks") ++
-        (if (fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/stats")))
-          Seq("stats") else Seq.empty)
-      parts.foreach { part =>
-        spark.read.parquet(s"$baseDir/$part").repartition(1)
-          .write.mode("overwrite").parquet(s"$vdir/$part")
-      }
+      // quantizers (and the drift baseline they define) are PINNED and
+      // resolve through the _BASE chain ([[resolvePart]]) — a layered
+      // version copies NO metadata frames at all. The r14 upsert-corpus
+      // ladder rung caught the previous per-version copy as the one
+      // linear-in-corpus term left in the upsert: at occupancy-scaled
+      // cell counts the centroid matrix is O(corpus/occupancy) bytes,
+      // and copying it every daily refresh re-priced the O(touched +
+      // delta) claim. GC's chain protection keeps every ancestor a
+      // retained version reaches, so chain-resolved quantizers can
+      // never dangle. A pre-r13 base without stats/ simply resolves to
+      // None there — driftReport fails with the rebuild message.
       val delta = Similarity.encodeIvfPq(newEmb, centroids, cbs, subDims)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -166,9 +176,9 @@ object AnnIndex {
         // new embedding may assign elsewhere, and the old cell must be
         // rewritten too or its stale row survives via _BASE (r13
         // ADVICE high). Broadcast the bounded delta-id side; the base
-        // scan is column-pruned to (vec_id, cell).
-        val replacedCells = loadCodes(spark, baseDir)
-          .select(col("vec_id"), col("cell"))
+        // side is the compact ids manifest ([[loadIds]] — a handful of
+        // files, not the cell layout's thousands).
+        val replacedCells = loadIds(spark, baseDir)
           .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"))
           .select(col("cell")).distinct()
           .collect().map(_.getInt(0)).toSeq
@@ -179,9 +189,17 @@ object AnnIndex {
         val survivors = loadCodes(spark, baseDir)
           .filter(col("cell").isin(touched: _*))
           .join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        survivors.unionByName(delta)
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$vdir/codes")
+        val newCodes = survivors.unionByName(delta)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          newCodes
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$vdir/codes")
+          // this layer's slice of the ids manifest (its touched cells
+          // only — readers chain the rest, exactly like codes)
+          newCodes.select(col("vec_id"), col("cell"))
+            .repartition(1).write.mode("overwrite").parquet(s"$vdir/ids")
+        } finally newCodes.unpersist(blocking = false)
         IndexVersioning.writeBaseMarker(spark, vdir, baseV)
       } finally delta.unpersist(blocking = false)
     }
@@ -270,13 +288,12 @@ object AnnIndex {
     val spark = newEmb.sparkSession
     val vdir = resolveDir(spark, dir)
     val (centroids, _, _) = loadQuantizers(spark, vdir)
-    val statsPath = new org.apache.hadoop.fs.Path(s"$vdir/stats")
-    require(statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(statsPath),
-      s"driftReport($dir): this build carries no drift baseline (published " +
-        "before stats/ existed, or layered on such a build) — run one full " +
-        "save() to retrain and record the baseline")
-    val threshold = spark.read.parquet(s"$vdir/stats")
+    val statsDir = resolvePart(spark, vdir, "stats").getOrElse(
+      throw new IllegalArgumentException(
+        s"driftReport($dir): this build carries no drift baseline (its " +
+          "chain was published before stats/ existed) — run one full " +
+          "save() to retrain and record the baseline"))
+    val threshold = spark.read.parquet(statsDir)
       .head().getAs[Double]("p95_dist")
     newEmb.select(nearestDistU(centroids)(col("embedding")).as("d"))
       .agg(count(lit(1)).as("n_new"),
@@ -289,22 +306,46 @@ object AnnIndex {
           .as("retrain_recommended"))
   }
 
+  /** Resolve an index metadata part (meta/centroids/codebooks/stats)
+    * through the `_BASE` chain: quantizers are PINNED across a layered
+    * chain, so the nearest ancestor that materialized the part owns the
+    * authoritative copy — layered versions write none (r14: the
+    * upsert-corpus ladder rung measured the former per-version copy at
+    * O(numCells) bytes per refresh, the one linear-in-corpus term left
+    * in the upsert). Chain GC protection guarantees the ancestor is
+    * retained for as long as this version is. */
+  private[graft] def resolvePart(spark: SparkSession, vdir: String,
+      part: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$vdir/$part")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s"$vdir/$part")
+    else IndexVersioning.baseDirOf(spark, vdir)
+      .flatMap(b => resolvePart(spark, b, part))
+  }
+
+  private def partOrFail(spark: SparkSession, dir: String,
+      part: String): String =
+    resolvePart(spark, dir, part).getOrElse(throw new IllegalStateException(
+      s"index at $dir: no '$part' anywhere in its _BASE chain — " +
+        "not a complete committed build"))
+
   /** Load the index's quantizers: (centroids by cell, codebooks by
     * (subspace, code), subspace dimensionality). Driver-side,
-    * metadata-scale. `dir` must already be version-resolved
+    * metadata-scale; each part resolves through the `_BASE` chain
+    * ([[resolvePart]]). `dir` must already be version-resolved
     * ([[resolveDir]]) — resolving HERE would let a rebuild that commits
     * between the quantizer and codes loads hand the caller a mixed
     * index; the caller resolves ONCE and passes the pinned build dir
     * to both loads. */
   private[graft] def loadQuantizers(spark: SparkSession, dir: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]], Int) = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = spark.read.parquet(partOrFail(spark, dir, "meta")).head()
     val numSubspaces = meta.getAs[Int]("num_subspaces")
     val subDims = meta.getAs[Int]("dims") / numSubspaces
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centroids = spark.read.parquet(partOrFail(spark, dir, "centroids"))
       .orderBy("cell").collect()
       .map(_.getAs[Seq[Double]]("weights").toArray)
-    val cbs = spark.read.parquet(s"$dir/codebooks")
+    val cbs = spark.read.parquet(partOrFail(spark, dir, "codebooks"))
       .orderBy("subspace", "code").collect()
       .groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getAs[Int]("code"))
@@ -323,6 +364,31 @@ object AnnIndex {
     else fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .flatMap(_.getPath.getName.stripPrefix("cell=").toIntOption)
+  }
+
+  /** The index's (vec_id, cell) assignment frame from the compact ids
+    * manifests, chain-resolved exactly like [[loadCodes]] (a layer holds
+    * its touched cells' slice; every other cell comes from the `_BASE`
+    * ancestor). Pre-r14 builds have no ids/ — that layer falls back to
+    * the column-pruned codes projection, so mixed chains stay readable.
+    * The manifest is a handful of files per layer (vs the cell layout's
+    * one-directory-per-cell), which is what makes the upsert's
+    * replaced-id locate metadata-cheap. */
+  private[graft] def loadIds(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/ids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val own =
+      if (fs.exists(p)) spark.read.parquet(s"$dir/ids")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+      else spark.read.parquet(s"$dir/codes")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    IndexVersioning.baseDirOf(spark, dir) match {
+      case None => own
+      case Some(bdir) =>
+        val mine = ownCells(spark, dir)
+        own.unionByName(
+          loadIds(spark, bdir).filter(!col("cell").isin(mine: _*)))
+    }
   }
 
   /** The index's encoded-corpus frame, with the directory-inferred

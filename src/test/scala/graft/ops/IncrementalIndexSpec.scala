@@ -110,6 +110,38 @@ class IncrementalIndexSpec extends SparkSpecBase {
     assert(probed === rebuilt)
   }
 
+  test("the ids manifest mirrors the codes layout across a replacing chain") {
+    val dir = freshDir()
+    save(emb(1L to 30L), dir)
+    AnnIndex.upsert(emb(31L to 35L), dir)                       // append layer
+    AnnIndex.upsert(Seq((7L, vec(7070L).toSeq))
+      .toDF("vec_id", "embedding"), dir)                        // replace layer
+    val vdir = AnnIndex.resolveDir(spark, dir)
+    val fromIds = AnnIndex.loadIds(spark, vdir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val fromCodes = AnnIndex.loadCodes(spark, vdir)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(fromIds === fromCodes,
+      "the compact ids manifest must chain-resolve to the exact codes layout")
+    assert(fromIds.size === 35)
+  }
+
+  test("a legacy chain without ids manifests still locates replaced cells (codes fallback)") {
+    val dir = freshDir()
+    save(emb(1L to 30L), dir)
+    // simulate a pre-r14 build: drop its ids manifest
+    val vdir0 = AnnIndex.resolveDir(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$vdir0/ids")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val replacement = Seq((7L, vec(7070L).toSeq)).toDF("vec_id", "embedding")
+    AnnIndex.upsert(replacement, dir)
+    val vdir = AnnIndex.resolveDir(spark, dir)
+    assert(AnnIndex.loadCodes(spark, vdir)
+      .filter(col("vec_id") === 7L).count() === 1L)
+    assert(AnnIndex.loadCodes(spark, vdir).count() === 30L)
+  }
+
   test("upsert tolerates a legacy build without stats/; driftReport asks for a rebuild") {
     val dir = freshDir()
     save(emb(1L to 20L), dir)
