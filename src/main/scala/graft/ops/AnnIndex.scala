@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Opt-in stage timing (dev: -Dgraft.ann.profile=true) — attributes
+    * save/upsert wall-clock to quantizer training, encode, and writes. */
+  private def prof[A](name: String)(f: => A): A =
+    if (!sys.props.get("graft.ann.profile").contains("true")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ann.prof] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   /** The directory holding the CURRENT committed index build — the
     * shared [[IndexVersioning]] resolution (highest committed `v_<n>`,
     * else the pre-r10 flat layout). */
@@ -56,44 +67,73 @@ object AnnIndex {
     val subDims = dims / numSubspaces
     require(subDims * numSubspaces == dims, "dims must split evenly")
     IndexVersioning.publish(spark, dir) { vdir =>
-      val centroids = Similarity.ivfCentroids(emb, numCells)
-      val cbs = Similarity.pqCodebooks(emb, numSubspaces, codebookSize,
-        subDims)
-      centroids.zipWithIndex.map { case (w, c) => (c, w.toSeq) }.toSeq
-        .toDF("cell", "weights")
-        .repartition(1).write.mode("overwrite").parquet(s"$vdir/centroids")
-      cbs.zipWithIndex.flatMap { case (cb, m) =>
-        cb.zipWithIndex.map { case (w, code) => (m, code, w.toSeq) }
-      }.toSeq.toDF("subspace", "code", "weights")
-        .repartition(1).write.mode("overwrite").parquet(s"$vdir/codebooks")
-      Seq((numCells, numSubspaces, codebookSize, dims))
-        .toDF("num_cells", "num_subspaces", "codebook_size", "dims")
-        .repartition(1).write.mode("overwrite").parquet(s"$vdir/meta")
-      // persisted across the two writes below so the encode pass runs
+      // ONE seed collect feeds both trainers (they used to collect the
+      // same first-k rows twice), and the two refinement aggregates are
+      // INDEPENDENT jobs — overlapped from driver threads (guide §2.6)
+      // so the build pays max(ivf, pq) wall instead of their sum.
+      val seeds = prof("save.seeds") {
+        Similarity.seedVectors(emb, math.max(numCells, codebookSize)) }
+      val (centroids, cbs) = prof("save.quantizers") {
+        Par.run2(
+          () => Similarity.lloydCentroidsFrom(emb, seeds.take(numCells),
+            numCells, iters = 1),
+          () => Similarity.pqCodebooksFrom(emb, seeds.take(codebookSize),
+            numSubspaces, codebookSize, subDims))
+      }
+      // persisted across every consumer below so the encode pass runs
       // once (compressed codes are 32x smaller than the raw vectors —
-      // a spill-safe cache even at corpus scale)
-      val encoded = Similarity.encodeIvfPq(emb, centroids, cbs, subDims)
+      // a spill-safe cache even at corpus scale). The encode carries the
+      // nearest-centroid distance from the SAME argmin loop, so the
+      // drift baseline aggregates the cache instead of paying a second
+      // full corpus scan (the pre-r14 shape; `d` is dropped before the
+      // codes write, so the on-disk layout is unchanged).
+      val encoded = Similarity.encodeIvfPqDist(emb, centroids, cbs, subDims)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        encoded
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$vdir/codes")
-        // compact id→cell manifest (ONE file, no cell partitioning): the
-        // upsert's replaced-id locate reads THIS instead of opening every
-        // cell partition's footer — at occupancy-scaled cell counts the
-        // cell layout is thousands of small files and the locate was
-        // file-open-bound (the r14 ladder probe measured it at 11.6 of
-        // 18.5 s). Chain-resolved like codes ([[loadIds]]).
-        encoded.select(col("vec_id"), col("cell"))
-          .repartition(1).write.mode("overwrite").parquet(s"$vdir/ids")
+        // the three metadata writes (driver-side rows) and the corpus
+        // encode+write are mutually independent — overlap them; the
+        // codes write is the job that materializes the cache
+        prof("save.codes+meta-writes") {
+          Par.run[Unit](
+            () => encoded.drop("d")
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$vdir/codes"),
+            () => centroids.zipWithIndex.map { case (w, c) => (c, w.toSeq) }
+              .toSeq.toDF("cell", "weights")
+              .repartition(1).write.mode("overwrite")
+              .parquet(s"$vdir/centroids"),
+            () => cbs.zipWithIndex.flatMap { case (cb, m) =>
+              cb.zipWithIndex.map { case (w, code) => (m, code, w.toSeq) }
+            }.toSeq.toDF("subspace", "code", "weights")
+              .repartition(1).write.mode("overwrite")
+              .parquet(s"$vdir/codebooks"),
+            () => Seq((numCells, numSubspaces, codebookSize, dims))
+              .toDF("num_cells", "num_subspaces", "codebook_size", "dims")
+              .repartition(1).write.mode("overwrite").parquet(s"$vdir/meta"))
+        }
+        // both read the just-materialized cache and are independent:
+        //  - compact id→cell manifest (ONE file, no cell partitioning):
+        //    the upsert's replaced-id locate reads THIS instead of
+        //    opening every cell partition's footer — at occupancy-scaled
+        //    cell counts the cell layout is thousands of small files and
+        //    the locate was file-open-bound (the r14 ladder probe
+        //    measured it at 11.6 of 18.5 s). Chain-resolved like codes
+        //    ([[loadIds]]).
+        //  - drift baseline: the build corpus's own nearest-centroid
+        //    distance distribution under THESE quantizers (`d` from the
+        //    encode pass; approx-quantile state is bounded). driftReport
+        //    compares each future delta batch against this p95.
+        prof("save.ids+stats-writes") {
+          Par.run[Unit](
+            () => encoded.select(col("vec_id"), col("cell"))
+              .repartition(1).write.mode("overwrite").parquet(s"$vdir/ids"),
+            () => encoded
+              .agg(count(lit(1)).as("n"),
+                percentile_approx(col("d"), lit(0.95), lit(10000))
+                  .as("p95_dist"))
+              .repartition(1).write.mode("overwrite").parquet(s"$vdir/stats"))
+        }
       } finally encoded.unpersist(blocking = false)
-      // drift baseline: the build corpus's own nearest-centroid distance
-      // distribution under THESE quantizers (one extra scan-speed pass at
-      // build time; approx-quantile state is bounded). driftReport
-      // compares each future delta batch against this p95.
-      emb.select(nearestDistU(centroids)(col("embedding")).as("d"))
-        .agg(count(lit(1)).as("n"),
-          percentile_approx(col("d"), lit(0.95), lit(10000)).as("p95_dist"))
-        .repartition(1).write.mode("overwrite").parquet(s"$vdir/stats")
     }
   }
 
@@ -168,21 +208,26 @@ object AnnIndex {
       val delta = Similarity.encodeIvfPq(newEmb, centroids, cbs, subDims)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val deltaCells = delta.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).toSeq // <= numCells rows: metadata
-        require(deltaCells.nonEmpty,
+        // ONE collect finds every touched cell: the delta's own cells
+        // UNION the cells holding a REPLACED id anywhere in the base
+        // chain — the new embedding may assign elsewhere, and the old
+        // cell must be rewritten too or its stale row survives via
+        // _BASE (r13 ADVICE high). Broadcast the bounded delta-id side;
+        // the base side is the compact ids manifest ([[loadIds]] — a
+        // handful of files, not the cell layout's thousands). The
+        // `is_delta` tag keeps the empty-delta guard exact; both legs
+        // are <= numCells rows: metadata. (Two sequential collects
+        // before r14 — the union is one driver barrier, not two.)
+        val touchedTagged = prof("upsert.touched-cells") {
+          delta.select(col("cell"), lit(true).as("is_delta")).distinct()
+            .unionByName(
+              loadIds(spark, baseDir)
+                .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"))
+                .select(col("cell"), lit(false).as("is_delta")).distinct())
+            .collect().map(r => (r.getInt(0), r.getBoolean(1))) }
+        require(touchedTagged.exists(_._2),
           s"upsert($dir): empty delta — nothing to layer")
-        // cells holding a REPLACED id anywhere in the base chain: the
-        // new embedding may assign elsewhere, and the old cell must be
-        // rewritten too or its stale row survives via _BASE (r13
-        // ADVICE high). Broadcast the bounded delta-id side; the base
-        // side is the compact ids manifest ([[loadIds]] — a handful of
-        // files, not the cell layout's thousands).
-        val replacedCells = loadIds(spark, baseDir)
-          .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"))
-          .select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val touched = (deltaCells ++ replacedCells).distinct
+        val touched = touchedTagged.map(_._1).distinct.toSeq
         // touched cells rewritten fully: base survivors (anti-join on
         // the replaced ids — the delta is the small side at deployment)
         // + the delta rows
@@ -192,13 +237,17 @@ object AnnIndex {
         val newCodes = survivors.unionByName(delta)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          newCodes
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(s"$vdir/codes")
+          prof("upsert.codes-write") {
+            newCodes
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$vdir/codes")
+          }
           // this layer's slice of the ids manifest (its touched cells
           // only — readers chain the rest, exactly like codes)
-          newCodes.select(col("vec_id"), col("cell"))
-            .repartition(1).write.mode("overwrite").parquet(s"$vdir/ids")
+          prof("upsert.ids-write") {
+            newCodes.select(col("vec_id"), col("cell"))
+              .repartition(1).write.mode("overwrite").parquet(s"$vdir/ids")
+          }
         } finally newCodes.unpersist(blocking = false)
         IndexVersioning.writeBaseMarker(spark, vdir, baseV)
       } finally delta.unpersist(blocking = false)
@@ -338,15 +387,27 @@ object AnnIndex {
     * index; the caller resolves ONCE and passes the pinned build dir
     * to both loads. */
   private[graft] def loadQuantizers(spark: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Int) =
+    prof("loadQuantizers") { loadQuantizersImpl(spark, dir) }
+
+  private def loadQuantizersImpl(spark: SparkSession, dir: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]], Int) = {
-    val meta = spark.read.parquet(partOrFail(spark, dir, "meta")).head()
+    // three independent metadata-scale reads (single-file parquet each)
+    // — overlapped (guide §2.6): each read.parquet().collect() is its
+    // own footer-read + collect job, and probing a freshly-resolved
+    // build paid them back-to-back on every topK/upsert call
+    val Seq(metaAny, centAny, cbAny) = Par.run[AnyRef](
+      () => spark.read.parquet(partOrFail(spark, dir, "meta")).head(),
+      () => spark.read.parquet(partOrFail(spark, dir, "centroids"))
+        .orderBy("cell").collect(),
+      () => spark.read.parquet(partOrFail(spark, dir, "codebooks"))
+        .orderBy("subspace", "code").collect())
+    val meta = metaAny.asInstanceOf[org.apache.spark.sql.Row]
     val numSubspaces = meta.getAs[Int]("num_subspaces")
     val subDims = meta.getAs[Int]("dims") / numSubspaces
-    val centroids = spark.read.parquet(partOrFail(spark, dir, "centroids"))
-      .orderBy("cell").collect()
+    val centroids = centAny.asInstanceOf[Array[org.apache.spark.sql.Row]]
       .map(_.getAs[Seq[Double]]("weights").toArray)
-    val cbs = spark.read.parquet(partOrFail(spark, dir, "codebooks"))
-      .orderBy("subspace", "code").collect()
+    val cbs = cbAny.asInstanceOf[Array[org.apache.spark.sql.Row]]
       .groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getAs[Int]("code"))
         .map(_.getAs[Seq[Double]]("weights").toArray))

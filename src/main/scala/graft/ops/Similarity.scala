@@ -365,13 +365,23 @@ object Similarity {
     * COALESCE in the mirror SQL). Each iteration is one distributed
     * assign + one (cell, dim) mean aggregation; only the k×dims centroid
     * matrix ever reaches the driver. */
-  private[graft] def lloydCentroids(emb: DataFrame, k: Int,
-      iters: Int): Array[Array[Double]] = {
-    def toDoubles(row: org.apache.spark.sql.Row): Array[Double] =
-      row.getSeq[Float](1).map(_.toDouble).toArray
-    val seeds = emb.select(col("vec_id"), col("embedding"))
+  /** First-`k`-by-id seed vectors as doubles — ONE TakeOrdered collect,
+    * shared by the IVF and PQ trainers when a caller (AnnIndex.save)
+    * needs both: the two standalone trainers each collected the same
+    * first-16 rows, paying the seed job twice per index build. */
+  private[graft] def seedVectors(emb: DataFrame, k: Int): Array[Array[Double]] =
+    emb.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(k)
-      .collect().map(toDoubles)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+  private[graft] def lloydCentroids(emb: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] =
+    lloydCentroidsFrom(emb, seedVectors(emb, k), k, iters)
+
+  /** Lloyd refinement from PRE-COLLECTED seeds (see [[seedVectors]]). */
+  private[graft] def lloydCentroidsFrom(emb: DataFrame,
+      seeds: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       val assign = udf((v: Seq[Float]) => nearestCell(cents)(v))
       // UDF evaluated BELOW the generator (localCheckpoint would be
@@ -912,13 +922,17 @@ object Similarity {
     * by id, then one exact-decimal Lloyd step per (subspace, code);
     * empty cells keep their seed. Metadata-scale (M×C×subDims). */
   private[ops] def pqCodebooks(emb: DataFrame, numSubspaces: Int,
+      codebookSize: Int, subDims: Int): Array[Array[Array[Double]]] =
+    pqCodebooksFrom(emb, seedVectors(emb, codebookSize), numSubspaces,
+      codebookSize, subDims)
+
+  /** PQ codebook refinement from PRE-COLLECTED seeds ([[seedVectors]]). */
+  private[ops] def pqCodebooksFrom(emb: DataFrame,
+      seedVecs: Array[Array[Double]], numSubspaces: Int,
       codebookSize: Int, subDims: Int): Array[Array[Array[Double]]] = {
     val sub = pqSub(subDims) _
-    val seedVecs = emb.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(codebookSize)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
     val seedCbs = Array.tabulate(numSubspaces, codebookSize)((m, c) =>
-      sub(seedVecs(c), m))
+      sub(seedVecs(c).toIndexedSeq, m))
     val encode0 = udf((v: Seq[Float]) => {
       val dv = v.map(_.toDouble).toIndexedSeq
       Array.tabulate(numSubspaces)(m => pqArgmin(seedCbs(m), sub(dv, m)))
@@ -1038,6 +1052,36 @@ object Similarity {
     emb.select(col("vec_id"),
       assign(col("embedding")).as("cell"),
       encode(col("embedding")).as("codes"))
+  }
+
+  /** [[encodeIvfPq]] plus the nearest-centroid squared distance `d` in
+    * the SAME scan (the argmin already computes it) — AnnIndex.save's
+    * drift baseline aggregates `d` off this frame's cache instead of
+    * paying a second full corpus pass. cell/codes are bit-identical to
+    * [[encodeIvfPq]] (same argmin loops). */
+  private[ops] def encodeIvfPqDist(emb: DataFrame,
+      centroids: Array[Array[Double]], cbs: Array[Array[Array[Double]]],
+      subDims: Int): DataFrame = {
+    val sub = pqSub(subDims) _
+    val assignD = udf((v: Seq[Float]) => {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < centroids.length) {
+        val cv = centroids(c)
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, bestD)
+    })
+    val encode = udf((v: Seq[Float]) => {
+      val dv = v.map(_.toDouble).toIndexedSeq
+      Array.tabulate(cbs.length)(m => pqArgmin(cbs(m), sub(dv, m)))
+    })
+    emb.select(col("vec_id"), assignD(col("embedding")).as("a"),
+        encode(col("embedding")).as("codes"))
+      .select(col("vec_id"), col("a._1").as("cell"), col("codes"),
+        col("a._2").as("d"))
   }
 
   /** Query side of IVF-PQ over an already-encoded (vec_id, cell, codes)
