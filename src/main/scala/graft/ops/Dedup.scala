@@ -220,10 +220,17 @@ object Dedup {
       textCol: String, threshold: Double): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefixJaccardPairs threshold must be in (0, 1], got $threshold")
-    val sh = shingleFrame(docs, idCol, textCol)
+    // staged LAZY (the cosinePairsCore convention): sh feeds the df
+    // aggregate AND the set assembly, and the assembled sets feed the
+    // prefix explode plus BOTH verify joins — without the checkpoints
+    // the corpus-scale shingle explode executes 6x per run (sets 3
+    // consumers x sh 2 consumers). Lazy: the first real action
+    // materializes the blocks, every later scan re-reads them.
+    val sh = Checkpoints.stage(
+      shingleFrame(docs, idCol, textCol), eager = false)
     // global document frequency — the canonical rarest-first order key
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val sets = setsFrom(sh, dfreq)
+    val sets = Checkpoints.stage(setsFrom(sh, dfreq), eager = false)
     val pref = prefixOf(sets, threshold)
     // candidate pairs: prefixes share a shingle + the length filter
     // (J ≥ t forces min(|a|,|b|) ≥ ⌈t·max(|a|,|b|)⌉). The join key is
@@ -282,9 +289,12 @@ object Dedup {
       textCol: String, threshold: Double): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefixIndexArtifacts threshold must be in (0, 1], got $threshold")
-    val sh = shingleFrame(corpus, idCol, textCol)
+    val sh = Checkpoints.stage(
+      shingleFrame(corpus, idCol, textCol), eager = false)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val sets = setsFrom(sh, dfreq)
+    // lazy-staged: sets feeds both returned artifacts (prefix index +
+    // shingle sets), which the caller writes in two separate actions
+    val sets = Checkpoints.stage(setsFrom(sh, dfreq), eager = false)
     val pref = prefixOf(sets, threshold)
       .select(col("shingle"), col("doc_id").as("corpus_id"),
         col("n_sh").as("n_b"))
@@ -314,11 +324,15 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefixJaccardAgainst threshold must be in (0, 1], got $threshold")
-    val corpSh = shingleFrame(corpus, idCol, textCol)
+    // staged LAZY like the batch path: corpSh feeds dfreq + corpus set
+    // assembly; each side's sets feed its prefix explode AND its verify
+    // join — unstaged, the corpus shingle explode ran 4x per call
+    val corpSh = Checkpoints.stage(
+      shingleFrame(corpus, idCol, textCol), eager = false)
     val incSh = shingleFrame(incoming, idCol, textCol)
     val dfreq = corpSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val corpSets = setsFrom(corpSh, dfreq)
-    val incSets = setsFrom(incSh, dfreq)
+    val corpSets = Checkpoints.stage(setsFrom(corpSh, dfreq), eager = false)
+    val incSets = Checkpoints.stage(setsFrom(incSh, dfreq), eager = false)
     val cand = prefixOf(incSets, threshold).as("a")
       .join(prefixOf(corpSets, threshold).hint("shuffle_hash").as("b"),
         col("a.shingle") === col("b.shingle") &&

@@ -173,14 +173,21 @@ object EnrichQueries extends QueryModule {
       : org.apache.spark.sql.Dataset[graft.model.ChunkRecord] = {
     import graft.ops.DocPipeline
     val spark = documents.sparkSession
-    val enrichedPgs = EnrichStages.enrichPages(pagesOf(documents), enricher(spark))
+    // staged LAZY (the cosinePairsCore convention): the page split feeds
+    // BOTH the chapter-summary fold and the section derivation —
+    // unstaged, the corpus-scale text flatMap executed twice per run
+    val pgs = graft.ops.Checkpoints.stage(pagesOf(documents).toDF(),
+        eager = false)
+      .as[graft.model.PageRecord](
+        org.apache.spark.sql.Encoders.product[graft.model.PageRecord])
+    val enrichedPgs = EnrichStages.enrichPages(pgs, enricher(spark))
     // chapter summaries ride along via the page records
     val summaries = enrichedPgs
       .groupBy(col("document_id"), col("chapter_number"))
       .agg(first(col("chapter_summary")).as("chapter_summary_agg"))
     val sections = EnrichStages.summarizeSections(
       DocPipeline.correctSectionPages(
-        DocPipeline.pagesToSections(pagesOf(documents))), enricher(spark))
+        DocPipeline.pagesToSections(pgs)), enricher(spark))
       .drop("chapter_summary")
       .join(summaries, Seq("document_id", "chapter_number"), "left")
       .withColumnRenamed("chapter_summary_agg", "chapter_summary")
@@ -199,7 +206,12 @@ object EnrichQueries extends QueryModule {
     * embed → 28-column projection), not a stand-in. */
   private[graft] def fullExportOver(documents: DataFrame): DataFrame = {
     import graft.ops.DbExport
-    val chunks = pipelineChunksOver(documents)
+    // staged LAZY: the full enrich→sections→chunks chain feeds both the
+    // embedding pass and the final join — unstaged it executed twice
+    val chunks = graft.ops.Checkpoints.stage(
+        pipelineChunksOver(documents).toDF(), eager = false)
+      .as[graft.model.ChunkRecord](
+        org.apache.spark.sql.Encoders.product[graft.model.ChunkRecord])
     val embedded = EnrichStages.embedChunks(chunks,
         enricher(documents.sparkSession))
       .select(col("document_id"), col("chapter_number"),
@@ -228,7 +240,12 @@ object EnrichQueries extends QueryModule {
     * exact scan is the oracle surface and the small-k default. */
   def retrieve(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val chunks = pipelineChunks(spark, dir)
+    // staged LAZY: the chunk chain feeds the embedding scorer AND the
+    // citation-column join-back (the fullExportOver convention)
+    val chunks = graft.ops.Checkpoints.stage(
+        pipelineChunks(spark, dir).toDF(), eager = false)
+      .as[graft.model.ChunkRecord](
+        org.apache.spark.sql.Encoders.product[graft.model.ChunkRecord])
     val embedded = EnrichStages.embedChunks(chunks, enricher(spark)).toDF()
       .filter(col("embedding").isNotNull)
       .select(col("chapter_number"), col("section_number"),

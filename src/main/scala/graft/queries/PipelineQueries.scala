@@ -97,7 +97,14 @@ object PipelineQueries extends QueryModule {
     * chunks reassemble their sections exactly, numbering is dense from 1,
     * no chunk blows past hardMax+margin. All violation counts MUST be 0. */
   def chunkAudit(spark: SparkSession, dir: String): DataFrame = {
-    val secs = DocPipeline.pagesToSections(pages(spark, dir))
+    // staged LAZY: the section derivation feeds the chunk explode AND
+    // the reassembly join — unstaged, the page split + section fold
+    // (the expensive text algebra) executed twice per run
+    val secs = graft.ops.Checkpoints.stage(
+        DocPipeline.pagesToSections(pages(spark, dir)).toDF(),
+        eager = false)
+      .as[graft.model.SectionRecord](
+        org.apache.spark.sql.Encoders.product[graft.model.SectionRecord])
     val chs = DocPipeline.sectionsToChunks(secs)
     val reassembled = chs
       .groupBy(col("document_id"), col("chapter_number"), col("section_number"))

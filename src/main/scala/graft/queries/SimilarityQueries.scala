@@ -160,7 +160,13 @@ object SimilarityQueries extends QueryModule {
     * recompute. */
   def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val pairs = adaptivePairs(emb)
+    // staged LAZY: the corpus-pairs CC and the incremental-update CC
+    // each stage THEIR filter of this frame (Graph.stagePairs), so
+    // unstaged the adaptive candidate join + exact verification — the
+    // expensive half of pair generation downstream of cosinePairsCore's
+    // internal checkpoints — executed twice per run
+    val pairs = graft.ops.Checkpoints.stage(adaptivePairs(emb),
+      eager = false)
     val isNew = (c: org.apache.spark.sql.Column) => c % 10 === 7
     val corpusPairs = pairs.filter(
       !isNew(col("vec_a")) && !isNew(col("vec_b")))
