@@ -63,13 +63,24 @@ object Layout {
     * long multiply and wrap the quantized value negative (snowflake-
     * style id magnitudes are exactly where that silent corruption would
     * land); decimal keeps the full product exact at any long span. */
-  def quantize16(v: Column, minV: Column, maxV: Column): Column =
-    idiv(
-      (v.cast("long") - minV.cast("long")).cast("decimal(38,0)") *
-        lit(65536L).cast("decimal(38,0)"),
-      (maxV.cast("long") - minV.cast("long") + lit(1L))
-        .cast("decimal(38,0)"))
-      .cast("long")
+  def quantize16(v: Column, minV: Column, maxV: Column): Column = {
+    val dv = v.cast("long") - minV.cast("long")
+    val span = maxV.cast("long") - minV.cast("long") + lit(1L)
+    // Long fast path whenever the span provably cannot overflow the
+    // product: dv ≤ span − 1, so dv·65536 < 2^63 iff span ≤ 2^47.
+    // Decimal ops allocate per row and dominated the z-order scan
+    // (measured ~2× the whole query at sf0.1); the long path computes
+    // the IDENTICAL floored quotient for every span below the bound,
+    // and the decimal path still covers snowflake-scale id spans
+    // exactly. The branch condition is a constant per run (broadcast
+    // stats), so codegen's lazy CASE WHEN never evaluates the decimal
+    // expressions on the fast path.
+    when(span <= lit(1L << 47),
+      idiv(dv * lit(65536L), span))
+      .otherwise(idiv(
+        dv.cast("decimal(38,0)") * lit(65536L).cast("decimal(38,0)"),
+        span.cast("decimal(38,0)")).cast("long"))
+  }
 
   /** The per-row z-value frame: `df` plus `qx`, `qy`, `zvalue` columns
     * quantized against the table-global min/max of `xCol`/`yCol` (1-row
