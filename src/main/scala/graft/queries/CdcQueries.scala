@@ -76,10 +76,16 @@ object CdcQueries extends QueryModule {
   /** J6+G11+J7: full master upsert. Every 20th delete id is nulled to force
     * the composite-key delete pass (stage4_update_csv.py:426-483). */
   def upsertMaster(spark: SparkSession, dir: String): DataFrame = {
-    // NOTE: the CDC result feeds both the delete and fresh lists; caching
-    // it was measured SLOWER at this scale (cache write cost > recompute
-    // of the full-outer join), so the subplan is deliberately duplicated.
-    val cls = classified(spark, dir)
+    // Staged LAZY (r14): the CDC classify feeds the delete list AND the
+    // fresh list, and the delete side is consumed TWICE more (the
+    // union's remaining branch and the maxId aggregate each re-run both
+    // anti-joins) — unstaged, the full-outer classify executed 4x and
+    // orders was scanned 12x per run (plans/r14/q_upsert_master_before).
+    // An earlier round measured EAGER caching slower at this scale; the
+    // lazy localCheckpoint has no standalone barrier and the first
+    // consumer's job materializes it once for all four.
+    val cls = graft.ops.Checkpoints.stage(classified(spark, dir),
+      eager = false)
     val master = masterCatalog(spark, dir)
     val deletes = Cdc.toDelete(cls)
       .withColumn("id", when(col("id") % 20 === 3, lit(null)).otherwise(col("id")))

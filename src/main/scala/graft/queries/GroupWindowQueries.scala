@@ -19,7 +19,17 @@ object GroupWindowQueries extends QueryModule {
   /** G1+G5+G7: group by key, order by line number inside the group, concat
     * content, count/min/max — one shuffle, all inside HashAggregate. */
   def orderedConcat(spark: SparkSession, dir: String): DataFrame =
+    // Ordered-pipeline shape (guide §2.4, the pagesToSectionsOrdered
+    // convention): range-partition the CHEAP input rows on the group key
+    // — RangePartitioning satisfies the aggregate's ClusteredDistribution,
+    // so the groupBy adds NO second exchange — and sort the aggregated
+    // rows within partitions. Output is globally ordered by construction
+    // (ordered range partitions + in-partition sort over the unique key).
+    // The former `orderBy` AFTER the aggregate planned a second (range)
+    // exchange whose bounds sampling re-executed the whole concat
+    // aggregate: 2 exchanges + 2 aggregate executions → 1 + 1.
     Tables.lineitem(spark, dir)
+      .repartitionByRange(col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(
         array_join(
@@ -31,7 +41,7 @@ object GroupWindowQueries extends QueryModule {
         count(lit(1)).as("n_items"),
         min(col("l_linenumber")).as("min_line"),
         max(col("l_linenumber")).as("max_line"))
-      .orderBy(col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
 
   /** G10: first-row-of-group metadata extraction via row_number()==1. */
   def firstOfGroup(spark: SparkSession, dir: String): DataFrame = {
@@ -49,13 +59,23 @@ object GroupWindowQueries extends QueryModule {
 
   /** T16: per-chapter page renumbering with a stable composite sort. */
   def renumber(spark: SparkSession, dir: String): DataFrame = {
+    // Ordered-pipeline shape (see orderedConcat): range-partition the
+    // input on the window key — satisfies the window's clustering, so
+    // one exchange serves both the window and the output order — and
+    // sort within partitions on the OUTPUT key. The former global
+    // orderBy planned a second exchange that re-executed the window for
+    // bounds sampling. page_number is the row_number in the window's own
+    // sort order, so the final in-partition sort is over already-ordered
+    // rows (one cheap pass, kept because the planner cannot prove the
+    // rank ≡ sort-key equivalence).
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     Tables.lineitem(spark, dir)
+      .repartitionByRange(col("l_suppkey"))
       .withColumn("page_number", row_number().over(w))
       .select(col("l_suppkey").as("chapter_id"), col("l_orderkey"),
         col("l_linenumber").as("source_page_number"), col("page_number"))
-      .orderBy(col("chapter_id"), col("page_number"))
+      .sortWithinPartitions(col("chapter_id"), col("page_number"))
   }
 
   /** Section-shaped projection of orders with deterministic null page
@@ -68,8 +88,15 @@ object GroupWindowQueries extends QueryModule {
     * partitioned by the same key — to re-shuffle. With the alias first,
     * both window stages share one hash exchange. */
   private def sections(spark: SparkSession, dir: String): DataFrame = {
+    // range-partitioned on the chapter key (the orderedConcat shape):
+    // RangePartitioning satisfies every downstream window's clustering,
+    // so the numbering window, the neighbor-fill/continuity windows AND
+    // the consumers' (chapter_id, section_number) output order all ride
+    // ONE exchange — the former final orderBy added a second (range)
+    // exchange whose bounds sampling re-executed the window chain.
     val base = Tables.orders(spark, dir).select(
       col("o_custkey").as("chapter_id"), col("o_orderkey").as("ord"))
+      .repartitionByRange(col("chapter_id"))
     val w = Window.partitionBy(col("chapter_id")).orderBy(col("ord"))
     def page(mod: Int, extra: Column): Column =
       when(col("ord") % mod === 0, lit(null).cast("long"))
@@ -86,25 +113,28 @@ object GroupWindowQueries extends QueryModule {
     PageWindows.neighborFill(sections(spark, dir))
       .select("chapter_id", "section_number", "start_page", "end_page",
         "prev_end", "next_start", "start_filled", "end_filled")
-      .orderBy(col("chapter_id"), col("section_number"))
+      .sortWithinPartitions(col("chapter_id"), col("section_number"))
 
   /** W6: gap/overlap detection + clamp. */
   def continuity(spark: SparkSession, dir: String): DataFrame =
     PageWindows.continuityFix(sections(spark, dir))
       .select("chapter_id", "section_number", "start_page", "end_page",
         "next_start", "has_gap", "has_overlap", "end_fixed")
-      .orderBy(col("chapter_id"), col("section_number"))
+      .sortWithinPartitions(col("chapter_id"), col("section_number"))
 
   /** W9: proportional page distribution across a section's chunks. */
   def proportional(spark: SparkSession, dir: String): DataFrame = {
+    // range-partitioned on the section key (the orderedConcat shape):
+    // one exchange serves the distribution windows and the output order
     val chunks = Tables.lineitem(spark, dir).select(
       col("l_orderkey").as("section_id"),
       col("l_linenumber").as("chunk_number"),
       (col("l_orderkey") % 20 + lit(1)).as("a"),
       (col("l_orderkey") % 20 + lit(1) + col("l_orderkey") % 7 + lit(2)).as("b"))
+      .repartitionByRange(col("section_id"))
     PageWindows.proportionalDistribute(chunks)
       .select("section_id", "chunk_number", "a", "b", "chunk_start", "chunk_end")
-      .orderBy(col("section_id"), col("chunk_number"))
+      .sortWithinPartitions(col("section_id"), col("chunk_number"))
   }
 
   /** W2-as-streaming-analogue: forward fill nulls in an event stream. */
