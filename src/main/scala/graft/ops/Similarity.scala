@@ -840,40 +840,53 @@ object Similarity {
     val qs = queries.select(col("vec_id").as("query_id"))
     val idcg = idcgAt(k)
     val decZero = lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)")
-    depths.map { d =>
-      val cand = scoredAll.filter(col("_depth") <= limitFor(d))
-      val counts = cand.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_cand"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      val topk = cand.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rk"))
-      val hits = topk.join(brute, Seq("query_id", "neighbor_id"))
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_hits"),
-          sum(dcgGain(col("rk")).cast("decimal(28,12)")).as("dcg"),
-          min(col("rk")).as("first_hit"))
-      qs.join(counts, Seq("query_id"), "left")
-        .join(hits, Seq("query_id"), "left")
-        .agg(count(lit(1)).as("n_queries"),
-          sum(coalesce(col("n_cand"), lit(0L))).as("tc"),
-          sum(coalesce(col("n_hits"), lit(0L))).as("th"),
-          min(coalesce(col("n_hits"), lit(0L))).as("mh"),
-          sum(coalesce(col("dcg"), decZero)).as("td"),
-          sum(coalesce(round(lit(1.0) / col("first_hit"), 9), lit(0.0))
-            .cast("decimal(28,12)")).as("tr"))
-        .select(lit(d).as(depthName), col("n_queries"),
-          round(col("tc").cast("double") / col("n_queries"), 4)
-            .as("mean_candidates"),
-          round(col("th").cast("double") / (col("n_queries") * k), 6)
-            .as("mean_recall"),
-          round(col("mh").cast("double") / k, 6).as("min_recall"),
-          round(col("td").cast("double") / (col("n_queries") * lit(idcg)), 6)
-            .as("mean_ndcg"),
-          round(col("tr").cast("double") / col("n_queries"), 6)
-            .as("mean_mrr"))
-    }.reduce(_.unionByName(_)).orderBy(col(depthName))
+    // ONE ranking pass for every depth (r14): the former per-depth
+    // branches each re-scanned the staged candidates and re-ranked —
+    // |depths| windows + |depths| aggregate chains unioned. Each
+    // candidate row now joins the bounded broadcast depth table on the
+    // admission inequality (the broadcast-stat-frame pattern), one
+    // window ranks per (depth, query), one rollup emits all rungs. The
+    // per-rung values are bit-identical: same admission predicate, same
+    // (cos DESC, neighbor_id) rank order, same DECIMAL partial sums.
+    val session = scoredAll.sparkSession
+    import session.implicits._
+    val depthDf = broadcast(
+      depths.map(d => (d, limitFor(d))).toDF("_d", "_lim"))
+    val cand = scoredAll.join(depthDf, col("_depth") <= col("_lim"))
+    val counts = cand.groupBy(col("_d"), col("query_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val w = Window.partitionBy(col("_d"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val topk = cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("_d"), col("query_id"), col("neighbor_id"), col("rk"))
+    val hits = topk.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy(col("_d"), col("query_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(dcgGain(col("rk")).cast("decimal(28,12)")).as("dcg"),
+        min(col("rk")).as("first_hit"))
+    qs.crossJoin(depthDf.select(col("_d")))
+      .join(counts, Seq("_d", "query_id"), "left")
+      .join(hits, Seq("_d", "query_id"), "left")
+      .groupBy(col("_d"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(coalesce(col("n_cand"), lit(0L))).as("tc"),
+        sum(coalesce(col("n_hits"), lit(0L))).as("th"),
+        min(coalesce(col("n_hits"), lit(0L))).as("mh"),
+        sum(coalesce(col("dcg"), decZero)).as("td"),
+        sum(coalesce(round(lit(1.0) / col("first_hit"), 9), lit(0.0))
+          .cast("decimal(28,12)")).as("tr"))
+      .select(col("_d").as(depthName), col("n_queries"),
+        round(col("tc").cast("double") / col("n_queries"), 4)
+          .as("mean_candidates"),
+        round(col("th").cast("double") / (col("n_queries") * k), 6)
+          .as("mean_recall"),
+        round(col("mh").cast("double") / k, 6).as("min_recall"),
+        round(col("td").cast("double") / (col("n_queries") * lit(idcg)), 6)
+          .as("mean_ndcg"),
+        round(col("tr").cast("double") / col("n_queries"), 6)
+          .as("mean_mrr"))
+      .orderBy(col(depthName))
   }
 
   /** Product-quantization (ADC) approximate top-k — the memory-scale ANN
