@@ -194,8 +194,15 @@ object Graph {
     // |E|-scale eager materializations of the same data (three blocking
     // driver barriers), now it is one
     val (sym, nV, loopP) = loopGeometry(vertices, pairs, aCol, bCol)
-    val cc = Dedup.connectedComponentsSym(vertices, idCol, sym, loopP)
-    val pr = pageRankSym(vertices, idCol, sym, iters, damping, nV, loopP)
+    // the two loops are INDEPENDENT given the shared staged sym — run
+    // them on two driver threads (guide §2.6, the Par convention) so
+    // each loop's per-round barrier fills the other's task tail instead
+    // of serializing ~(CC rounds + PR iters) barriers end to end.
+    // Results are unchanged: each loop stages only its own frames, and
+    // the keepPartitioning compile seam serializes on the shared clone.
+    val (cc, pr) = Par.run2(
+      () => Dedup.connectedComponentsSym(vertices, idCol, sym, loopP),
+      () => pageRankSym(vertices, idCol, sym, iters, damping, nV, loopP))
     val members = cc.join(pr, idCol)
     val best = members.groupBy(col("cluster_id"))
       .agg(min(struct((-col("pagerank")).as("np"), col(idCol).as("i")))
