@@ -54,7 +54,7 @@ object DedupQueries extends QueryModule {
           (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .transform(orderedSmall(_, col("doc_a"), col("doc_b")))
   }
 
   /** Candidate stage of the capped shingle join: (meeting pairs with
@@ -89,8 +89,9 @@ object DedupQueries extends QueryModule {
     * true one and no pair is dropped. The oracle is the brute-force
     * all-pairs join; matching it IS the losslessness claim. */
   def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.prefixJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
-      .orderBy(col("doc_a"), col("doc_b"))
+    orderedSmall(
+      Dedup.prefixJaccardPairs(Tables.documents(spark, dir), "doc_id", "text"),
+      col("doc_a"), col("doc_b"))
 
   /** Incremental admission via the prefix join: docs ≡7 (mod 10) are
     * today's batch, the rest the standing corpus (the
@@ -103,7 +104,7 @@ object DedupQueries extends QueryModule {
       docs.where(pmod(col("doc_id"), lit(10)) =!= 7),
       docs.where(pmod(col("doc_id"), lit(10)) === 7),
       "doc_id", "text")
-      .orderBy(col("incoming_id"), col("corpus_id"))
+      .transform(orderedSmall(_, col("incoming_id"), col("corpus_id")))
   }
 
   /** MinHash signatures (8 portable md5-derived permutations). */
@@ -113,10 +114,11 @@ object DedupQueries extends QueryModule {
 
   /** LSH candidate pairs: 4 bands × 2 rows over the 8-perm signature. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.lshPairs(
-      Dedup.minhashSignature(Tables.documents(spark, dir), "doc_id", "text"),
-      "doc_id")
-      .orderBy(col("id_a"), col("id_b"))
+    orderedSmall(
+      Dedup.lshPairs(
+        Dedup.minhashSignature(Tables.documents(spark, dir), "doc_id", "text"),
+        "doc_id"),
+      col("id_a"), col("id_b"))
 
   /** SimHash per document: both the 32-bit and 64-bit signatures, each a
     * per-row native expression (the 64-bit form is what the banded pair
@@ -161,7 +163,7 @@ object DedupQueries extends QueryModule {
       .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")).cast("int"))
       .filter(col("hamming") <= 8)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(orderedSmall(_, col("id_a"), col("id_b")))
   }
 
   /** MOSS-style near-dup pairs from winnowing fingerprints: docs sharing
@@ -192,7 +194,7 @@ object DedupQueries extends QueryModule {
         round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6))
       .filter(col("containment") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .transform(orderedSmall(_, col("doc_a"), col("doc_b")))
   }
 
   /** Cluster dedup: connected components over the winnow-pair graph with

@@ -90,8 +90,9 @@ object EntityQueries extends QueryModule {
 
   /** All mention pairs within edit distance 1 — the blocked fuzzy join. */
   def erPairs(spark: SparkSession, dir: String): DataFrame =
-    EntityResolution.edOnePairs(mentions(spark, dir), "mention_id", "name")
-      .orderBy(col("id_a"), col("id_b"))
+    orderedSmall(
+      EntityResolution.edOnePairs(mentions(spark, dir), "mention_id", "name"),
+      col("id_a"), col("id_b"))
 
   /** The k=2 fixture: base + substitution always; the distance-2 double
     * substitution for even keys; the deletion (length 19 — exercises
@@ -117,9 +118,10 @@ object EntityQueries extends QueryModule {
     * blocking, the general-k scale path next to q_er_pairs' k=1
     * signature fast path. */
   def erPairsK2(spark: SparkSession, dir: String): DataFrame =
-    EntityResolution.passJoinPairs(mentions2(spark, dir),
-      "mention_id", "name", k = 2)
-      .orderBy(col("id_a"), col("id_b"))
+    orderedSmall(
+      EntityResolution.passJoinPairs(mentions2(spark, dir),
+        "mention_id", "name", k = 2),
+      col("id_a"), col("id_b"))
 
   /** Canonical entities from the match graph (contracted CC path). */
   def erEntities(spark: SparkSession, dir: String): DataFrame =
@@ -146,7 +148,7 @@ object EntityQueries extends QueryModule {
       .select(col("m.mention_id").as("mention_id"),
         col("m.name").as("name"))
     EntityResolution.admitMentions(dict, inc, "mention_id", "name")
-      .orderBy(col("mention_id"))
+      .transform(orderedSmall(_, col("mention_id")))
   }
 
   private val SnWindow = 6
@@ -161,7 +163,7 @@ object EntityQueries extends QueryModule {
     EntityResolution.sortedNeighborhoodPairs(mentions(spark, dir),
       "mention_id", "name", window = SnWindow, maxDist = 1,
       keys = Seq(identity, reverse))
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(orderedSmall(_, col("id_a"), col("id_b")))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_er_pairs" -> erPairs,

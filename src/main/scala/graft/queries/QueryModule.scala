@@ -18,6 +18,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracle: Map[String, String]
+
+  /** Globally order a SMALL, EXPENSIVE-to-compute result (r14, guide
+    * §2.4): a bare `orderBy` plans a range exchange whose bounds
+    * sampling re-executes the ENTIRE child chain a second time — for a
+    * query whose tail is a verify join / candidate dedup producing a
+    * few thousand rows, that doubles the query. Lazily staging the
+    * result first (the cosinePairsCore convention) lets the sampling
+    * pass and the shuffle both read the staged blocks: one computation,
+    * a small persist, identical rows and order. Only use where the
+    * pre-order result is bounded (pair lists, top-k, reports) — staging
+    * a corpus-scale frame would trade a scan for corpus-scale storage. */
+  protected def orderedSmall(df: DataFrame,
+      cols: org.apache.spark.sql.Column*): DataFrame =
+    graft.ops.Checkpoints.stage(df, eager = false).orderBy(cols: _*)
 }
 
 object QueryModule {

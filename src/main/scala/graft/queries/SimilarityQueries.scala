@@ -70,9 +70,10 @@ object SimilarityQueries extends QueryModule {
     * embedding tables stop at 2000 rows, so b=6..7 legs are generated
     * but exercised only by corpora above 4,096 vectors). */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairsAdaptive(Tables.embeddings(spark, dir), Threshold,
-      targetOccupancy = Occupancy, targetRecall = Recall, maxPlanes = MaxB)
-      .orderBy(col("vec_a"), col("vec_b"))
+    orderedSmall(
+      Similarity.cosinePairsAdaptive(Tables.embeddings(spark, dir), Threshold,
+        targetOccupancy = Occupancy, targetRecall = Recall, maxPlanes = MaxB),
+      col("vec_a"), col("vec_b"))
 
   private val Threshold = 0.35
   private val Occupancy = 64
@@ -486,7 +487,7 @@ object SimilarityQueries extends QueryModule {
   def knnHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     graft.ops.Similarity.hardNegatives(emb, queryVecs(spark, dir), K)
-      .orderBy(col("query_id"), col("rk"))
+      .transform(orderedSmall(_, col("query_id"), col("rk")))
   }
 
   /** Embedding-space eval-set decontamination
@@ -514,7 +515,7 @@ object SimilarityQueries extends QueryModule {
             when(i % 2 === 0, lit(1.0)).otherwise(lit(0.99)))
             .cast("float")).as("embedding"))
     graft.ops.Similarity.embeddingDecontaminate(emb, probes, minCos = 0.8)
-      .orderBy(col("probe_id"), col("corpus_id"))
+      .transform(orderedSmall(_, col("probe_id"), col("corpus_id")))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
