@@ -35,26 +35,29 @@ object SimilarityQueries extends QueryModule {
   def knnMips(spark: SparkSession, dir: String): DataFrame =
     Similarity.mipsRecall(Tables.embeddings(spark, dir),
       queryVecs(spark, dir), K)
-      .orderBy(col("query_id"))
+      .transform(orderedSmall(_, col("query_id")))
 
   /** LSH-bucketed approximate top-5 (8 hyperplanes → 256 buckets). */
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(
-      Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
-      .orderBy(col("query_id"), col("rk"))
+    orderedSmall(
+      Similarity.lshTopK(
+        Tables.embeddings(spark, dir), queryVecs(spark, dir), K),
+      col("query_id"), col("rk"))
 
   /** IVF-bucketed approximate top-5 (16 cells, probe 4). */
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(
-      Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
-      .orderBy(col("query_id"), col("rk"))
+    orderedSmall(
+      Similarity.ivfTopK(
+        Tables.embeddings(spark, dir), queryVecs(spark, dir), K),
+      col("query_id"), col("rk"))
 
   /** Product-quantization ADC top-5 (8 subspaces × 16 codes — vectors
     * compressed 32×, queries scan the code table only). */
   def knnPq(spark: SparkSession, dir: String): DataFrame =
-    Similarity.pqTopK(
-      Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
-      .orderBy(col("query_id"), col("rk"))
+    orderedSmall(
+      Similarity.pqTopK(
+        Tables.embeddings(spark, dir), queryVecs(spark, dir), K),
+      col("query_id"), col("rk"))
 
   /** Embedding near-dup candidate pairs at cosine ≥ 0.35: CORPUS-ADAPTIVE
     * LSH-bucketed candidates, exact-verified — the scale path (no
@@ -114,9 +117,10 @@ object SimilarityQueries extends QueryModule {
   /** IVF-PQ composed top-5: probe 4 of 16 cells, ADC over 8×16 codes
     * within them, exact re-rank — the billion-scale production shape. */
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfPqTopK(
-      Tables.embeddings(spark, dir), queryVecs(spark, dir), K)
-      .orderBy(col("query_id"), col("rk"))
+    orderedSmall(
+      Similarity.ivfPqTopK(
+        Tables.embeddings(spark, dir), queryVecs(spark, dir), K),
+      col("query_id"), col("rk"))
 
   /** Symmetric int8 quantization audit: per-vector scale, code
     * fingerprint, and max reconstruction error — the 4× storage
@@ -187,8 +191,9 @@ object SimilarityQueries extends QueryModule {
     * iterations): per-vector cluster + squared distance. The mirror
     * unrolls the same three assign/mean steps as CTEs. */
   def kmeans(spark: SparkSession, dir: String): DataFrame =
-    Similarity.kMeans(Tables.embeddings(spark, dir), KmK, KmIters)
-      .orderBy(col("vec_id"))
+    orderedSmall(
+      Similarity.kMeans(Tables.embeddings(spark, dir), KmK, KmIters),
+      col("vec_id"))
 
   private val KmK = 8
   private val KmIters = 3
@@ -199,9 +204,10 @@ object SimilarityQueries extends QueryModule {
     * key — the diversity-preserving pruning step that stops a dense
     * embedding region from dominating the kept set. */
   def balancedSample(spark: SparkSession, dir: String): DataFrame =
-    Similarity.clusterBalancedSample(Tables.embeddings(spark, dir),
-      KmK, KmIters, BalQuota)
-      .orderBy(col("vec_id"))
+    orderedSmall(
+      Similarity.clusterBalancedSample(Tables.embeddings(spark, dir),
+        KmK, KmIters, BalQuota),
+      col("vec_id"))
 
   private val BalQuota = 20
 
@@ -217,9 +223,10 @@ object SimilarityQueries extends QueryModule {
   /** SemDeDup: within-k-means-cluster cosine near-dup marking, min-id
     * survivors keep (k=16, 2 Lloyd iterations, cosine ≥ 0.35). */
   def semdedup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semDedup(Tables.embeddings(spark, dir), Threshold,
-      SemK, SemIters)
-      .orderBy(col("vec_id"))
+    orderedSmall(
+      Similarity.semDedup(Tables.embeddings(spark, dir), Threshold,
+        SemK, SemIters),
+      col("vec_id"))
 
   private val SemK = 16
   private val SemIters = 2
@@ -305,7 +312,7 @@ object SimilarityQueries extends QueryModule {
       .agg(count(lit(1)).as("community_size"))
     labeled.join(sizes, "community")
       .select(col("vec_id"), col("community"), col("community_size"))
-      .orderBy(col("vec_id"))
+      .transform(orderedSmall(_, col("vec_id")))
   }
 
   /** Cluster-representative capstone: connected components + PageRank
