@@ -146,7 +146,21 @@ object Checkpoints {
   private def drain(
       q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]): Unit = {
     var f = q.poll()
-    while (f != null) { f.unpersist(blocking = false); f = q.poll() }
+    while (f != null) {
+      // two transient flavors share the queues: [[stageTransient]]
+      // frames are persist-based (Dataset.unpersist frees the cache;
+      // lineage preserved), while [[registerTransient]] frames are
+      // staged through stageImpl — a bare LogicalRDD whose blocks only
+      // free via the RDD (Dataset.unpersist is a no-op there). Match on
+      // the exact output shape; a bare LogicalRDD can only be the
+      // staged frame itself, never a shared upstream input.
+      f.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => f.unpersist(blocking = false)
+      }
+      f = q.poll()
+    }
   }
 
   private def reapDeadThreadQueues(): Unit = {
@@ -189,6 +203,37 @@ object Checkpoints {
     cached.count() // materialize NOW: one computation feeds all consumers
     own.add(cached)
     cached
+  }
+
+  /** Register a compute-once/consume-within-ONE-plan frame for shared,
+    * DETERMINISTICALLY-released staging WITHOUT sweeping the thread's
+    * prior transients and WITHOUT a materialization barrier (r14). The
+    * frame stages through the same seam as [[stage]] (lazy
+    * localCheckpoint by default, reliable checkpoint under [[DirKey]]) —
+    * row-block storage, which measured ~1.8× faster end-to-end than the
+    * columnar persist cache for the array-heavy frames this serves —
+    * and is queued on the owning thread for the next
+    * [[releaseTransients]] sweep. Unlike [[stageTransient]] it CHAINS
+    * inside one not-yet-materialized plan (a sweep at call time would
+    * evict the earlier link before its consumer ran), and unlike a bare
+    * lazy localCheckpoint its blocks free at the next QUERY boundary
+    * instead of waiting on driver GC + ContextCleaner — the r14
+    * mid-round bench measured late-suite queries 2-3× inflated from
+    * exactly that accumulation (SparkEntry sweeps before each
+    * registered query's construction).
+    *
+    * Contract (the [[release]] rule, not the [[stageTransient]] one):
+    * local-mode lineage is TRUNCATED, so reading the frame after its
+    * sweep fails loudly — only register frames whose every consumer
+    * runs before the next query boundary, which is true by construction
+    * for query-internal shared subtrees. */
+  def registerTransient(df: DataFrame): DataFrame = {
+    val own = transientQueues.computeIfAbsent(Thread.currentThread(),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+    reapDeadThreadQueues()
+    val staged = stageImpl(df, eager = false)
+    own.add(staged)
+    staged
   }
 
   /** Release every outstanding transient frame now, across ALL threads

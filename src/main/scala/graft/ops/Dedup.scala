@@ -226,11 +226,11 @@ object Dedup {
     // the corpus-scale shingle explode executes 6x per run (sets 3
     // consumers x sh 2 consumers). Lazy: the first real action
     // materializes the blocks, every later scan re-reads them.
-    val sh = Checkpoints.stage(
-      shingleFrame(docs, idCol, textCol), eager = false)
+    val sh = Checkpoints.registerTransient(
+      shingleFrame(docs, idCol, textCol))
     // global document frequency — the canonical rarest-first order key
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val sets = Checkpoints.stage(setsFrom(sh, dfreq), eager = false)
+    val sets = Checkpoints.registerTransient(setsFrom(sh, dfreq))
     val pref = prefixOf(sets, threshold)
     // candidate pairs: prefixes share a shingle + the length filter
     // (J ≥ t forces min(|a|,|b|) ≥ ⌈t·max(|a|,|b|)⌉). The join key is
@@ -327,12 +327,12 @@ object Dedup {
     // staged LAZY like the batch path: corpSh feeds dfreq + corpus set
     // assembly; each side's sets feed its prefix explode AND its verify
     // join — unstaged, the corpus shingle explode ran 4x per call
-    val corpSh = Checkpoints.stage(
-      shingleFrame(corpus, idCol, textCol), eager = false)
+    val corpSh = Checkpoints.registerTransient(
+      shingleFrame(corpus, idCol, textCol))
     val incSh = shingleFrame(incoming, idCol, textCol)
     val dfreq = corpSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val corpSets = Checkpoints.stage(setsFrom(corpSh, dfreq), eager = false)
-    val incSets = Checkpoints.stage(setsFrom(incSh, dfreq), eager = false)
+    val corpSets = Checkpoints.registerTransient(setsFrom(corpSh, dfreq))
+    val incSets = Checkpoints.registerTransient(setsFrom(incSh, dfreq))
     val cand = prefixOf(incSets, threshold).as("a")
       .join(prefixOf(corpSets, threshold).hint("shuffle_hash").as("b"),
         col("a.shingle") === col("b.shingle") &&

@@ -135,6 +135,39 @@ class BlockReleaseSpec extends SparkSpecBase {
     assert(Checkpoints.transientCount === 0)
   }
 
+  test("registerTransient chains lazily and sweeps only at the boundary") {
+    // r14: the lazy, non-sweeping registration behind orderedSmall and
+    // the query-internal shared-subtree stagings. Three properties: (a)
+    // registering a SECOND frame must NOT evict the first (they chain
+    // inside one not-yet-materialized plan — the hazard stageTransient's
+    // drain-at-call would create); (b) materialization persists staged
+    // blocks; (c) releaseTransients (the SparkEntry per-query boundary
+    // sweep) frees the BLOCKS, not just the queue — Dataset.unpersist is
+    // a no-op for checkpointed frames, so the drain must go through the
+    // LogicalRDD.
+    Checkpoints.releaseTransients()
+    val a = Checkpoints.registerTransient(Seq((1L, "x")).toDF("id", "s"))
+    val b = Checkpoints.registerTransient(a.select(col("id")))
+    assert(Checkpoints.transientCount === 2,
+      "registerTransient must not sweep the thread's prior transients")
+    val joined = a.join(b, "id")
+    assert(joined.count() === 1) // materializes both staged frames
+    def stagedRdds(dfs: org.apache.spark.sql.DataFrame*) = dfs.flatMap {
+      _.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    }
+    val rdds = stagedRdds(a, b)
+    assert(rdds.forall(_.getStorageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE),
+      "both chained frames hold staged blocks through their consumer's job")
+    Checkpoints.releaseTransients()
+    assert(Checkpoints.transientCount === 0)
+    assert(rdds.forall(_.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE),
+      "the boundary sweep must free the staged blocks themselves")
+  }
+
   test("a swept transient frame recomputes instead of failing") {
     // the safety property that allows aggressive sweeping: lineage is
     // preserved, so consuming a released transient frame degrades to a
