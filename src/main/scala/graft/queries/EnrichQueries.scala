@@ -218,9 +218,13 @@ object EnrichQueries extends QueryModule {
         col("section_number"), col("chunk_number"), col("embedding"))
     val full = chunks.join(embedded,
       Seq("document_id", "chapter_number", "section_number", "chunk_number"))
-    DbExport.toDbRows(full)
-      .orderBy(col("document_id"), col("chapter_number"),
-        col("section_number"), col("chunk_number"))
+    // staged before the global order (orderedSmall rationale): the
+    // 28-column projection builds the scale-15 vector literal strings —
+    // a bare orderBy re-executed that and the chunk-embedding join for
+    // range-bounds sampling
+    orderedSmall(DbExport.toDbRows(full),
+      col("document_id"), col("chapter_number"),
+      col("section_number"), col("chunk_number"))
   }
 
   def fullExport(spark: SparkSession, dir: String): DataFrame =
