@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * round count explicitly (no convergence loop to run away). */
 object Graph {
 
+  /** Unique-name source for the k-core loop's observe nodes (the CC
+    * loop's obsSeq convention: names must never collide across
+    * concurrent loops in one session). */
+  private val kcoreObsSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Target rows per loop partition: small enough that a partition of
     * 2–3-long rows stays tens of MB (sorts and merge-join buffers fit
     * comfortably), large enough that a 2,000-vertex test graph runs in
@@ -203,7 +208,9 @@ object Graph {
     val (cc, pr) = Par.run2(
       () => Dedup.connectedComponentsSym(vertices, idCol, sym, loopP),
       () => pageRankSym(vertices, idCol, sym, iters, damping, nV, loopP))
-    val members = cc.join(pr, idCol)
+    // staged: members feeds the per-cluster argmax AND the final
+    // join-back — unstaged, the cc⋈pr join executed twice per run
+    val members = Checkpoints.registerTransient(cc.join(pr, idCol))
     val best = members.groupBy(col("cluster_id"))
       .agg(min(struct((-col("pagerank")).as("np"), col(idCol).as("i")))
         .as("_best"))
@@ -244,8 +251,12 @@ object Graph {
     * (d). Exposed `private[ops]` so TriangleSpec asserts the hub-safety
     * property on THIS code path, not a spec-local re-implementation. */
   private[ops] def orientByDegree(e0: DataFrame): DataFrame = {
-    val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // staged: the degree table joins back on BOTH endpoints — unstaged,
+    // the |V|-scale aggregate (and everything upstream of e0) executed
+    // once per join leg
+    val deg = Checkpoints.registerTransient(
+      e0.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg")))
     e0
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
@@ -271,11 +282,11 @@ object Graph {
     * peel set, re-staged into the same layout (lineage O(1), executor
     * loss survivable in reliable mode). Convergence is read off the
     * staged frame's EDGE COUNT (peeling removes a vertex iff it
-    * removes an edge, so |E| unchanged ⇔ peel set empty) — a cheap
-    * count over just-staged blocks instead of the pre-r10 separate
-    * peel-set stage + count, cutting the round's driver barriers from
-    * three eager actions to one stage + one count (q_sim_kcore: 90 →
-    * measured via CountJobs after the rework; JobCountSpec pins it).
+    * removes an edge, so |E| unchanged ⇔ peel set empty) — and since
+    * r14 the count rides INSIDE the staging job via Dataset.observe
+    * (the CC-loop convention), so each peel round pays exactly ONE
+    * driver barrier (pre-r10: three eager actions; r10: stage +
+    * count; JobCountSpec pins the budget).
     * Rounds are data-dependent (the peeling depth — the graph's
     * degeneracy ordering depth, typically ~10 on near-dup graphs).
     * Throws if fixpoint is not reached within `maxRounds` — a silently
@@ -290,22 +301,34 @@ object Graph {
       eager = false)
     var nE = p0.count()
     val loopP = loopPartitions(p0, nE)
-    def restage(df: DataFrame): DataFrame = Checkpoints.stage(
-      df.repartition(loopP, col("a")).sortWithinPartitions(col("a")),
-      eager = true, keepPartitioning = true,
-      shufflePartitions = Some(loopP))
-    var e = restage(p0)
+    // the surviving-edge count rides INSIDE the staging job via
+    // Dataset.observe (the CC-loop convention — see
+    // connectedComponentsSymRounds): one driver barrier per peel round
+    // instead of stage + count
+    def restage(df: DataFrame, round: Int): (DataFrame, Long) = {
+      val obsName = s"graft_kcore_${kcoreObsSeq.incrementAndGet()}_r$round"
+      val (staged, metrics) = Checkpoints.stageObserved(
+        df.observe(obsName, count(lit(1)).as("n"))
+          .repartition(loopP, col("a")).sortWithinPartitions(col("a")),
+        keepPartitioning = true,
+        shufflePartitions = Some(loopP))
+      val n = metrics.get(obsName).map(_.get(0)) match {
+        case Some(l: java.lang.Long) => l.longValue
+        case _ => 0L
+      }
+      (staged, n)
+    }
+    var e = restage(p0, 0)._1
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
       val peeled = deg.filter(col("deg") < k).select(col("v"))
-      val e2 = restage(e
+      val (e2, n2) = restage(e
         .join(peeled.select(col("v").as("a")), Seq("a"), "left_anti")
         .join(peeled.select(col("v").as("b")), Seq("b"), "left_anti")
-        .select(col("a"), col("b")))
-      val n2 = e2.count()
+        .select(col("a"), col("b")), rounds + 1)
       if (n2 == nE) {
         converged = true
         // e2 duplicates e's content and is never read again
@@ -334,8 +357,16 @@ object Graph {
 
   def triangleCounts(vertices: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
-    val e0 = canonicalEdges(edges, srcCol, dstCol)
-    val oriented = orientByDegree(e0)
+    // canonical edges feed the degree aggregate, the orientation join
+    // AND the wedge-closing join; the orientation feeds both wedge
+    // legs. `edges` is typically an expensive LSH-verify pair join —
+    // unstaged, the whole generation chain replayed per consumer
+    // (~15× in the registered q_sim_triangles plan: 84 staged-scan
+    // references, 98 exchanges). Staged once each, the plan carries
+    // one generation pass + one orientation pass.
+    val e0 = Checkpoints.registerTransient(
+      canonicalEdges(edges, srcCol, dstCol))
+    val oriented = Checkpoints.registerTransient(orientByDegree(e0))
     // wedges: unordered out-neighbor pairs, canonicalized by id so the
     // closing lookup is a single equi-join against e0's (a < b) form
     val o1 = oriented.select(col("s"), col("d").as("d1"))
