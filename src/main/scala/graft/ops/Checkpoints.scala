@@ -236,13 +236,79 @@ object Checkpoints {
     staged
   }
 
-  /** Release every outstanding transient frame now, across ALL threads
-    * (idempotent; safe at any time — see [[stageTransient]]). Batch
-    * drivers running many TF-IDF/NLL calls per session call this at
-    * their loop boundary. */
+  /** Release every outstanding transient AND staged frame now, across
+    * ALL threads (idempotent; safe at any time for transients — see
+    * [[stageTransient]]; staged frames are released on the
+    * query-boundary contract below). Batch drivers running many
+    * TF-IDF/NLL calls per session call this at their loop boundary. */
   def releaseTransients(): Unit = {
     val it = transientQueues.entrySet().iterator()
     while (it.hasNext) { drain(it.next().getValue); it.remove() }
+    val it2 = stagedQueues.entrySet().iterator()
+    while (it2.hasNext) { drain(it2.next().getValue); it2.remove() }
+  }
+
+  /** Every [[stage]]/[[stageObserved]] frame awaiting the QUERY-BOUNDARY
+    * sweep (r14): loop predecessors are released round by round via
+    * [[release]], but the frames that survive an operator — the staged
+    * symmetric edge list, the lazy loop finals, the compute-once
+    * assignment frames — used to wait on driver GC + the
+    * ContextCleaner's periodic sweep, and the r14 mid-suite bench
+    * measured late-suite queries up to 3× inflated from ~150 queries'
+    * leftovers squeezing the storage pool (q_corpus_bigram_nll 2.94 s
+    * in-suite vs 0.98 s isolated). Staged frames queue per owning
+    * thread here and [[releaseTransients]] — which SparkEntry calls
+    * before each registered query's construction — frees the blocks
+    * deterministically. Contract: a staged frame's every consumer runs
+    * before the next query boundary (true by construction — every
+    * registered query computes from the parquet inputs; nothing staged
+    * is shared across queries). Double-release with [[release]] is a
+    * no-op (RDD.unpersist is idempotent). */
+  private val stagedQueues =
+    new java.util.concurrent.ConcurrentHashMap[Thread,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  private def enqueueStaged(df: DataFrame): Unit = {
+    // a dead thread's still-queued frames may have live consumers (a
+    // Par worker's loop final, returned to the caller) — MIGRATE them
+    // to the current thread's queue rather than draining (the
+    // transient-queue reap may drain because transients recompute from
+    // lineage; staged frames cannot)
+    val own = stagedQueues.computeIfAbsent(Thread.currentThread(),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+    val it = stagedQueues.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.isAlive) {
+        var f = e.getValue.poll()
+        while (f != null) { own.add(f); f = e.getValue.poll() }
+        it.remove()
+      }
+    }
+    own.add(df)
+  }
+
+  /** Move `threads`' queued staged frames onto the CALLING thread's
+    * queue — [[Par]] calls this after joining its workers so a loop
+    * final staged on a worker thread lives until the caller's query
+    * boundary, never until a dead-thread reap. */
+  private[ops] def adoptStagedFrom(threads: Seq[Thread]): Unit = {
+    val own = stagedQueues.computeIfAbsent(Thread.currentThread(),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+    threads.foreach { t =>
+      val q = stagedQueues.remove(t)
+      if (q != null) {
+        var f = q.poll()
+        while (f != null) { own.add(f); f = q.poll() }
+      }
+    }
+  }
+
+  /** Spec surface: outstanding staged frames across all threads. */
+  private[graft] def stagedCount: Int = {
+    var n = 0
+    stagedQueues.values().forEach(q => n += q.size())
+    n
   }
 
   /** Spec surface: outstanding transient frames across all threads. */
@@ -317,8 +383,11 @@ object Checkpoints {
     * `stage` call even when lazy, entirely inside the clone. */
   def stage(df: DataFrame, eager: Boolean,
       keepPartitioning: Boolean = false,
-      shufflePartitions: Option[Int] = None): DataFrame =
-    stageExec(df, eager, keepPartitioning, shufflePartitions)._1
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val out = stageExec(df, eager, keepPartitioning, shufflePartitions)._1
+    enqueueStaged(out)
+    out
+  }
 
   /** As [[stage]] with eager materialization, additionally returning
     * the metrics a `Dataset.observe(name, exprs...)` node accumulated
@@ -336,6 +405,7 @@ object Checkpoints {
       : (DataFrame, Map[String, org.apache.spark.sql.Row]) = {
     val (out, executed) =
       stageExec(df, eager = true, keepPartitioning, shufflePartitions)
+    enqueueStaged(out)
     (out, executed.queryExecution.observedMetrics)
   }
 

@@ -196,4 +196,43 @@ class BlockReleaseSpec extends SparkSpecBase {
       s"MMR loop leaked staged frames: ${fresh.size} new persistent RDDs " +
         "after 6 picks (expected <= 2: the final selection stage)")
   }
+
+  test("stage() frames queue for the query-boundary sweep (r14)") {
+    // the frames a loop RETURNS (its staged sym, lazy finals) used to
+    // wait on driver GC + ContextCleaner — the r14 mid-suite bench
+    // measured late-suite queries up to 3× inflated from ~150 queries'
+    // leftovers. Every stage() result now queues on its thread and
+    // releaseTransients (SparkEntry's per-query boundary) frees it.
+    Checkpoints.releaseTransients()
+    val df = Checkpoints.stage(
+      (1 to 100).toDF("x").withColumn("y", col("x") * 3), eager = true)
+    assert(Checkpoints.stagedCount >= 1,
+      "eager stage() must enqueue its frame for the boundary sweep")
+    val rdd = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.head
+    assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    Checkpoints.releaseTransients()
+    assert(Checkpoints.stagedCount === 0, "boundary sweep must drain the queue")
+    assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "boundary sweep must unpersist staged blocks deterministically")
+  }
+
+  test("a Par worker's staged frame survives its thread and reads until the boundary") {
+    // loop finals are staged on Par worker threads (clusterRepresentatives
+    // runs CC and PageRank on two driver threads) and consumed by the
+    // caller's action AFTER the workers die — Par re-homes the workers'
+    // queues onto the caller so only the boundary sweep releases them
+    Checkpoints.releaseTransients()
+    val Seq(staged) = Par.run[org.apache.spark.sql.DataFrame](
+      () => Checkpoints.stage((1 to 60).toDF("v"), eager = true))
+    // another stage on the MAIN thread (would trigger any dead-thread
+    // handling) must not free the worker's frame
+    Checkpoints.stage((1 to 5).toDF("w"), eager = true)
+    assert(staged.count() === 60,
+      "a dead worker's staged frame must stay readable until the boundary")
+    assert(Checkpoints.stagedCount >= 2)
+    Checkpoints.releaseTransients()
+    assert(Checkpoints.stagedCount === 0)
+  }
 }
