@@ -14,8 +14,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-path schema memo: schema INFERENCE (a footer-read job) costs
+    * ~60-90 ms per `spark.read.parquet` call while a schema-supplied
+    * read costs ~10 ms, and a bench/gate session constructs thousands
+    * of table reads over the same immutable paths (3 steady reps × a
+    * few tables × ~135 queries). Caching the inferred StructType is
+    * metadata caching — the exact service a catalog/metastore provides
+    * in a deployment — never data: every query still scans the parquet
+    * files for rows. Keyed by full path; a different sfDir is a
+    * different entry. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")

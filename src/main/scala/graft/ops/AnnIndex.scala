@@ -48,6 +48,21 @@ object AnnIndex {
   private[graft] def resolveDir(spark: SparkSession, dir: String): String =
     IndexVersioning.resolveDir(spark, dir)
 
+  /** The layout ROOT a version dir belongs to — the schema-memo key
+    * component: every `v_<n>` under one root shares the writer's fixed
+    * per-part schema, so the footer-read inference (~60-90 ms per
+    * `read.parquet`) is paid once per root, not once per version per
+    * probe ([[graft.sources.SchemaMemo]]). */
+  private def layoutRoot(dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (p.getName.matches("v_\\d+")) p.getParent.toString else dir
+  }
+
+  private def readPart(spark: SparkSession, vdir: String, part: String,
+      path: String): DataFrame =
+    graft.sources.SchemaMemo.read(spark,
+      s"ann.$part@${layoutRoot(vdir)}", path)
+
   /** Build the index from `emb` (vec_id, embedding) and persist it
     * under `dir`. Rebuild-while-serving safe: each build writes into a
     * fresh `v_<n>` directory and publishes it by CREATING the
@@ -342,7 +357,7 @@ object AnnIndex {
         s"driftReport($dir): this build carries no drift baseline (its " +
           "chain was published before stats/ existed) — run one full " +
           "save() to retrain and record the baseline"))
-    val threshold = spark.read.parquet(statsDir)
+    val threshold = readPart(spark, vdir, "stats", statsDir)
       .head().getAs[Double]("p95_dist")
     newEmb.select(nearestDistU(centroids)(col("embedding")).as("d"))
       .agg(count(lit(1)).as("n_new"),
@@ -397,10 +412,12 @@ object AnnIndex {
     // own footer-read + collect job, and probing a freshly-resolved
     // build paid them back-to-back on every topK/upsert call
     val Seq(metaAny, centAny, cbAny) = Par.run[AnyRef](
-      () => spark.read.parquet(partOrFail(spark, dir, "meta")).head(),
-      () => spark.read.parquet(partOrFail(spark, dir, "centroids"))
-        .orderBy("cell").collect(),
-      () => spark.read.parquet(partOrFail(spark, dir, "codebooks"))
+      () => readPart(spark, dir, "meta",
+        partOrFail(spark, dir, "meta")).head(),
+      () => readPart(spark, dir, "centroids",
+        partOrFail(spark, dir, "centroids")).orderBy("cell").collect(),
+      () => readPart(spark, dir, "codebooks",
+        partOrFail(spark, dir, "codebooks"))
         .orderBy("subspace", "code").collect())
     val meta = metaAny.asInstanceOf[org.apache.spark.sql.Row]
     val numSubspaces = meta.getAs[Int]("num_subspaces")
@@ -439,9 +456,9 @@ object AnnIndex {
     val p = new org.apache.hadoop.fs.Path(s"$dir/ids")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val own =
-      if (fs.exists(p)) spark.read.parquet(s"$dir/ids")
+      if (fs.exists(p)) readPart(spark, dir, "ids", s"$dir/ids")
         .select(col("vec_id"), col("cell").cast("int").as("cell"))
-      else spark.read.parquet(s"$dir/codes")
+      else readPart(spark, dir, "codes", s"$dir/codes")
         .select(col("vec_id"), col("cell").cast("int").as("cell"))
     IndexVersioning.baseDirOf(spark, dir) match {
       case None => own
@@ -460,7 +477,7 @@ object AnnIndex {
     * scan partition-prunes to exactly the chained cells. Newest-wins is
     * structural (a cell lives in exactly one layer). */
   private[graft] def loadCodes(spark: SparkSession, dir: String): DataFrame = {
-    val own = spark.read.parquet(s"$dir/codes")
+    val own = readPart(spark, dir, "codes", s"$dir/codes")
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         col("codes"))
     IndexVersioning.baseDirOf(spark, dir) match {

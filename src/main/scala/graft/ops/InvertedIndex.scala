@@ -83,10 +83,18 @@ object InvertedIndex {
     // bound STRUCTURAL: the scoring join broadcasts stats, and a plan
     // guard (or a reviewer) can prove the broadcast bounded from the
     // plan alone instead of trusting the writer
-    val stats = spark.read.parquet(s"$v/stats").limit(1)
+    // schema-memo reads (keyed by layout root): the versioned layout
+    // re-infers fixed writer schemas on every fresh v_<n> otherwise
+    val root = {
+      val p = new org.apache.hadoop.fs.Path(v)
+      if (p.getName.matches("v_\\d+")) p.getParent.toString else v
+    }
+    val stats = graft.sources.SchemaMemo
+      .read(spark, s"invidx.stats@$root", s"$v/stats").limit(1)
     val buckets = terms.map(bucketOf).distinct.map(x => x: Any)
     val termList = terms.map(x => x: Any)
-    val tf = spark.read.parquet(s"$v/postings")
+    val tf = graft.sources.SchemaMemo
+      .read(spark, s"invidx.postings@$root", s"$v/postings")
       .filter(col("term_bucket").isin(buckets: _*) &&
         col("term").isin(termList: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))

@@ -69,10 +69,18 @@ object MasterUpsert {
       .drop("_max_id", "_rank")
   }
 
-  /** Full upsert: delete, mint ids, union (J6 + G11 + J7). */
+  /** Full upsert: delete, mint ids, union (J6 + G11 + J7).
+    *
+    * `remaining` is staged once (r15): it feeds the union's survivor
+    * branch AND assignIds' maxId aggregate — unstaged, the master scan
+    * and BOTH anti-joins (including the delete lists' distinct
+    * aggregates behind their broadcasts) executed twice per run
+    * (plans/r15/q_upsert_master_before.txt: orders scanned 2×, the
+    * delete-side aggregate pairs planned 4×). */
   def upsert(master: DataFrame, deletes: DataFrame, fresh: DataFrame,
       orderCols: Seq[String]): DataFrame = {
-    val remaining = applyDeletes(master, deletes)
+    val remaining = Checkpoints.registerTransient(
+      applyDeletes(master, deletes))
     val inserted = assignIds(remaining, fresh, orderCols)
     remaining.unionByName(inserted.select(remaining.columns.toIndexedSeq.map(col): _*))
   }

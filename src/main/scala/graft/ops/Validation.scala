@@ -50,12 +50,22 @@ object Validation {
       .select(col("chapter_id"),
         explode(sequence(col("start_page"), col("end_page"))).as("page_number"))
       .distinct()
-    val missing = chapterPages.join(sectionPages,
-      Seq("chapter_id", "page_number"), "left_anti")
-      .groupBy(col("chapter_id")).agg(count(lit(1)).as("missing_pages"))
-    val extra = sectionPages.join(chapterPages,
-      Seq("chapter_id", "page_number"), "left_anti")
-      .groupBy(col("chapter_id")).agg(count(lit(1)).as("extra_pages"))
+    // missing AND extra from ONE full-outer join (r15): the former two
+    // anti-joins each shuffled BOTH inputs and re-computed the page /
+    // section-page derivations per leg — 4 input executions, 4
+    // exchanges. One full outer on (chapter_id, page_number) classifies
+    // every page exactly once (page-only → missing, section-only →
+    // extra, both → neither), so each input executes once and the same
+    // two counters fall out of one aggregate. Identical values: the
+    // distinct inputs make the outer join 1:1, so row multiplicity
+    // cannot differ from the anti-join form.
+    val me = chapterPages.withColumn("_p", lit(1))
+      .join(sectionPages.withColumn("_s", lit(1)),
+        Seq("chapter_id", "page_number"), "full_outer")
+      .groupBy(col("chapter_id"))
+      .agg(
+        count(when(col("_s").isNull, 1)).as("missing_pages"),
+        count(when(col("_p").isNull, 1)).as("extra_pages"))
     val w = Window.partitionBy(col("chapter_id")).orderBy(col("section_number"))
     val continuity = sections
       .withColumn("next_start", lead(col("start_page"), 1).over(w))
@@ -68,8 +78,7 @@ object Validation {
         count(when(col("next_start").isNotNull && col("end_page").isNotNull &&
           col("next_start") < col("end_page"), 1)).as("overlaps"))
     continuity
-      .join(missing, Seq("chapter_id"), "left")
-      .join(extra, Seq("chapter_id"), "left")
+      .join(me, Seq("chapter_id"), "left")
       .na.fill(0, Seq("missing_pages", "extra_pages"))
   }
 }
