@@ -60,12 +60,13 @@ class PlanGuardSpec extends SparkSpecBase {
     "q_knn_recall" -> ("recall evaluation composes the q_knn_brute " +
       "baseline as its exact leg — the same fixed probe-set broadcast; " +
       "the IVF leg and the intersection are equi-joins"),
-    "q_knn_mips" -> ("MIPS recall composes the brute inner-product " +
-      "baseline as its exact leg — the same fixed probe-set broadcast " +
-      "against one linear corpus scan; the norm-augmented IVF leg and " +
-      "the overlap count are equi-joins"),
-    "q_knn_pq" -> ("PQ search broadcasts the same fixed probe-vector set " +
-      "to build per-query distance tables; corpus side is one scan"),
+    // q_knn_mips moved off this list in r15: its probe-set BNLJ now sits
+    // BELOW the orderedSmall staging boundary (the registered plan
+    // truncates at the staged LogicalRDD), so the sweep cannot see it —
+    // the dedicated scale-seam test below keeps policing the operator's
+    // subtree through SimilarityQueries.knnMipsScale.
+    // q_knn_pq moved off this list with q_knn_mips (r15) — same
+    // orderedSmall truncation, same scale-seam test below.
     "q_search_hybrid_rrf" -> ("hybrid retrieval broadcasts the fixed " +
       "probe set for the vector leg (the BM25 leg is equi-joined)"),
     "q_chapter_assign" -> ("T15 interval-overlap range join: broadcasts " +
@@ -138,6 +139,44 @@ class PlanGuardSpec extends SparkSpecBase {
     }
   }
 
+  test("staged ANN scale subtrees still broadcast exactly the probe set") {
+    // q_knn_mips' and q_knn_pq's deliberate non-1-row BNLJs (the fixed
+    // filter-selected probe-vector set against one linear corpus scan)
+    // moved below the orderedSmall staging boundary in r14, out of the
+    // registered-plan sweep's sight. Keep the exceptions honest the same
+    // way the allowlist's staleness check did: each operator's subtree
+    // (through its seam) must still carry one, and nothing else
+    // unbounded.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val seams = Seq(
+      "q_knn_mips" -> graft.queries.SimilarityQueries.knnMipsScale _,
+      "q_knn_pq" -> graft.queries.SimilarityQueries.knnPqScale _)
+    seams.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan
+      assert(!nodes(plan).exists(_.nodeName.contains("CartesianProduct")),
+        s"$name scale subtree grew a CartesianProduct")
+      val unbounded = nodes(plan).collect {
+        case b: BroadcastNestedLoopJoinExec =>
+          val build =
+            if (b.buildSide.toString.contains("Left")) b.left else b.right
+          (b, build)
+      }.filterNot { case (_, build) => boundedBuild(build) }
+      assert(unbounded.nonEmpty,
+        s"stale exception: $name no longer has a non-1-row BNLJ build " +
+          "side below the staging boundary — fold it back into the sweep")
+      // every non-1-row build must be a narrow probe-set projection
+      // (an id plus at most the probe vector / its derived table) —
+      // the same labeled-waiver shape the allowlist documented; a wide
+      // corpus-side frame can never slip in under this exception
+      unbounded.foreach { case (_, build) =>
+        assert(build.output.size <= 3 &&
+          build.output.exists(a =>
+            a.name.contains("id") || a.name.contains("vec")),
+          s"$name BNLJ build side is not the probe set: ${build.output}")
+      }
+    }
+  }
+
   test("no single-partition window stages anywhere in the query surface") {
     import org.apache.spark.sql.execution.window.WindowExec
     // A global window is a scale hazard only when its input is unbounded.
@@ -187,7 +226,11 @@ class PlanGuardSpec extends SparkSpecBase {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.types.ArrayType
-    val plan = planOf("q_sim_cosine_pairs")
+    // the REGISTERED q_sim_cosine_pairs plan truncates at the
+    // orderedSmall lazy-checkpoint LogicalRDD (r14), hiding the pair
+    // generator — walk the operator's scale subtree through the seam
+    val plan = graft.queries.SimilarityQueries
+      .cosinePairsScale(spark, sfDir).queryExecution.executedPlan
     // the pair-dedup aggregate groups by (vec_a, vec_b)
     val dedups = nodes(plan).collect {
       case a: BaseAggregateExec
