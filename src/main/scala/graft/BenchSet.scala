@@ -28,6 +28,13 @@ object BenchSet {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
+    // dev A/B knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies
+    // runtime-settable confs before timing (config experiments without
+    // touching the Bench harness)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("WARN")
     def f3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

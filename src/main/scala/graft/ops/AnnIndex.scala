@@ -401,9 +401,51 @@ object AnnIndex {
     * between the quantizer and codes loads hand the caller a mixed
     * index; the caller resolves ONCE and passes the pinned build dir
     * to both loads. */
+  /** Per-version quantizer memo: a committed `v_<n>` dir is write-once
+    * (publish is atomic, quantizers are pinned for the version's
+    * lifetime), so the driver-side (centroids, codebooks, subDims)
+    * triple is immutable metadata — and the incremental flow loads it
+    * 2-4× per query (upsert + probe + drift/semdedup legs) at ~0.2 s
+    * per load. Bounded: quantizer matrices are O(cells + codes) doubles;
+    * the map is cleared past 64 entries (a long-running driver cycling
+    * many indexes just re-pays one load). */
+  private val quantizerMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]], Int)]()
+
+  /** Memo key for a quantizer load: the three RESOLVED part paths plus
+    * each part directory's mtime. Chain-aware — a layered `v_<n+1>`
+    * whose quantizer parts resolve to its ancestor's files shares the
+    * ancestor's entry (the upsert-then-probe flow would otherwise
+    * re-collect identical metadata per version) — and rebuild-safe: a
+    * recreated path gets a fresh mtime, so stale quantizers can never
+    * be served. None (no memo) when any part is missing or unstatable. */
+  private def quantizerMemoKey(spark: SparkSession,
+      dir: String): Option[String] =
+    try {
+      val parts = Seq("meta", "centroids", "codebooks")
+        .map(part => resolvePart(spark, dir, part))
+      if (parts.exists(_.isEmpty)) None
+      else Some(parts.flatten.map { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        s"$path@${fs.getFileStatus(p).getModificationTime}"
+      }.mkString(";"))
+    } catch { case _: java.io.IOException => None }
+
   private[graft] def loadQuantizers(spark: SparkSession, dir: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]], Int) =
-    prof("loadQuantizers") { loadQuantizersImpl(spark, dir) }
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Int) = {
+    val key = quantizerMemoKey(spark, dir)
+    val hit = key.map(quantizerMemo.get).orNull
+    if (hit != null) hit
+    else prof("loadQuantizers") {
+      val loaded = loadQuantizersImpl(spark, dir)
+      key.foreach { k =>
+        if (quantizerMemo.size() > 64) quantizerMemo.clear()
+        quantizerMemo.putIfAbsent(k, loaded)
+      }
+      loaded
+    }
+  }
 
   private def loadQuantizersImpl(spark: SparkSession, dir: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]], Int) = {

@@ -94,11 +94,17 @@ object CdcQueries extends QueryModule {
       split_part(col("file_path"), lit("/"), lit(3)).as("document_source"),
       lit("pdf").as("document_type"),
       regexp_replace(col("file_name"), lit("\\.pdf$"), lit("")).as("document_name"))
-    MasterUpsert.upsert(
-      master.select("id", "file_name", "file_path", "document_source",
-        "document_type", "document_name"),
-      deletes, fresh, orderCols = Seq("file_name"))
-      .orderBy(col("id"))
+    // orderedSmall (r15): the bare orderBy's range-bounds sampling
+    // re-executed the whole union — both anti-join legs AND the
+    // MintRank id mint — a second time per run; the upsert result is
+    // master-table-scale (tens of k rows), the documented small-result
+    // staging case.
+    orderedSmall(
+      MasterUpsert.upsert(
+        master.select("id", "file_name", "file_path", "document_source",
+          "document_type", "document_name"),
+        deletes, fresh, orderCols = Seq("file_name")),
+      col("id"))
   }
 
   /** Content-hash snapshot diff (ops/SnapshotDiff) between two

@@ -59,11 +59,22 @@ object ValidationQueries extends QueryModule {
     val master = Tables.lineitem(spark, dir).select(
       col("l_orderkey").as("document_id"), col("l_linenumber").as("row_no"),
       col("l_quantity").cast("double").as("value"))
-    val fresh = Tables.lineitem(spark, dir)
-      .filter(col("l_orderkey") % 50 === 0)
-      .groupBy(col("l_orderkey").as("document_id"))
-      .agg(lit(0).as("row_no"),
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("value"))
+    // staged (r15): the final global orderBy's range-bounds sampling
+    // executes the whole union child a second time — the fresh
+    // aggregate (its own lineitem scan + shuffle agg) and the
+    // replace-key distinct behind the broadcast anti-join both ran
+    // twice per run. Staging the SMALL fresh summary (one row per
+    // replaced key) computes that leg once; the master leg's re-scan is
+    // a plain pushdown-pruned parquet read, deliberately left
+    // unstaged — staging a corpus-scale frame would trade a scan for
+    // corpus-scale storage (the orderedSmall rule).
+    val fresh = graft.ops.Checkpoints.registerTransient(
+      Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey") % 50 === 0)
+        .groupBy(col("l_orderkey").as("document_id"))
+        .agg(lit(0).as("row_no"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("value")))
     DbExport.replaceByKey(master, fresh, "document_id")
       .orderBy(col("document_id"), col("row_no"), col("value"))
   }
